@@ -1,0 +1,103 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` with
+typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step is STUBBED (no image/audio libs in this container):
+``decode_media`` raises ``NotImplementedError`` unless
+``fake_decode=True``, in which case a deterministic byte-level
+feature extractor stands in.  Everything Spark-side — schema,
+partitioning, UDF signature, Arrow batch shape — is real and tested,
+so swapping in PIL/torchaudio on a cluster is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, blob binary, width int, height int, "
+    "duration_ms int, codec string"
+)
+FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, features array<float>"
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
+
+N_FEATURES = 16
+
+
+def make_media_table(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media rows (opaque byte payloads)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        blob = rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8).tobytes()
+        rows.append((i, kind, bytearray(blob), 64 + i % 8, 48 + i % 8,
+                     1000 * (1 + i % 7), "raw"))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _byte_histogram(blob: bytes, bins: int = N_FEATURES) -> np.ndarray:
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
+    total = max(arr.size, 1)
+    return (hist / total).astype(np.float32)
+
+
+def decode_media(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Decode + feature-extract each media blob.
+
+    Real decoders are not available in this container; with
+    ``fake_decode`` the feature is a deterministic 16-bin byte
+    histogram (a real computation with the same shape a CNN/FFT
+    embedding would have)."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "media decoding requires image/audio libs not present in "
+                    "this container; pass fake_decode=True for the plumbing path"
+                )
+            feats = [
+                _byte_histogram(bytes(b)).tolist() if b is not None else None
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [len(bytes(b)) if b is not None else 0 for b in pdf["blob"]],
+                "features": feats,
+            })
+
+    return media.select("media_id", "kind", "blob").mapInPandas(batch, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 500, fake_decode: bool = True) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled
+    frame.  Stub frame content = deterministic byte slice."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake_decode:
+                raise NotImplementedError("video decode not available; see decode_media")
+            out = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, dur, blob in zip(pdf["media_id"], pdf["duration_ms"], pdf["blob"]):
+                n_frames = max(int(dur) // every_ms, 1)
+                raw = bytes(blob)
+                step = max(len(raw) // n_frames, 1)
+                for fi in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["frame"].append(raw[fi * step : (fi + 1) * step])
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "duration_ms", "blob")
+        .mapInPandas(batch, schema=FRAME_SCHEMA)
+    )

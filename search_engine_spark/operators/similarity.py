@@ -1,0 +1,115 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk``      — exact brute-force top-k against a query
+  vector: one scan, JVM-side ``zip_with``/``aggregate`` arithmetic,
+  TakeOrdered top-k.  The baseline and the verifier.
+* ``ann_lsh_topk``     — random-hyperplane LSH variant: probe only the
+  vectors whose sign-bucket is within ``probe_hamming`` of the query's
+  bucket.  The 100 TB path: the bucket column is precomputable and
+  partition-prunable, so a query touches a fraction of the corpus.
+  Deterministic planes (seeded LCG) — no external data.
+
+Both tie-break (score desc, vec_id asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(col, vec: list[float]):
+    expr = F.lit(0.0)
+    for i, v in enumerate(vec):
+        if v != 0.0:
+            expr = expr + F.element_at(col, i + 1).cast("double") * F.lit(float(v))
+    return expr
+
+
+def _norm_col(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
+    """Exact cosine top-k: (vec_id, cosine) for the k nearest vectors."""
+    import math
+
+    qn = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+    scored = embeddings.select(
+        "vec_id",
+        F.round(_dot(F.col("embedding"), query_vec) / (_norm_col(F.col("embedding")) * F.lit(qn)), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def _planes(dim: int, n_planes: int, seed: int = 1234567) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via a tiny LCG —
+    reproducible across engines without numpy RNG state."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(col, planes: list[list[float]]):
+    expr = F.lit(0)
+    for j, plane in enumerate(planes):
+        expr = expr + F.when(_dot(col, plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return expr
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate NN: score only vectors in sign-LSH buckets within
+    ``probe_hamming`` bit flips of the query bucket.  At scale the
+    bucket is a stored partition column => partition-pruned scan."""
+    dim = len(query_vec)
+    planes = _planes(dim, n_planes)
+    q_bucket = 0
+    for j, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(plane, query_vec)) >= 0:
+            q_bucket |= 1 << j
+    probe = {q_bucket}
+    if probe_hamming >= 1:
+        probe |= {q_bucket ^ (1 << j) for j in range(n_planes)}
+    if probe_hamming >= 2:
+        for j in range(n_planes):
+            for l in range(j + 1, n_planes):
+                probe.add(q_bucket ^ (1 << j) ^ (1 << l))
+
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes))
+    pruned = bucketed.filter(F.col("bucket").isin(sorted(probe)))
+    return cosine_topk(pruned, query_vec, k)
+
+
+def knn_join_exact(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Batch exact kNN join: for every query row (qid, embedding),
+    the k nearest corpus vectors.  Broadcast the (small) query side;
+    per-corpus-row arithmetic stays JVM-side; window top-k per qid."""
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        F.col("vec_id"), F.col("embedding").alias("v"), _norm_col(F.col("embedding")).alias("vn")
+    )
+    q = queries.select(
+        F.col("qid"), F.col("embedding").alias("qv"), _norm_col(F.col("embedding")).alias("qn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "qid", "vec_id", F.round(dot / (F.col("vn") * F.col("qn")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

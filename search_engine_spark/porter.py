@@ -18,6 +18,8 @@ reference) rather than translating the Java buffer mechanics.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 _VOWELS = frozenset("aeiou")
 
 
@@ -210,8 +212,11 @@ class _Stem:
             self.k -= 1
 
 
+@lru_cache(maxsize=1 << 16)
 def porter_stem(word: str) -> str:
-    """Stem one token.  Words of length <= 2 are returned unchanged."""
+    """Stem one token.  Words of length <= 2 are returned unchanged.
+    LRU-cached: corpus vocabulary is Zipfian, so the hot head of the
+    distribution stems once per executor instead of once per token."""
     if len(word) <= 2:
         return word
     st = _Stem(word)

@@ -1,0 +1,181 @@
+"""Query engine: BM25 top-k over the packed index (SURVEY.md §3.2/3.3).
+
+Single-query and batch paths share one plan shape:
+
+  driver-side query parse (same kernels as the build)
+  -> dictionary lookup pruned by (bucket, term_key) pushdown
+  -> index scan pruned the same way (partition dirs + parquet
+     row-group stats; the Spark equivalent of the reference's
+     bucket-file + line-pointer seek, Searcher.java:278-304)
+  -> Arrow unpack UDF -> per-(doc,term) contributions
+  -> hash agg per doc -> blended score  (R1-R3)
+  -> join doc_map for urls -> deterministic top-k (R4/K4: score desc,
+     url asc — quirks Q2/Q4 resolved as documented in SURVEY §2.9)
+
+Control crosses driver -> executors once per search call; the resolved
+term rows (a handful) ride along in UDF closures, never a shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .codec import bm25_contribution, unpack_bits, varint_decode, delta_decode
+from .config import DEFAULT, EngineConfig
+from .indexer import IndexPaths
+from .textproc import parse_doc
+
+UNPACKED_SCHEMA = (
+    "term_key string, shard int, local_id long, contrib double, bonus double"
+)
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFAULT):
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        self.cfg = cfg
+        with open(self.paths.meta) as fh:
+            self.meta = json.load(fh)
+        self._stop = cfg.stop_set()
+
+    # -- term resolution ----------------------------------------------------
+    def parse_query(self, query: str) -> list[str]:
+        """title@desc split + the shared parse kernels; returns the
+        union of title and desc term keys (F3 membership happens
+        against the dictionary next)."""
+        if "@" in query:
+            desc = query[query.index("@") + 1 :].lower()
+            title = query[: query.index("@")]
+        else:
+            desc, title = "", query
+        keys = set(parse_doc(title, self._stop, self.meta["stem"]))
+        keys |= set(parse_doc(desc + " ", self._stop, self.meta["stem"]))
+        return sorted({k.lower() for k in keys})
+
+    def resolve_terms(self, term_keys: list[str]) -> pd.DataFrame:
+        """Dictionary rows for the query's terms only — a pruned scan
+        (bucket partition dirs + term_key row-group stats), collected
+        to the driver: the broadcast-the-query-not-the-dictionary
+        pattern (SURVEY §4: the full dictionary is too big at 10^12
+        docs; the query's rows are tiny)."""
+        if not term_keys:
+            return pd.DataFrame(columns=["term_key", "df", "cf", "idf", "bucket"])
+        d = self.spark.read.parquet(self.paths.dictionary)
+        rows = (
+            d.filter(F.col("term_key").isin(term_keys))
+            .select("term_key", "df", "cf", "idf", "bucket")
+            .toPandas()
+        )
+        return rows
+
+    # -- scoring --------------------------------------------------------------
+    def _scan_index(self, resolved: pd.DataFrame) -> DataFrame:
+        buckets = sorted({int(b) for b in resolved["bucket"]})
+        keys = sorted(resolved["term_key"])
+        ix = self.spark.read.parquet(self.paths.index)
+        return ix.filter(F.col("bucket").isin(buckets) & F.col("term_key").isin(keys))
+
+    def _unpack(self, scan: DataFrame, idf_by_key: dict[str, float]) -> DataFrame:
+        k1, b = self.meta["k1"], self.meta["b"]
+        avgdl = self.meta["avgdl"]
+
+        def unpack_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    n = int(row.n)
+                    ids = delta_decode(bytes(row.doc_ids))
+                    tfs = varint_decode(bytes(row.tfs))
+                    lens = varint_decode(bytes(row.lens))
+                    imps = unpack_bits(bytes(row.imps), n)
+                    idf = idf_by_key[row.term_key]
+                    contrib = bm25_contribution(tfs, lens, idf, k1, b, avgdl)
+                    outs.append(pd.DataFrame({
+                        "term_key": np.repeat(row.term_key, n),
+                        "shard": np.repeat(np.int32(row.shard), n),
+                        "local_id": ids.astype(np.int64),
+                        "contrib": contrib,
+                        "bonus": np.where(imps, 1.2, 1.0),
+                    }))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return scan.select(
+            "term_key", "shard", "n", "doc_ids", "tfs", "lens", "imps"
+        ).mapInPandas(unpack_batch, schema=UNPACKED_SCHEMA)
+
+    def _doc_map(self) -> DataFrame:
+        return (
+            self.spark.read.parquet(self.paths.doc_stats)
+            .select("shard", "local_id", "url")
+        )
+
+    def search(self, query: str, k: int | None = None) -> DataFrame:
+        """Top-k (url, score) for one query.  Returns an empty frame
+        for stop-word-only / out-of-dictionary queries (F5)."""
+        k = k or self.cfg.top_k
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            return self.spark.createDataFrame([], "url string, score double, rank int")
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        per_posting = self._unpack(self._scan_index(resolved), idf_by_key)
+        blend_a, blend_b = self.meta["blend_bm25"], self.meta["blend_bonus"]
+        scores = (
+            per_posting.groupBy("shard", "local_id")
+            .agg(F.sum("contrib").alias("bm25"), F.sum("bonus").alias("bonus"))
+            .withColumn("score", F.lit(blend_a) * F.col("bm25") + F.lit(blend_b) * F.col("bonus"))
+        )
+        return (
+            scores.join(self._doc_map(), ["shard", "local_id"])
+            .orderBy(F.desc("score"), F.asc("url"))
+            .limit(k)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("url"))))
+            .select("url", "score", "rank")
+        )
+
+    def search_batch(self, queries: list[tuple[str, str]], k: int | None = None) -> DataFrame:
+        """All queries in one job (lifecycle 3.3): one pruned index
+        scan over the union of query terms, unpacked once per index
+        row, fanned out to queries by a broadcast join, scored grouped
+        by (qid, doc)."""
+        k = k or self.cfg.top_k
+        q_terms: list[tuple[str, str]] = []
+        for qid, q in queries:
+            for t in self.parse_query(q):
+                q_terms.append((qid, t))
+        if not q_terms:
+            return self.spark.createDataFrame([], "qid string, rank int, url string, score double")
+        all_keys = sorted({t for _, t in q_terms})
+        resolved = self.resolve_terms(all_keys)
+        if resolved.empty:
+            return self.spark.createDataFrame([], "qid string, rank int, url string, score double")
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        matched = set(resolved["term_key"])
+        qt = self.spark.createDataFrame(
+            [(qid, t) for qid, t in q_terms if t in matched],
+            "qid string, term_key string",
+        )
+        per_posting = self._unpack(self._scan_index(resolved), idf_by_key)
+        blend_a, blend_b = self.meta["blend_bm25"], self.meta["blend_bonus"]
+        scores = (
+            per_posting.join(F.broadcast(qt), "term_key")
+            .groupBy("qid", "shard", "local_id")
+            .agg(F.sum("contrib").alias("bm25"), F.sum("bonus").alias("bonus"))
+            .withColumn("score", F.lit(blend_a) * F.col("bm25") + F.lit(blend_b) * F.col("bonus"))
+            .join(self._doc_map(), ["shard", "local_id"])
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
+        return (
+            scores.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "url", "score")
+        )

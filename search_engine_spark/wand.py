@@ -1,0 +1,150 @@
+"""Block-max WAND top-k scorer (SURVEY.md §7 step 7).
+
+The reference ranker scores every candidate document
+(Ranker.java:27-52, no pruning); this module adds the top-k pushdown
+Spark cannot express relationally: a per-shard scorer that uses the
+per-block score upper bounds stored at pack time to skip postings
+blocks that cannot reach the current top-k floor.
+
+Algorithm (conservative block-max WAND, exact w.r.t. the full scorer):
+
+1. Per shard, unpack the query terms' posting lists.
+2. Bootstrap a lower bound θ on the k-th best score from the single
+   term with the highest upper bound: its per-posting blended
+   contribution is a lower bound on those docs' full scores, so the
+   k-th largest of them is a sound θ.
+3. Drop every block b of term t where
+   ``block_max_t(b) + Σ_{t'≠t} U_{t'} < θ`` (U = term-level max):
+   no document whose *only* surviving appearances are in dropped
+   blocks can beat θ.
+4. Exactly score the union of docs in surviving blocks (vectorized
+   searchsorted joins into the full arrays) and take the per-shard
+   top-k by (score desc, local_id asc == url asc within a shard).
+
+Per-shard top-k under a total order contains the global top-k's
+members in that shard, so merging per-shard results is exact.
+The shard fan-out/merge is the standard web-search architecture: at
+10^12 docs each shard holds a bounded slice of every posting list,
+and only k rows per shard leave the executor — no per-posting shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .codec import bm25_contribution, delta_decode, unpack_bits, varint_decode
+
+WAND_OUT_SCHEMA = "shard int, local_id long, score double"
+
+
+def _score_shard(
+    group: pd.DataFrame,
+    idf_by_key: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    blend_a: float,
+    blend_b: float,
+) -> pd.DataFrame:
+    terms = []
+    for row in group.itertuples(index=False):
+        n = int(row.n)
+        ids = delta_decode(bytes(row.doc_ids)).astype(np.int64)
+        tfs = varint_decode(bytes(row.tfs))
+        lens = varint_decode(bytes(row.lens))
+        imps = unpack_bits(bytes(row.imps), n)
+        block_last = delta_decode(bytes(row.block_last)).astype(np.int64)
+        block_max = np.frombuffer(bytes(row.block_max), dtype=np.float32).astype(np.float64)
+        contrib = bm25_contribution(tfs, lens, idf_by_key[row.term_key], k1, b, avgdl)
+        blended = blend_a * contrib + blend_b * np.where(imps, 1.2, 1.0)
+        terms.append({
+            "ids": ids, "blended": blended,
+            "block_last": block_last, "block_max": block_max,
+            "upper": float(block_max.max()) if block_max.size else 0.0,
+        })
+    if not terms:
+        return pd.DataFrame({"shard": [], "local_id": [], "score": []})
+
+    shard = int(group["shard"].iloc[0])
+    uppers = np.array([t["upper"] for t in terms])
+    total_upper = uppers.sum()
+
+    # 2. bootstrap θ from the strongest term's own contributions
+    best = terms[int(np.argmax(uppers))]
+    if best["blended"].size >= k:
+        theta = float(np.partition(best["blended"], -k)[-k])
+    else:
+        theta = 0.0
+
+    # 3. block-level pruning; collect surviving candidate doc ids
+    cand_parts = []
+    for ti, t in enumerate(terms):
+        others = total_upper - uppers[ti]
+        keep = (t["block_max"] + others) >= theta
+        if keep.all():
+            cand_parts.append(t["ids"])
+            continue
+        # block boundaries over the posting array
+        n = t["ids"].size
+        bounds = np.searchsorted(t["ids"], t["block_last"], side="right")
+        starts = np.concatenate(([0], bounds[:-1]))
+        for bi in np.nonzero(keep)[0]:
+            cand_parts.append(t["ids"][starts[bi] : bounds[bi]])
+    if not cand_parts:
+        return pd.DataFrame({"shard": [], "local_id": [], "score": []})
+    cands = np.unique(np.concatenate(cand_parts))
+
+    # 4. exact scores for the candidates
+    scores = np.zeros(cands.size, dtype=np.float64)
+    for t in terms:
+        pos = np.searchsorted(t["ids"], cands)
+        pos_c = np.minimum(pos, t["ids"].size - 1)
+        hit = t["ids"][pos_c] == cands
+        scores[hit] += t["blended"][pos_c[hit]]
+
+    if cands.size > k:
+        # top-k by (score desc, local_id asc): lexsort on (-score, id)
+        order = np.lexsort((cands, -scores))[:k]
+    else:
+        order = np.lexsort((cands, -scores))
+    return pd.DataFrame({
+        "shard": np.full(order.size, shard, dtype=np.int32),
+        "local_id": cands[order],
+        "score": scores[order],
+    })
+
+
+def wand_search(engine, query: str, k: int | None = None) -> DataFrame:
+    """Block-max WAND top-k; rank-identical to ``SearchEngine.search``
+    (asserted in tests)."""
+    k = k or engine.cfg.top_k
+    resolved = engine.resolve_terms(engine.parse_query(query))
+    if resolved.empty:
+        return engine.spark.createDataFrame([], "url string, score double, rank int")
+    idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+    meta = engine.meta
+    k1, b, avgdl = meta["k1"], meta["b"], meta["avgdl"]
+    blend_a, blend_b = meta["blend_bm25"], meta["blend_bonus"]
+
+    def shard_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_shard(pdf, idf_by_key, k, k1, b, avgdl, blend_a, blend_b)
+
+    scan = engine._scan_index(resolved).select(
+        "term_key", "shard", "n", "doc_ids", "tfs", "lens", "imps",
+        "block_last", "block_max",
+    )
+    per_shard = scan.groupBy("shard").applyInPandas(shard_fn, schema=WAND_OUT_SCHEMA)
+    return (
+        per_shard.join(engine._doc_map(), ["shard", "local_id"])
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("url"))))
+        .select("url", "score", "rank")
+    )

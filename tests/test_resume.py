@@ -1,0 +1,72 @@
+"""Resume semantics: a build interrupted after some pack groups
+restarts without recomputing completed shards (lineage anti-join,
+SURVEY.md §5.5)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.indexer import build_index, IndexPaths
+
+
+def _mtimes(path):
+    out = {}
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_resume_skips_completed_stages(spark, fixture_pages_parquet, tmp_dir):
+    cfg = EngineConfig(n_doc_shards=4, n_term_buckets=8, n_bucket_groups=4)
+    pages = spark.read.parquet(fixture_pages_parquet)
+
+    # full build
+    build_index(spark, pages, tmp_dir, cfg)
+    paths = IndexPaths(tmp_dir)
+    lineage = spark.read.parquet(paths.lineage)
+    packs = lineage.filter(F.col("stage") == "pack").count()
+    assert packs == 4
+
+    before = _mtimes(paths.postings_raw) | _mtimes(paths.index)
+
+    # simulate a kill after 2 of 4 pack groups: drop their lineage rows
+    done = lineage.filter(
+        (F.col("stage") != "pack") | (F.col("key").isin(["0", "1"]))
+    )
+    done_rows = done.collect()
+    import shutil
+
+    shutil.rmtree(paths.lineage)
+    spark.createDataFrame(done_rows, lineage.schema).write.parquet(paths.lineage)
+    # remove the "incomplete" groups' output (buckets 2,3,6,7 belong to groups 2,3)
+    ix = spark.read.parquet(paths.index)
+    n_before = ix.count()
+
+    # restart: only groups 2 and 3 should run; tokenize/doc_stats/dictionary
+    # and pack groups 0/1 must not be rewritten
+    build_index(spark, pages, tmp_dir, cfg, resume=True)
+    after = _mtimes(paths.postings_raw)
+    for p, m in _mtimes(paths.postings_raw).items():
+        assert before.get(p) == m, f"postings_raw recomputed: {p}"
+    # groups 0/1's index files untouched
+    for p, m in before.items():
+        if p.startswith(paths.index) and os.path.exists(p):
+            assert _mtimes(paths.index).get(p) is not None
+
+    lineage2 = spark.read.parquet(paths.lineage)
+    assert lineage2.filter(F.col("stage") == "pack").count() >= 4
+
+
+def test_fresh_resume_noop(spark, fixture_pages_parquet, tmp_dir):
+    cfg = EngineConfig(n_doc_shards=4, n_term_buckets=4, n_bucket_groups=2)
+    pages = spark.read.parquet(fixture_pages_parquet)
+    build_index(spark, pages, tmp_dir, cfg)
+    paths = IndexPaths(tmp_dir)
+    before = _mtimes(paths.postings_raw) | _mtimes(paths.doc_stats) | _mtimes(paths.index)
+    build_index(spark, pages, tmp_dir, cfg, resume=True)  # complete: full no-op
+    after = _mtimes(paths.postings_raw) | _mtimes(paths.doc_stats) | _mtimes(paths.index)
+    assert before == after

@@ -1,0 +1,114 @@
+"""Golden end-to-end: Spark pipeline vs single-node oracle on the
+synthetic corpus (SURVEY.md §5.2) — identical dictionary (term, df,
+cf, idf), doc stats, and rank-identical top-k with BM25 scores to
+1e-9, honoring quirks Q2-Q4 as documented."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.fixtures import REFERENCE_QUERIES, STOP_WORDS, make_pages
+from search_engine_spark.oracle import OracleIndex
+from search_engine_spark.searcher import SearchEngine
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    ix = OracleIndex(frozenset(STOP_WORDS), stem=True)
+    ix.build(make_pages(N_DOCS, seed=42))
+    return ix
+
+
+def test_dictionary_matches_oracle(spark, built_index, oracle):
+    out, cfg, meta = built_index
+    rows = spark.read.parquet(f"{out}/dictionary").collect()
+    got = {r["term_key"]: (r["df"], r["cf"], r["display"], r["capital"]) for r in rows}
+    want = {k: (e.df, e.cf, e.display, e.capital) for k, e in oracle.dictionary.items()}
+    assert got == want
+    for r in rows:
+        assert math.isclose(r["idf"], math.log2(N_DOCS / r["df"]), rel_tol=1e-12)
+
+
+def test_doc_stats_match_oracle(spark, built_index, oracle):
+    out, cfg, meta = built_index
+    rows = spark.read.parquet(f"{out}/doc_stats").collect()
+    got = {r["url"]: (r["length"], r["max_tf"], r["unique_terms"]) for r in rows}
+    want = {u: (s.length, s.max_tf, s.unique_terms) for u, s in oracle.doc_stats.items()}
+    assert got == want
+    assert meta["n_docs"] == N_DOCS
+    assert math.isclose(meta["avgdl"], oracle.avgdl, rel_tol=1e-12)
+    # local ids are url-ordered and dense within each shard
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append((r["local_id"], r["url"]))
+    for shard, pairs in by_shard.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(1, len(pairs) + 1))
+        urls = [p[1] for p in pairs]
+        assert urls == sorted(urls)
+
+
+def test_topk_rank_identical(spark, built_index, oracle):
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg)
+    for qid, title, desc in REFERENCE_QUERIES:
+        q = title + ("@" + desc if desc else "")
+        got = [(r["url"], r["score"]) for r in eng.search(q, 20).collect()]
+        want = oracle.search(q, 20)
+        assert [u for u, _ in got] == [u for u, _ in want], f"{qid}: doc order differs"
+        for (gu, gs), (wu, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, f"{qid}: score {gu} {gs} != {ws}"
+
+
+def test_batch_matches_single(spark, built_index):
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg)
+    queries = [(qid, t + ("@" + d if d else "")) for qid, t, d in REFERENCE_QUERIES[:6]]
+    batch = eng.search_batch(queries, 10).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["url"], r["score"]))
+    for qid, q in queries:
+        single = [(r["rank"], r["url"], r["score"]) for r in eng.search(q, 10).collect()]
+        got = sorted(by_qid.get(qid, []))
+        assert [(u, round(s, 9)) for _, u, s in got] == [
+            (u, round(s, 9)) for _, u, s in single
+        ], qid
+
+
+def test_empty_and_miss_queries(spark, built_index):
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg)
+    assert eng.search("the of and", 10).count() == 0
+    assert eng.search("zzzunknownterm", 10).count() == 0
+
+
+def test_index_is_compressed_binary(spark, built_index):
+    out, cfg, meta = built_index
+    ix = spark.read.parquet(f"{out}/index")
+    row = ix.filter(F.col("n") > 5).first()
+    assert row is not None
+    # postings bytes are a fraction of a text encoding
+    assert len(bytes(row["doc_ids"])) <= 2 * row["n"] + 9
+    from search_engine_spark.codec import delta_decode
+
+    ids = delta_decode(bytes(row["doc_ids"]))
+    assert list(ids) == sorted(ids)
+
+
+def test_pruned_scan_plan(spark, built_index):
+    """The query-path index scan must prune partitions (bucket) and
+    push the term filter to parquet."""
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg)
+    resolved = eng.resolve_terms(eng.parse_query("world trade"))
+    scan = eng._scan_index(resolved)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "bucket" in plan
+    explained = scan._jdf.queryExecution().toString()
+    assert "PushedFilters" in explained or "term_key" in explained
