@@ -1,38 +1,775 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``      — flagship: full inverted-index build + batch
+                        BM25 search over the sf0.001 documents table
+                        mapped onto the BASELINE ``pages`` shape.
+``queries()``         — one callable per implemented operator from
+                        SURVEY.md §2 (plus the training-data-pipeline
+                        operators: dedup / similarity / text analysis
+                        / multimodal).
+``oracle_sql()``      — exact DuckDB ANSI-SQL twins for every
+                        SQL-expressible query.  Non-SQL-expressible
+                        paths (full N1-N15 parser + Porter + packed
+                        postings + WAND, LSH-pruned ANN, multimodal
+                        decode) are covered by the pytest oracle
+                        (tests/test_spark_index.py) and get the
+                        driver's rows-only check here.
+
+Numeric-compare policy: every float aggregate is rounded IN BOTH
+ENGINES, at a precision strictly finer than the value grid of the
+underlying data (money columns are on a 1e-2 grid -> round 2 is
+exact; products of two 2dp values -> round 4; scores -> round 6), so
+double-summation order differences can never flip the driver's
+value hash.  Integer outputs are cast to BIGINT on both sides
+(DuckDB's sum() returns INT128 otherwise).
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.indexer import build_index
+from search_engine_spark.operators import dedup as D
+from search_engine_spark.operators import multimodal as MM
+from search_engine_spark.operators import similarity as SIM
+from search_engine_spark.operators import textstats as TS
+from search_engine_spark.searcher import SearchEngine
+from search_engine_spark.sources.pages import extract_text, load_documents_as_pages
+from search_engine_spark.wand import wand_search
+
+# ---------------------------------------------------------------------------
+# shared helpers
+
+BM25_K1, BM25_B = 1.2, 0.75          # Ranker.java:33 constants
+FT_QUERY_TERMS = ("table", "join", "query")
+ENGINE_QUERY = "data table row"
+SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8h session gap (median per-user gap ~7.3h)
+
+_ENTRY_CFG = EngineConfig(n_doc_shards=8, n_term_buckets=8, n_bucket_groups=2)
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Build (once, cached on disk per sf_dir) the full packed index
+    over documents-as-pages, then open a SearchEngine on it."""
+    key = os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_index_{tag}")
+        if not os.path.exists(os.path.join(out, "meta.json")):
+            pages = load_documents_as_pages(spark, key)
+            build_index(spark, pages, out, _ENTRY_CFG)
+        _INDEX_CACHE[key] = out
+    return SearchEngine(spark, _INDEX_CACHE[key], _ENTRY_CFG)
+
+
+def _doc_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok, tf) under the simple ML-pipeline tokenization."""
+    ex = docs.select("doc_id", F.explode(TS.simple_tokens()).alias("tok"))
+    return ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+
+
+# DuckDB twin of TS.simple_tokens + _doc_tf, shared by the ft_* oracles
+_TOK_CTE = (
+    "tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)"
+)
+_TF_CTE = (
+    _TOK_CTE + ", ex AS (SELECT doc_id, unnest(toks) AS tok FROM tok), "
+    "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY doc_id, tok)"
+)
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full pipeline on sf0.001: tokenize (N1-N15 + Porter) -> SPIMI
+    build -> delta+varint packed index -> batch BM25 top-10 for three
+    queries in ONE job (SURVEY §3.3)."""
+    eng = _engine_for(spark, "/root/testdata/sf0.001")
+    qs = [("q1", ENGINE_QUERY), ("q2", "query plan join"), ("q3", "fast scan filter")]
+    return eng.search_batch(qs, 10)
+
+
+# ---------------------------------------------------------------------------
+# queries — full-text relational core (documents table, simple tokens)
+
+def q_ft_doc_stats(spark, sf):
+    # A5: per-doc length / max_tf / unique_terms
+    return (
+        _doc_tf(_tbl(spark, sf, "documents"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("length"),
+            F.max("tf").alias("max_tf"),
+            F.count(F.lit(1)).alias("unique_terms"),
+        )
+    )
+
+
+def q_ft_term_stats(spark, sf):
+    # A3/A4: dictionary df/cf/idf with idf = log2(N/df)
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    return (
+        _doc_tf(docs)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .withColumn("idf", F.round(F.log2(F.lit(float(n_docs)) / F.col("df")), 6))
+    )
+
+
+def q_ft_term_first_pos(spark, sf):
+    # A1/N15: per (doc, term) tf + first position + importance flag
+    docs = _tbl(spark, sf, "documents")
+    ex = docs.select(
+        "doc_id", F.posexplode(TS.simple_tokens()).alias("pos0", "tok")
+    ).withColumn("pos", F.col("pos0") + 1)
+    return (
+        ex.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("pos").cast("long").alias("first_pos"))
+        .withColumn("important", F.col("first_pos") <= 30)
+    )
+
+
+def q_ft_bm25_topk(spark, sf):
+    # R1/R4 relational BM25 top-20, fully SQL-checkable
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    qtf = tf.filter(F.col("tok").isin(*FT_QUERY_TERMS))
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — full engine (non-SQL-expressible: rows-only driver check,
+# rank-identity vs the single-node oracle asserted in pytest)
+
+def q_search_bm25_topk(spark, sf):
+    eng = _engine_for(spark, sf)
+    return eng.search(ENGINE_QUERY, 20)
+
+
+def q_search_wand_topk(spark, sf):
+    eng = _engine_for(spark, sf)
+    return wand_search(eng, ENGINE_QUERY, 20)
+
+
+def q_search_batch(spark, sf):
+    eng = _engine_for(spark, sf)
+    return eng.search_batch([("q1", ENGINE_QUERY), ("q2", "query plan join")], 10)
+
+
+def q_extract_text_roundtrip(spark, sf):
+    # S2 per-row invariant: extracted text byte-identical per url
+    pages = load_documents_as_pages(spark, sf)
+    ext = extract_text(pages).withColumnRenamed("text", "ext_text")
+    joined = pages.select("url", "text").join(ext, "url")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("text") != F.col("ext_text"), 1).otherwise(0)).alias("n_mismatch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — relational operator coverage (TPC-H-ish tables)
+
+def q_tpch_q1_pricing(spark, sf):
+    # A3/A5-analog scan+filter+hash-agg; filter pushed to parquet
+    li = _tbl(spark, sf, "lineitem").filter(F.col("l_quantity") <= 45)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_revenue_by_nation(spark, sf):
+    # J1/J2-analog: fact ⋈ broadcast dims -> agg
+    orders = _tbl(spark, sf, "orders")
+    cust = _tbl(spark, sf, "customer")
+    nation = _tbl(spark, sf, "nation")
+    region = _tbl(spark, sf, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_topk_orders(spark, sf):
+    # K4: deterministic global top-50
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _tbl(spark, sf, "orders")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select("o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def q_window_top5_parts(spark, sf):
+    # A8-analog: per-group top-5 via window
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        _tbl(spark, sf, "part")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+def q_semi_join_urgent_customers(spark, sf):
+    # F2/J4: broadcast left-semi join
+    cust = _tbl(spark, sf, "customer")
+    urgent = _tbl(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_anti_join_idle_customers(spark, sf):
+    cust = _tbl(spark, sf, "customer")
+    orders = _tbl(spark, sf, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_set_union_nations(spark, sf):
+    # U1: union-distinct
+    c = _tbl(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _tbl(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+def q_set_except_nations(spark, sf):
+    c = _tbl(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _tbl(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).distinct()
+
+
+def q_distinct_langs(spark, sf):
+    # A9: distinct languages dim
+    return _tbl(spark, sf, "documents").groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_events_hourly(spark, sf):
+    # streaming-shaped tumbling-window agg computed batch
+    ev = _tbl(spark, sf, "events")
+    return (
+        ev.withColumn("hour", F.date_format("ts", "yyyy-MM-dd HH:00:00"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def q_events_sessionize(spark, sf):
+    # gap-based sessionization (lag + running sum) — the batch twin of
+    # a streaming session window
+    ev = _tbl(spark, sf, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ev = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return ev.groupBy("user_id", "session").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — training-data-pipeline operators
+
+def q_dedup_exact(spark, sf):
+    return D.exact_duplicates(_tbl(spark, sf, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return D.lsh_candidate_pairs(_tbl(spark, sf, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(_tbl(spark, sf, "documents"), threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf):
+    return D.simhash_duplicates(_tbl(spark, sf, "documents"), bits=16)
+
+
+def q_dedup_embedding_cosine(spark, sf):
+    return D.embedding_dup_pairs(_tbl(spark, sf, "embeddings"), threshold=0.35)
+
+
+def q_ann_cosine_topk(spark, sf):
+    emb = _tbl(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.cosine_topk(emb, qvec, k=10).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("vec_id"))).cast("long"),
+    )
+
+
+def q_ann_lsh_topk(spark, sf):
+    emb = _tbl(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.ann_lsh_topk(emb, qvec, k=10)
+
+
+def q_knn_join_first5(spark, sf):
+    emb = _tbl(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    out = SIM.knn_join_exact(emb, qs, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_text_token_stats(spark, sf):
+    out = TS.token_stats(_tbl(spark, sf, "documents"))
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long")).withColumn(
+        "n_distinct_tokens", F.col("n_distinct_tokens").cast("long")
+    )
+
+
+def q_text_quality(spark, sf):
+    out = TS.quality_score(_tbl(spark, sf, "documents"))
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+def q_text_langid(spark, sf):
+    out = TS.language_id(_tbl(spark, sf, "documents"))
+    return out.withColumn("marker_hits", F.col("marker_hits").cast("long"))
+
+
+def q_text_fingerprint(spark, sf):
+    return TS.fingerprint(_tbl(spark, sf, "documents"))
+
+
+def q_multimodal_features(spark, sf):
+    media = MM.make_media_table(spark, 64)
+    feats = MM.decode_media(media, fake_decode=True)
+    return feats.select(
+        "media_id", "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")), 6
+        ).alias("f_sum"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # full-text relational core
+        "ft_doc_stats": q_ft_doc_stats,
+        "ft_term_stats": q_ft_term_stats,
+        "ft_term_first_pos": q_ft_term_first_pos,
+        "ft_bm25_topk": q_ft_bm25_topk,
+        # full engine (rows-only; pytest asserts rank-identity vs oracle)
+        "search_bm25_topk": q_search_bm25_topk,
+        "search_wand_topk": q_search_wand_topk,
+        "search_batch": q_search_batch,
+        "extract_text_roundtrip": q_extract_text_roundtrip,
+        # relational operator coverage
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "revenue_by_nation": q_revenue_by_nation,
+        "topk_orders": q_topk_orders,
+        "window_top5_parts": q_window_top5_parts,
+        "semi_join_urgent_customers": q_semi_join_urgent_customers,
+        "anti_join_idle_customers": q_anti_join_idle_customers,
+        "set_union_nations": q_set_union_nations,
+        "set_except_nations": q_set_except_nations,
+        "distinct_langs": q_distinct_langs,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        # training-data pipeline
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "knn_join_first5": q_knn_join_first5,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+def _sql_shingles_cte() -> str:
+    n = D.DEFAULT_SHINGLE
+    return (
+        _TOK_CTE + ", sh AS (SELECT doc_id, list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM tok)"
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    nh, bs = D.DEFAULT_MINHASHES, D.DEFAULT_BAND_SIZE
+    mh_cols = ", ".join(
+        f"list_min(list_transform(shingles, x -> md5('{s}:' || x))) AS mh{s}"
+        for s in range(nh)
+    )
+    n_bands = nh // bs
+    band_exprs = ", ".join(
+        "'" + str(b) + "|' || " + " || '|' || ".join(f"mh{b * bs + j}" for j in range(bs))
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_sql_shingles_cte()},
+sig AS (SELECT doc_id, {mh_cols} FROM sh),
+bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN substr(h, {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH {_TOK_CTE},
+t AS (SELECT doc_id, md5(unnest(toks)) AS h FROM tok),
+agg AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg)
+SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc
+FROM fp GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+def _sql_langid() -> str:
+    hits = {
+        lang: "len(list_filter(toks, x -> x IN ("
+        + ", ".join(f"'{m}'" for m in markers)
+        + ")))"
+        for lang, markers in sorted(TS.LANG_MARKERS.items())
+    }
+    mx = "greatest(" + ", ".join(hits.values()) + ")"
+    case = "CASE WHEN " + mx + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN {hits[lang]} = {mx} THEN '{lang}'" for lang in sorted(hits)
+    ) + " END"
+    return f"""
+WITH {_TOK_CTE}
+SELECT doc_id, lang AS declared_lang, {case} AS detected_lang,
+       CAST({mx} AS BIGINT) AS marker_hits
+FROM (SELECT d.doc_id, d.lang, t.toks FROM documents d JOIN tok t ON d.doc_id = t.doc_id)
+"""
+
+
+def _sql_quality() -> str:
+    stop = ", ".join(f"'{w}'" for w in TS._EN_STOPWORDS)
+    return f"""
+WITH {_TOK_CTE},
+q AS (
+  SELECT d.doc_id,
+         len(t.toks) AS n_tok,
+         len(list_filter(t.toks, x -> x IN ({stop}))) AS stop_hits,
+         length(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) AS n_alpha,
+         greatest(length(d.text), 1) AS n_chars
+  FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+)
+SELECT doc_id,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  round(stop_hits / greatest(n_tok, 1), 6) AS stop_ratio,
+  round(n_alpha / n_chars, 6) AS alpha_ratio,
+  round((CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.4 ELSE 0.0 END)
+        + least((stop_hits / greatest(n_tok, 1)) * 2.0, 0.3)
+        + least(n_alpha / n_chars, 0.3), 6) AS quality
+FROM q
+"""
+
+
+_BM25_EXPR = (
+    f"idf * (tf * ({BM25_K1} + 1)) / "
+    f"(tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / (SELECT avgdl FROM stats)))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qt = ", ".join(f"'{t}'" for t in FT_QUERY_TERMS)
+    cos_dot = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+    )
+    nrm = lambda side: (  # noqa: E731
+        f"sqrt(list_sum(list_transform({side}.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return {
+        "ft_doc_stats": f"""
+WITH {_TF_CTE}
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS length, CAST(max(tf) AS BIGINT) AS max_tf,
+       CAST(count(*) AS BIGINT) AS unique_terms
+FROM tf GROUP BY doc_id
+""",
+        "ft_term_stats": f"""
+WITH {_TF_CTE}
+SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       round(log2((SELECT CAST(count(*) AS DOUBLE) FROM documents) / count(*)), 6) AS idf
+FROM tf GROUP BY tok
+""",
+        "ft_term_first_pos": f"""
+WITH {_TOK_CTE},
+ex AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks) + 1),
+                     i -> {{'pos': i, 'tok': toks[i]}})) AS e
+       FROM tok)
+SELECT doc_id, e.tok AS tok, CAST(count(*) AS BIGINT) AS tf,
+       CAST(min(e.pos) AS BIGINT) AS first_pos,
+       CAST(min(e.pos) AS BIGINT) <= 30 AS important
+FROM ex GROUP BY doc_id, e.tok
+""",
+        "ft_bm25_topk": f"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n FROM dl),
+qtf AS (SELECT * FROM tf WHERE tok IN ({qt})),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY tok),
+contrib AS (
+  SELECT qtf.doc_id, log2((SELECT n FROM stats) / dfreq.df) AS idf, qtf.tf, dl.dl
+  FROM qtf JOIN dfreq ON qtf.tok = dfreq.tok JOIN dl ON qtf.doc_id = dl.doc_id
+),
+scored AS (SELECT doc_id, round(sum({_BM25_EXPR}), 6) AS score FROM contrib GROUP BY doc_id),
+ranked AS (SELECT doc_id, score,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM scored)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
+""",
+        "extract_text_roundtrip": """
+SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch FROM documents
+""",
+        "tpch_q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS sum_disc_price,
+  round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 6) AS sum_charge,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_extendedprice), 6) AS avg_price,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_quantity <= 45
+GROUP BY l_returnflag, l_linestatus
+""",
+        "revenue_by_nation": """
+SELECT r_name, n_name,
+  round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "topk_orders": """
+SELECT o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderkey, o_totalprice,
+         CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank
+  FROM orders
+) WHERE rank <= 50
+""",
+        "window_top5_parts": """
+SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(row_number() OVER (PARTITION BY p_brand
+              ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rn
+  FROM part
+) WHERE rn <= 5
+""",
+        "semi_join_urgent_customers": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+        "anti_join_idle_customers": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "set_union_nations": """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""",
+        "set_except_nations": """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey FROM supplier
+)
+""",
+        "distinct_langs": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+""",
+        "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+  round(avg(value), 6) AS avg_value
+FROM events GROUP BY hour, event_type
+""",
+        "events_sessionize": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sess AS (
+  SELECT user_id, us,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session
+  FROM s
+)
+SELECT user_id, session, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us
+FROM sess GROUP BY user_id, session
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc, max(doc_id) AS max_doc
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+""",
+        "dedup_minhash_lsh": _sql_minhash_lsh(),
+        "dedup_ngram_jaccard": f"""
+WITH {_sql_shingles_cte()},
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+""",
+        "dedup_simhash": _sql_simhash(16),
+        "dedup_embedding_cosine": f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(
+    list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / ({nrm('a')} * {nrm('b')}), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(
+    list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / ({nrm('a')} * {nrm('b')}), 6) >= 0.35
+""",
+        "ann_cosine_topk": f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT a.vec_id, round({cos_dot} / ({nrm('a')} *
+         sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+  FROM embeddings a, q
+),
+ranked AS (SELECT vec_id, cosine,
+                  CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+           FROM scored)
+SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 10
+""",
+        "knn_join_first5": f"""
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, a.vec_id, round({cos_dot} / ({nrm('a')} *
+         sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+  FROM embeddings a, q
+),
+ranked AS (SELECT qid, vec_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+           FROM scored)
+SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+        "text_token_stats": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS mean_token_len
+FROM tok
+""",
+        "text_quality": _sql_quality(),
+        "text_langid": _sql_langid(),
+        "text_fingerprint": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+FROM tok
+""",
+        # no oracle (non-SQL-expressible): search_bm25_topk,
+        # search_wand_topk, search_batch, ann_lsh_topk,
+        # multimodal_features
+    }

@@ -34,15 +34,19 @@ DEFAULT_BAND_SIZE = 2
 
 def shingles(col="text", n: int = DEFAULT_SHINGLE):
     """Distinct word n-gram shingles (1-based element_at, portable to
-    DuckDB's 1-based list indexing)."""
+    DuckDB's 1-based list indexing).  Docs with fewer than ``n``
+    tokens yield an empty array (Spark's ``sequence(1, 0)`` would
+    descend, so the short case is guarded explicitly)."""
     toks = simple_tokens(col)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
-    return F.array_distinct(grams)
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -64,13 +68,17 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = DEFAULT_MINHASHES,
     """Per-doc MinHash signature: for seed s, min over shingles of
     md5(s || ':' || shingle) (hex-lexicographic min == numeric min)."""
     sh = shingles(n=shingle_n)
-    sig_cols = [
-        F.array_min(
-            F.transform(sh, lambda x, s=s: F.md5(F.to_binary(F.concat(F.lit(f"{s}:"), x), F.lit("utf-8"))))
-        ).alias(f"mh{s}")
-        for s in range(n_hashes)
-    ]
-    return docs.select("doc_id", *sig_cols)
+
+    def mh(seed: int):
+        # NB: the lambda must take exactly one parameter — PySpark
+        # passes the element index to a two-parameter callable, which
+        # would silently clobber a `s=s` default argument
+        prefix = f"{seed}:"
+        return F.array_min(
+            F.transform(sh, lambda x: F.md5(F.to_binary(F.concat(F.lit(prefix), x), F.lit("utf-8"))))
+        ).alias(f"mh{seed}")
+
+    return docs.select("doc_id", *[mh(s) for s in range(n_hashes)])
 
 
 def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = DEFAULT_MINHASHES,

@@ -80,10 +80,13 @@ def language_id(docs: DataFrame) -> DataFrame:
     lexicographically smallest language code (first match in a sorted
     CASE chain — identical semantics in the DuckDB oracle)."""
     toks = simple_tokens()
-    hit_cols = {
-        lang: F.size(F.filter(toks, lambda x, m=markers: x.isin(*m)))
-        for lang, markers in sorted(LANG_MARKERS.items())
-    }
+
+    def hits(markers: tuple[str, ...]):
+        # one-parameter lambda only: PySpark passes the element index
+        # to two-parameter callables, clobbering a default argument
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    hit_cols = {lang: hits(markers) for lang, markers in sorted(LANG_MARKERS.items())}
     mx = F.greatest(*hit_cols.values())
     detected = F.when(mx <= 0, F.lit("und"))
     for lang in sorted(hit_cols):
