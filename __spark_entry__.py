@@ -351,6 +351,18 @@ def q_dedup_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(_tbl(spark, sf, "documents"), threshold=0.5)
 
 
+def q_dedup_near_pairs(spark, sf):
+    # the 100 TB dedup pipeline: LSH candidates -> exact Jaccard on
+    # candidates only (vs the all-pairs verifier above)
+    return D.near_dup_pairs(_tbl(spark, sf, "documents"), threshold=0.5)
+
+
+def q_ann_dup_pairs(spark, sf):
+    # LSH-bucketed embedding near-dup (the scale path for
+    # dedup_embedding_cosine): cosine only within a sign bucket
+    return SIM.ann_dup_pairs(_tbl(spark, sf, "embeddings"), threshold=0.35)
+
+
 def q_dedup_simhash(spark, sf):
     return D.simhash_duplicates(_tbl(spark, sf, "documents"), bits=16)
 
@@ -443,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_near_pairs": q_dedup_near_pairs,
+        "ann_dup_pairs": q_ann_dup_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -485,6 +499,69 @@ sig AS (SELECT doc_id, {mh_cols} FROM sh),
 bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+def _sql_near_dup_pairs(threshold: float = 0.5) -> str:
+    nh, bs = D.DEFAULT_MINHASHES, D.DEFAULT_BAND_SIZE
+    mh_cols = ", ".join(
+        f"list_min(list_transform(shingles, x -> md5('{s}:' || x))) AS mh{s}"
+        for s in range(nh)
+    )
+    n_bands = nh // bs
+    band_exprs = ", ".join(
+        "'" + str(b) + "|' || " + " || '|' || ".join(f"mh{b * bs + j}" for j in range(bs))
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_sql_shingles_cte()},
+sig AS (SELECT doc_id, {mh_cols} FROM sh),
+bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN shx a ON a.doc_id = c.doc_a
+  JOIN shx b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, inter,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= {threshold}
+"""
+
+
+def _sql_ann_dup_pairs(threshold: float = 0.35, n_planes: int = 6, dim: int = 64) -> str:
+    """Inline the deterministic LCG hyperplanes as list literals so
+    DuckDB reproduces the Spark sign-buckets exactly (float literals
+    round-trip via repr)."""
+    planes = SIM._planes(dim, n_planes)
+    dots = ", ".join(
+        "list_sum(list_transform(range(1, {d} + 1), i -> CAST(embedding[i] AS DOUBLE) * ([{w}])[i])) AS d{j}".format(
+            d=dim, j=j, w=", ".join(repr(v) for v in plane)
+        )
+        for j, plane in enumerate(planes)
+    )
+    bucket = " + ".join(f"(CASE WHEN d{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes))
+    nrm = ("sqrt(list_sum(list_transform({side}.embedding, "
+           "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    cos = (
+        "round(list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / ("
+        + nrm.format(side="a") + " * " + nrm.format(side="b") + "), 6)"
+    )
+    return f"""
+WITH d AS (SELECT vec_id, embedding, {dots} FROM embeddings),
+bk AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM d)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
 """
 
 
@@ -717,6 +794,8 @@ JOIN sizes sa ON inter.doc_a = sa.doc_id
 JOIN sizes sb ON inter.doc_b = sb.doc_id
 WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
 """,
+        "dedup_near_pairs": _sql_near_dup_pairs(0.5),
+        "ann_dup_pairs": _sql_ann_dup_pairs(0.35),
         "dedup_simhash": _sql_simhash(16),
         "dedup_embedding_cosine": f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -1,0 +1,115 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Headline set: full inverted-index build (tokenize N1-N15 + Porter ->
+SPIMI -> delta+varint pack), batch BM25 top-10, block-max WAND, and
+the heavy relational / training-pipeline operators.  Every query is
+forced end-to-end with the noop sink (``count()`` would let Catalyst
+prune the projections we mean to measure).
+
+The N->4N scaling-efficiency evidence required by BASELINE.md lives
+in ``tools/scale_bench.py`` (writes BENCH/BASELINE.md); this file is
+the quick per-round feedback loop.
+
+Measurement note: this sandbox shows 10-30% CPU steal and ~2.5x
+per-core throughput swings (multi-tenant host), so each query is run
+twice and the MIN is reported; the cold index build is single-shot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.fixtures import REFERENCE_QUERIES
+    from search_engine_spark.indexer import build_index
+    from search_engine_spark.searcher import SearchEngine
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources.pages import load_documents_as_pages
+    from search_engine_spark.wand import wand_search
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]")
+
+    cfg = EngineConfig(n_doc_shards=32, n_term_buckets=16, n_bucket_groups=2)
+    ix_dir = tempfile.mkdtemp(prefix="se_bench_ix_")
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    # -- index build (cold, full pipeline) -----------------------------------
+    pages = load_documents_as_pages(spark, sf_dir)
+    t0 = time.time()
+    meta = build_index(spark, pages, ix_dir, cfg, resume=False)
+    timings["index_build"] = round(time.time() - t0, 3)
+
+    def timed(name, thunk, reps: int = 2) -> None:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            _force(thunk())
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    # -- query paths over the packed index -----------------------------------
+    eng = SearchEngine(spark, ix_dir, cfg)
+    batch = [(qid, t + ("@" + d if d else "")) for qid, t, d in REFERENCE_QUERIES]
+    timed("bm25_batch_top10", lambda: eng.search_batch(batch, 10))
+    timed("wand_top10", lambda: wand_search(eng, "world trade market", 10))
+
+    # -- relational / pipeline operators (driver-contract queries) -----------
+    qs = entry.queries()
+    for name in (
+        "tpch_q1_pricing",
+        "revenue_by_nation",
+        "window_top5_parts",
+        "events_sessionize",
+        "dedup_minhash_lsh",
+        "dedup_near_pairs",
+        "ann_dup_pairs",
+        "knn_join_first5",
+        "text_quality",
+        "text_fingerprint",
+    ):
+        timed(name, lambda name=name: qs[name](spark, sf_dir))
+
+    total = round(time.time() - t_all, 3)
+    n_docs = meta.get("n_docs", 0)
+    out = {
+        "metric": "headline suite sec (cold index build + BM25/WAND queries + pipeline ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_docs_indexed": n_docs,
+        "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "cpus": int(cpus),
+    }
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

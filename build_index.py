@@ -1,0 +1,88 @@
+"""CLI: build the inverted index from a pages table.
+
+Local (sandbox)::
+
+    python build_index.py --input /root/testdata/sf0.1 --out /tmp/ix \
+        --master local[32]
+
+Cluster (the BASELINE.md protocol)::
+
+    python tools/make_engine_zip.py engine.zip
+    spark-submit --master yarn --py-files engine.zip build_index.py \
+        --input <pages parquet/iceberg> --out <index dir>
+
+``--input`` accepts either a directory containing
+``documents.parquet`` (driver testdata layout, mapped onto the pages
+schema) or a parquet path already in the pages shape
+``(url, warc_ts, html, text, lang)``.
+
+Prints one JSON line with docs indexed, wall seconds, and docs/sec.
+Re-running with the same ``--out`` resumes from lineage (kill-safe);
+pass ``--no-resume`` to force a cold rebuild.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--doc-shards", type=int, default=32)
+    ap.add_argument("--term-buckets", type=int, default=16)
+    ap.add_argument("--bucket-groups", type=int, default=2)
+    ap.add_argument("--no-stem", action="store_true")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--repartition", type=int, default=0,
+                    help="repartition the input before tokenize (0 = leave as read)")
+    args = ap.parse_args()
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.indexer import build_index
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources.pages import load_documents_as_pages, load_pages
+
+    spark = get_spark(
+        app="build_index", master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    cfg = EngineConfig(
+        n_doc_shards=args.doc_shards,
+        n_term_buckets=args.term_buckets,
+        n_bucket_groups=args.bucket_groups,
+        stem=not args.no_stem,
+    )
+    if os.path.isdir(args.input) and os.path.exists(
+        os.path.join(args.input, "documents.parquet")
+    ):
+        pages = load_documents_as_pages(spark, args.input)
+    else:
+        pages = load_pages(spark, args.input)
+    if args.repartition:
+        pages = pages.repartition(args.repartition)
+
+    t0 = time.time()
+    meta = build_index(spark, pages, args.out, cfg, resume=not args.no_resume)
+    dt = time.time() - t0
+    print(json.dumps({
+        "docs": meta["n_docs"],
+        "seconds": round(dt, 3),
+        "docs_per_sec": round(meta["n_docs"] / dt, 1),
+        "out": args.out,
+        "master": spark.sparkContext.master,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

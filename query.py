@@ -1,0 +1,70 @@
+"""CLI: query a built index.
+
+    python query.py --index /tmp/ix "world trade"            # single query
+    python query.py --index /tmp/ix --batch q1:"world trade" q2:"space rocket"
+    python query.py --index /tmp/ix --wand "world trade"     # block-max WAND
+    python query.py --index /tmp/ix --loop 20 "world trade"  # q/s measurement
+
+Cluster: ``spark-submit --py-files engine.zip query.py ...``.
+Outputs TREC-style lines ``qid rank url score`` (real scores — the
+reference hard-codes 42.38, quirk Q8 resolved per SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--wand", action="store_true")
+    ap.add_argument("--batch", action="store_true",
+                    help="args are qid:querytext pairs, scored in one job")
+    ap.add_argument("--loop", type=int, default=0,
+                    help="repeat the query N times and report q/s")
+    ap.add_argument("query", nargs="+")
+    args = ap.parse_args()
+
+    from search_engine_spark.searcher import SearchEngine
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.wand import wand_search
+
+    spark = get_spark(app="query", master=args.master)
+    eng = SearchEngine(spark, args.index)
+
+    if args.batch:
+        pairs = []
+        for item in args.query:
+            qid, _, text = item.partition(":")
+            pairs.append((qid, text))
+        for r in eng.search_batch(pairs, args.k).collect():
+            print(f"{r['qid']} {r['rank']} {r['url']} {r['score']:.6f}")
+    else:
+        text = " ".join(args.query)
+        run = (lambda: wand_search(eng, text, args.k)) if args.wand else (
+            lambda: eng.search(text, args.k))
+        if args.loop:
+            run().collect()  # warm
+            t0 = time.time()
+            for _ in range(args.loop):
+                run().collect()
+            dt = time.time() - t0
+            print(json.dumps({"queries": args.loop, "seconds": round(dt, 3),
+                              "qps": round(args.loop / dt, 2)}))
+        else:
+            for r in run().collect():
+                print(f"q1 {r['rank']} {r['url']} {r['score']:.6f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import time
 from collections.abc import Iterable
 from dataclasses import dataclass
@@ -77,25 +78,70 @@ class IndexPaths:
         return os.path.join(self.root, "meta.json")
 
 
+LINEAGE_SCHEMA = (
+    "stage string, key string, docs long, terms long, bytes long, "
+    "seconds double, status string"
+)
+
+
 def _lineage_append(spark: SparkSession, paths: IndexPaths, rows: list[dict]) -> None:
-    df = spark.createDataFrame(
-        [(r["stage"], str(r["key"]), int(r.get("docs", 0)), int(r.get("terms", 0)),
-          int(r.get("bytes", 0)), float(r.get("seconds", 0.0)), r.get("status", "done"))
-         for r in rows],
-        schema="stage string, key string, docs long, terms long, bytes long, "
-               "seconds double, status string",
-    )
-    df.coalesce(1).write.mode("append").parquet(paths.lineage)
+    """Append lineage records as driver-written JSONL.
+
+    Lineage is a handful of rows of job metadata per stage — pushing
+    it through a Spark write costs a full job (~6s each measured);
+    the driver writes a uniquely-named file atomically instead.  On a
+    production cluster this becomes a driver-side append to the
+    Iceberg ``lineage`` table via the catalog client — same rows,
+    same anti-join resume semantics (read back via
+    ``lineage_df``)."""
+    os.makedirs(paths.lineage, exist_ok=True)
+    recs = [
+        {"stage": r["stage"], "key": str(r["key"]), "docs": int(r.get("docs", 0)),
+         "terms": int(r.get("terms", 0)), "bytes": int(r.get("bytes", 0)),
+         "seconds": float(r.get("seconds", 0.0)), "status": r.get("status", "done")}
+        for r in rows
+    ]
+    fn = os.path.join(paths.lineage, f"lineage-{time.time_ns()}.json")
+    tmp = fn + ".tmp"
+    with open(tmp, "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    os.replace(tmp, fn)
 
 
 def _lineage_done(spark: SparkSession, paths: IndexPaths) -> set[tuple[str, str]]:
+    return {
+        (r["stage"], r["key"])
+        for r in read_lineage(paths)
+        if r.get("status") == "done"
+    }
+
+
+def read_lineage(paths: IndexPaths) -> list[dict]:
+    """All lineage records (driver-side)."""
     if not os.path.isdir(paths.lineage):
-        return set()
-    try:
-        rows = spark.read.parquet(paths.lineage).filter(F.col("status") == "done").collect()
-    except Exception:
-        return set()
-    return {(r["stage"], r["key"]) for r in rows}
+        return []
+    out: list[dict] = []
+    for fn in sorted(os.listdir(paths.lineage)):
+        if not fn.endswith(".json"):
+            continue
+        with open(os.path.join(paths.lineage, fn)) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+    return out
+
+
+def write_lineage(paths: IndexPaths, rows: list[dict]) -> None:
+    """Replace the lineage dir with exactly ``rows`` (test/ops helper)."""
+    shutil.rmtree(paths.lineage, ignore_errors=True)
+    _lineage_append(None, paths, rows)
+
+
+def lineage_df(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+    """Lineage as a DataFrame (the Iceberg-table view of it)."""
+    return spark.read.schema(LINEAGE_SCHEMA).json(paths.lineage)
 
 
 def _dir_bytes(path: str) -> int:
@@ -131,8 +177,21 @@ def build_index(
     # ---- stage A: tokenize -> postings_raw (partitioned by term bucket)
     if ("tokenize", "all") not in done:
         t0 = time.time()
+        # a single-file input would serialize the (CPU-bound) tokenize
+        # pass on one core; a real crawl table already has thousands of
+        # splits, so only repartition when under-parallel
+        par = spark.sparkContext.defaultParallelism
+        if pages.rdd.getNumPartitions() < par:
+            pages = pages.repartition(par)
         tokenized = tokenize_pages(pages, cfg).withColumn("bucket", term_bucket(cfg))
-        (tokenized.write.mode("overwrite").partitionBy("bucket").parquet(paths.postings_raw))
+        # shuffle to bucket-aligned write partitions: without this,
+        # partitionBy fans every shuffle partition into every bucket
+        # dir (tasks x buckets small files); salt keeps >1 write task
+        # per bucket when the cluster is larger than the bucket count
+        salt_mod = max(1, par // cfg.n_term_buckets)
+        write_salt = F.pmod(F.xxhash64("url"), F.lit(salt_mod)).cast("int")
+        (tokenized.repartition(cfg.n_term_buckets * salt_mod, F.col("bucket"), write_salt)
+         .write.mode("overwrite").partitionBy("bucket").parquet(paths.postings_raw))
         _lineage_append(spark, paths, [{
             "stage": "tokenize", "key": "all",
             "bytes": _dir_bytes(paths.postings_raw), "seconds": time.time() - t0,
@@ -156,14 +215,16 @@ def build_index(
         stats = stats.withColumn("local_id", F.row_number().over(w).cast("long"))
         stats.write.mode("overwrite").partitionBy("shard").parquet(paths.doc_stats)
         _lineage_append(spark, paths, [{
-            "stage": "doc_stats", "key": "all",
-            "docs": spark.read.parquet(paths.doc_stats).count(),
-            "seconds": time.time() - t0,
+            "stage": "doc_stats", "key": "all", "seconds": time.time() - t0,
         }])
 
     doc_stats = spark.read.parquet(paths.doc_stats)
-    n_docs = doc_stats.count()
-    avgdl = doc_stats.agg(F.avg("length")).first()[0] or 0.0
+    # one job for both corpus scalars (separate count()+avg() actions
+    # would re-scan)
+    _row = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("length").alias("avgdl")
+    ).first()
+    n_docs, avgdl = _row["n"], _row["avgdl"] or 0.0
 
     # ---- stage C: dictionary (df, cf, idf, display case)
     if ("dictionary", "all") not in done:
@@ -182,12 +243,11 @@ def build_index(
             .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
             .withColumn("bucket", term_bucket(cfg))
         )
-        (dictionary.repartition("bucket").sortWithinPartitions("term_key")
+        (dictionary.repartition(cfg.n_term_buckets, F.col("bucket"))
+         .sortWithinPartitions("term_key")
          .write.mode("overwrite").partitionBy("bucket").parquet(paths.dictionary))
         _lineage_append(spark, paths, [{
-            "stage": "dictionary", "key": "all",
-            "terms": spark.read.parquet(paths.dictionary).count(),
-            "seconds": time.time() - t0,
+            "stage": "dictionary", "key": "all", "seconds": time.time() - t0,
         }])
 
     meta = {
@@ -237,8 +297,6 @@ def build_index(
         t0 = time.time()
         # a killed job may have left partial files for this group's
         # buckets — clear them so the re-run is idempotent
-        import shutil
-
         for bkt in buckets:
             shutil.rmtree(os.path.join(paths.index, f"bucket={bkt}"), ignore_errors=True)
         part = (

@@ -32,21 +32,28 @@ DEFAULT_MINHASHES = 8
 DEFAULT_BAND_SIZE = 2
 
 
-def shingles(col="text", n: int = DEFAULT_SHINGLE):
-    """Distinct word n-gram shingles (1-based element_at, portable to
-    DuckDB's 1-based list indexing).  Docs with fewer than ``n``
-    tokens yield an empty array (Spark's ``sequence(1, 0)`` would
-    descend, so the short case is guarded explicitly)."""
-    toks = simple_tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
+def shingle_rows(docs: DataFrame, col: str = "text",
+                 n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """Distinct (doc_id, s) shingle rows, built relationally:
+    posexplode the token array once, then window-lead to form the
+    n-gram.
+
+    Why not an array expression (transform over sequence with
+    element_at)?  Catalyst collapses the projection and re-evaluates
+    the tokenizer split inside EVERY ``element_at`` of the shingle
+    lambda — O(tokens^2) re-splits per document (measured 20x+ wall
+    slowdown).  Here the tokenizer runs exactly once per doc (explode
+    generator), and the window/distinct shuffles parallelize the rest
+    regardless of input file splits."""
+    t = docs.select("doc_id", F.posexplode(simple_tokens(col)).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    sh = t.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("s"),
+        F.lead("tok", n - 1).over(w).isNotNull().alias("complete"),
     )
-    return F.when(
-        F.size(toks) >= n, F.array_distinct(grams)
-    ).otherwise(F.array().cast("array<string>"))
+    return sh.filter("complete").select("doc_id", "s").distinct()
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -66,19 +73,25 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 def minhash_signatures(docs: DataFrame, n_hashes: int = DEFAULT_MINHASHES,
                        shingle_n: int = DEFAULT_SHINGLE) -> DataFrame:
     """Per-doc MinHash signature: for seed s, min over shingles of
-    md5(s || ':' || shingle) (hex-lexicographic min == numeric min)."""
-    sh = shingles(n=shingle_n)
+    md5(s || ':' || shingle) (hex-lexicographic min == numeric min).
 
-    def mh(seed: int):
-        # NB: the lambda must take exactly one parameter — PySpark
-        # passes the element index to a two-parameter callable, which
-        # would silently clobber a `s=s` default argument
-        prefix = f"{seed}:"
-        return F.array_min(
-            F.transform(sh, lambda x: F.md5(F.to_binary(F.concat(F.lit(prefix), x), F.lit("utf-8"))))
-        ).alias(f"mh{seed}")
-
-    return docs.select("doc_id", *[mh(s) for s in range(n_hashes)])
+    Shape: explode shingles once, then ONE hash-agg computing all
+    n_hashes mins (min over duplicates == min over distinct, so no
+    pre-dedup needed).  An earlier nested-higher-order-function
+    version (array_min over transform, per signature column) blew
+    past codegen limits and fell back to interpreted evaluation —
+    ~60x slower; the explode+groupBy form stays in whole-stage
+    codegen and is one shuffle.  Docs with fewer than ``shingle_n``
+    tokens have no shingles and drop out (they cannot be LSH
+    candidates anyway)."""
+    ex = shingle_rows(docs, n=shingle_n)
+    aggs = [
+        F.min(
+            F.md5(F.to_binary(F.concat(F.lit(f"{s}:"), F.col("s")), F.lit("utf-8")))
+        ).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = DEFAULT_MINHASHES,
@@ -113,7 +126,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     """All-pairs n-gram Jaccard >= threshold (shingle-join + count
     distinct).  At scale, feed LSH candidates instead of all pairs —
     this exact verifier is the second stage of minhash dedup."""
-    sh = docs.select("doc_id", F.explode(shingles(n=shingle_n)).alias("s"))
+    sh = shingle_rows(docs, n=shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -125,6 +138,38 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
         inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def near_dup_pairs(docs: DataFrame, threshold: float = 0.8,
+                   n_hashes: int = DEFAULT_MINHASHES,
+                   band_size: int = DEFAULT_BAND_SIZE,
+                   shingle_n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """The full scale-path dedup pipeline: MinHash+LSH candidate
+    generation followed by exact n-gram-Jaccard verification of the
+    candidates ONLY.  This is the 100 TB form — the all-pairs
+    verifier (``ngram_jaccard_pairs``) exists for oracle checks at
+    test scale, but its shingle self-join is quadratic in docs per
+    shingle; here the expensive join is restricted to the LSH
+    candidate set."""
+    cand = lsh_candidate_pairs(docs, n_hashes, band_size, shingle_n)
+    sh = shingle_rows(docs, n=shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(za, "doc_a").join(zb, "doc_b")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")

@@ -92,6 +92,67 @@ def ann_lsh_topk(
     return cosine_topk(pruned, query_vec, k)
 
 
+def ann_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the 100 TB path for
+    ``dedup.embedding_dup_pairs``: vectors are sign-bucketed by
+    ``n_planes`` deterministic hyperplanes and cosine is computed
+    only within a bucket (~1/2^n_planes of the all-pairs space).
+    Recall < 1 by construction; raise it by lowering n_planes or
+    probing neighbor buckets as in ``ann_lsh_topk``.
+
+    Arrow-vectorized throughout: bucket assignment is one float64
+    matmul per batch, the within-bucket all-pairs cosine one gram
+    matrix per bucket group (a column-expression join variant was
+    20x slower — the 384-term bucket expression fell out of codegen).
+    At larger scale, n_planes bounds the bucket size: the per-group
+    work is O(|bucket|^2 * dim), so pick n_planes so buckets fit an
+    executor (and salt genuinely hot buckets)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_planes(dim, n_planes), dtype=np.float64)  # (p, d)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    thr = float(threshold)
+
+    def assign(it):
+        for pdf in it:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            buckets = ((m @ planes.T) >= 0) @ weights
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "bucket": buckets,
+                "embedding": pdf["embedding"],
+            })
+
+    bucketed = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, bucket long, embedding array<float>"
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        nrm = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ m.T) / np.outer(nrm, nrm)
+        iu = np.triu_indices(len(ids), 1)
+        c = np.round(cos[iu], 6)
+        keep = c >= thr
+        return pd.DataFrame({
+            "vec_a": ids[iu[0]][keep],
+            "vec_b": ids[iu[1]][keep],
+            "cosine": c[keep],
+        })
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        per_bucket, schema="vec_a long, vec_b long, cosine double"
+    )
+
+
 def knn_join_exact(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Batch exact kNN join: for every query row (qid, embedding),
     the k nearest corpus vectors.  Broadcast the (small) query side;

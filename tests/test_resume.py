@@ -8,7 +8,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from search_engine_spark.config import EngineConfig
-from search_engine_spark.indexer import build_index, IndexPaths
+from search_engine_spark.indexer import (
+    IndexPaths,
+    build_index,
+    lineage_df,
+    read_lineage,
+    write_lineage,
+)
 
 
 def _mtimes(path):
@@ -27,21 +33,20 @@ def test_resume_skips_completed_stages(spark, fixture_pages_parquet, tmp_dir):
     # full build
     build_index(spark, pages, tmp_dir, cfg)
     paths = IndexPaths(tmp_dir)
-    lineage = spark.read.parquet(paths.lineage)
-    packs = lineage.filter(F.col("stage") == "pack").count()
-    assert packs == 4
+    lineage = read_lineage(paths)
+    packs = [r for r in lineage if r["stage"] == "pack"]
+    assert len(packs) == 4
+    # the Iceberg-table view of the same rows is queryable
+    assert lineage_df(spark, paths).filter(F.col("stage") == "pack").count() == 4
 
     before = _mtimes(paths.postings_raw) | _mtimes(paths.index)
 
     # simulate a kill after 2 of 4 pack groups: drop their lineage rows
-    done = lineage.filter(
-        (F.col("stage") != "pack") | (F.col("key").isin(["0", "1"]))
-    )
-    done_rows = done.collect()
-    import shutil
-
-    shutil.rmtree(paths.lineage)
-    spark.createDataFrame(done_rows, lineage.schema).write.parquet(paths.lineage)
+    done_rows = [
+        r for r in lineage
+        if r["stage"] != "pack" or r["key"] in ("0", "1")
+    ]
+    write_lineage(paths, done_rows)
     # remove the "incomplete" groups' output (buckets 2,3,6,7 belong to groups 2,3)
     ix = spark.read.parquet(paths.index)
     n_before = ix.count()
@@ -57,8 +62,8 @@ def test_resume_skips_completed_stages(spark, fixture_pages_parquet, tmp_dir):
         if p.startswith(paths.index) and os.path.exists(p):
             assert _mtimes(paths.index).get(p) is not None
 
-    lineage2 = spark.read.parquet(paths.lineage)
-    assert lineage2.filter(F.col("stage") == "pack").count() >= 4
+    lineage2 = read_lineage(paths)
+    assert len([r for r in lineage2 if r["stage"] == "pack"]) >= 4
 
 
 def test_fresh_resume_noop(spark, fixture_pages_parquet, tmp_dir):
