@@ -79,8 +79,12 @@ def make_pages(n_docs: int = 1000, seed: int = 42) -> list[dict]:
     """Generate the synthetic ``pages`` corpus."""
     rng = random.Random(seed)
     vocab = _vocab()
-    # Zipf ranks: probability ~ 1/rank
-    weights = [1.0 / (r + 1) for r in range(len(vocab))]
+    # Zipf ranks: probability ~ 1/rank.  Pre-accumulated: passing
+    # ``weights=`` to rng.choices would rebuild the cumulative table
+    # per call (~50x slower corpus generation, identical output).
+    import itertools
+
+    cum_weights = list(itertools.accumulate(1.0 / (r + 1) for r in range(len(vocab))))
     epoch = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
     pages = []
     for d in range(n_docs):
@@ -98,7 +102,7 @@ def make_pages(n_docs: int = 1000, seed: int = 42) -> list[dict]:
             elif roll < 0.42:
                 words.append(STOP_WORDS[rng.randrange(len(STOP_WORDS))])
             else:
-                words.append(rng.choices(vocab, weights)[0])
+                words.append(rng.choices(vocab, cum_weights=cum_weights)[0])
         text = " ".join(words) + "\n"
         url = f"https://example.org/{seed}/{d:07d}"
         pages.append(
