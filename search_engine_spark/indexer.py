@@ -70,6 +70,10 @@ class IndexPaths:
         return os.path.join(self.root, "index")
 
     @property
+    def entities(self) -> str:
+        return os.path.join(self.root, "entities")
+
+    @property
     def lineage(self) -> str:
         return os.path.join(self.root, "lineage")
 
@@ -229,17 +233,36 @@ def build_index(
     # ---- stage C: dictionary (df, cf, idf, display case)
     if ("dictionary", "all") not in done:
         t0 = time.time()
-        dictionary = (
-            raw.groupBy("term_key")
-            .agg(
-                F.count(F.lit(1)).alias("df"),
-                F.sum("tf").alias("cf"),
-                F.bool_and("capital").alias("capital"),
-                F.min(F.when(~F.col("capital"), F.col("term"))).alias("_lo"),
-                F.min("term").alias("_any"),
+        # numeric/boolean agg buffers ONLY on the full postings: a
+        # min(string) aggregate here forces SortBasedAggregation
+        # (string buffers disable the codegen hash map) — measured
+        # ~70x slower on a 74M-posting corpus.  The display form is
+        # resolved on the DISTINCT (term_key, term) forms instead —
+        # vocab-sized, so its string min is negligible.
+        stats = raw.groupBy("term_key").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.bool_and("capital").alias("capital"),
+        )
+        # Q7 display: pick the form matching the corpus-level capital
+        # class (demoted keys take a non-capital form).  min() makes
+        # the choice deterministic when a class has several forms —
+        # the reference keeps first-seen order there, which is
+        # scan-order-dependent; the parser canonicalizes forms so the
+        # classes are single-membered in practice.
+        forms = raw.select("term_key", "term", "capital").distinct()
+        display = (
+            forms.join(
+                stats.select("term_key", F.col("capital").alias("corpus_capital")),
+                "term_key",
             )
-            .withColumn("display", F.coalesce(F.col("_lo"), F.col("_any")))
-            .drop("_lo", "_any")
+            .filter(F.col("capital") == F.col("corpus_capital"))
+            .groupBy("term_key")
+            .agg(F.min("term").alias("display"))
+        )
+        dictionary = (
+            stats.join(display, "term_key", "left")
+            .withColumn("display", F.coalesce(F.col("display"), F.col("term_key")))
             .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
             .withColumn("bucket", term_bucket(cfg))
         )
@@ -248,6 +271,20 @@ def build_index(
          .write.mode("overwrite").partitionBy("bucket").parquet(paths.dictionary))
         _lineage_append(spark, paths, [{
             "stage": "dictionary", "key": "all", "seconds": time.time() - t0,
+        }])
+
+    # ---- stage C2: per-doc entity table (A7: capitalized display
+    # terms with the +10 importance boost; a cheap projection of raw)
+    if ("entities", "all") not in done:
+        t0 = time.time()
+        from .operators.entities import doc_entities
+
+        ents = doc_entities(raw)
+        ents = with_doc_shard(ents, cfg)
+        (ents.repartition(cfg.n_doc_shards, F.col("shard"))
+         .write.mode("overwrite").partitionBy("shard").parquet(paths.entities))
+        _lineage_append(spark, paths, [{
+            "stage": "entities", "key": "all", "seconds": time.time() - t0,
         }])
 
     meta = {

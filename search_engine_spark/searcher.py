@@ -118,15 +118,40 @@ class SearchEngine:
             .select("shard", "local_id", "url")
         )
 
-    def search(self, query: str, k: int | None = None) -> DataFrame:
+    def _city_doc_set(self, cities: list[str]) -> DataFrame | None:
+        """F2/J4/U2: the allowed-doc set for a city filter = union
+        over cities of the docs on the city term's posting list
+        (docsByCities, Searcher.java:311-328; the reference also
+        unions the <F P=104>-tagged docs — our pages schema carries
+        no city tag, so the posting membership IS the set).  Returns
+        (shard, local_id) rows, or None when no city resolves."""
+        keys = sorted({c.lower() for c in cities if c})
+        resolved = self.resolve_terms(keys)
+        if resolved.empty:
+            return None
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        members = self._unpack(self._scan_index(resolved), idf_by_key)
+        return members.select("shard", "local_id").distinct()
+
+    def search(self, query: str, k: int | None = None,
+               cities: list[str] | None = None) -> DataFrame:
         """Top-k (url, score) for one query.  Returns an empty frame
-        for stop-word-only / out-of-dictionary queries (F5)."""
+        for stop-word-only / out-of-dictionary queries (F5).  With
+        ``cities``, results are semi-joined to docs containing a city
+        term (F2/J4)."""
         k = k or self.cfg.top_k
         resolved = self.resolve_terms(self.parse_query(query))
         if resolved.empty:
             return self.spark.createDataFrame([], "url string, score double, rank int")
         idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
         per_posting = self._unpack(self._scan_index(resolved), idf_by_key)
+        if cities:
+            allowed = self._city_doc_set(cities)
+            if allowed is None:
+                return self.spark.createDataFrame([], "url string, score double, rank int")
+            per_posting = per_posting.join(
+                F.broadcast(allowed), ["shard", "local_id"], "left_semi"
+            )
         blend_a, blend_b = self.meta["blend_bm25"], self.meta["blend_bonus"]
         scores = (
             per_posting.groupBy("shard", "local_id")
@@ -141,6 +166,16 @@ class SearchEngine:
                 Window.orderBy(F.desc("score"), F.asc("url"))))
             .select("url", "score", "rank")
         )
+
+    def entities_top5(self, urls: list[str] | None = None, k: int = 5) -> DataFrame:
+        """A8/R6: top-k entities per doc by round(new_tf/df, 3)."""
+        from .operators.entities import top_entities
+
+        ents = self.spark.read.parquet(self.paths.entities)
+        if urls is not None:
+            ents = ents.filter(F.col("url").isin(urls))
+        dictionary = self.spark.read.parquet(self.paths.dictionary)
+        return top_entities(ents, dictionary, k)
 
     def search_batch(self, queries: list[tuple[str, str]], k: int | None = None) -> DataFrame:
         """All queries in one job (lifecycle 3.3): one pruned index

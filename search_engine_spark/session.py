@@ -31,6 +31,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local-mode has no network transfer: broadcasting a ~10-60MB
+        # doc/dictionary side beats shuffling the 100x bigger postings
+        # side (at cluster scale AQE still falls back to SMJ for big
+        # builds — this only raises the ceiling)
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")

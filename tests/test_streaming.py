@@ -1,0 +1,104 @@
+"""Structured Streaming: incremental ingest == batch build, and the
+watermarked windowed aggregation agrees with its batch twin."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.fixtures import make_pages, pages_schema_arrow
+from search_engine_spark.indexer import build_index, read_lineage, IndexPaths
+from search_engine_spark.streaming.aggregates import windowed_event_counts
+from search_engine_spark.streaming.ingest import refresh_index, stream_ingest
+
+N_DOCS = 200
+
+
+def _write_chunk(pages: list[dict], path: str) -> None:
+    schema = pages_schema_arrow()
+    table = pa.Table.from_pylist(pages, schema=schema)
+    pq.write_table(table, path)
+
+
+@pytest.fixture()
+def cfg():
+    return EngineConfig(n_doc_shards=4, n_term_buckets=4, n_bucket_groups=2)
+
+
+def test_streamed_ingest_matches_batch_build(spark, tmp_dir, cfg):
+    pages = make_pages(N_DOCS, seed=7)
+    stream_dir = os.path.join(tmp_dir, "pages_stream")
+    os.makedirs(stream_dir)
+    ix_stream = os.path.join(tmp_dir, "ix_stream")
+    ix_batch = os.path.join(tmp_dir, "ix_batch")
+
+    # two arrivals: initial crawl + an incremental append
+    _write_chunk(pages[:120], os.path.join(stream_dir, "chunk0.parquet"))
+    stream_ingest(spark, stream_dir, ix_stream, cfg)
+    refresh_index(spark, ix_stream, cfg)
+
+    _write_chunk(pages[120:], os.path.join(stream_dir, "chunk1.parquet"))
+    stream_ingest(spark, stream_dir, ix_stream, cfg)
+    meta_s = refresh_index(spark, ix_stream, cfg)
+
+    # one-shot batch build over the full corpus
+    sdf = spark.createDataFrame(
+        [(p["url"], p["warc_ts"], bytearray(p["html"]), p["text"], p["lang"])
+         for p in pages],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    meta_b = build_index(spark, sdf, ix_batch, cfg, resume=False)
+
+    assert meta_s["n_docs"] == meta_b["n_docs"] == N_DOCS
+    assert abs(meta_s["avgdl"] - meta_b["avgdl"]) < 1e-9
+
+    d_s = {(r["term_key"], r["df"], r["cf"])
+           for r in spark.read.parquet(f"{ix_stream}/dictionary").collect()}
+    d_b = {(r["term_key"], r["df"], r["cf"])
+           for r in spark.read.parquet(f"{ix_batch}/dictionary").collect()}
+    assert d_s == d_b
+
+    # the search path over the streamed index matches the batch index
+    from search_engine_spark.searcher import SearchEngine
+
+    top_s = [(r["url"], round(r["score"], 9))
+             for r in SearchEngine(spark, ix_stream, cfg).search("world trade", 10).collect()]
+    top_b = [(r["url"], round(r["score"], 9))
+             for r in SearchEngine(spark, ix_batch, cfg).search("world trade", 10).collect()]
+    assert top_s == top_b
+
+    # lineage kept one row per streamed epoch
+    stages = [r["stage"] for r in read_lineage(IndexPaths(ix_stream))]
+    assert stages.count("stream_batch") >= 2
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_dir):
+    events = spark.range(0, 500).select(
+        F.col("id").alias("event_id"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(mins=(F.col("id") * 7) % 300)).alias("ts"),
+        (F.col("id") % 13).alias("user_id"),
+        F.concat(F.lit("type"), (F.col("id") % 3).cast("string")).alias("event_type"),
+        (F.col("id") % 100 / 4.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    src = os.path.join(tmp_dir, "events")
+    events.write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .parquet(src))
+    q = (windowed_event_counts(stream)
+         .writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+           for r in spark.sql("SELECT * FROM win_counts").collect()}
+    want = {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in windowed_event_counts(spark.read.parquet(src)).collect()}
+    assert got == want and len(want) > 3
