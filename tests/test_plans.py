@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the plans we ship are the plans we mean.
+
+- filters reach the parquet scan (PushedFilters / PartitionFilters)
+- small dims broadcast (BroadcastHashJoin, not SortMergeJoin)
+- hot aggregates stay in codegen hash aggregation (a string agg
+  buffer would silently fall back to SortAggregate — the dictionary
+  regression this suite pins down)
+"""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_q1_filter_pushdown(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["tpch_q1_pricing"](spark, SF_DIR)
+    txt = _optimized(df)
+    assert "PushedFilters" in txt and "l_quantity" in txt
+
+
+def test_revenue_joins_broadcast(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["revenue_by_nation"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dictionary_agg_stays_hash_based(spark, built_index):
+    """The dictionary stats aggregation must be hash-based: a string
+    aggregation buffer silently degrades to SortAggregate (~70x at
+    74M postings)."""
+    out, cfg, meta = built_index
+    raw = spark.read.parquet(f"{out}/postings_raw")
+    stats = raw.groupBy("term_key").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.bool_and("capital").alias("capital"),
+    )
+    plan = _plan(stats)
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_semi_join_is_semi(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["semi_join_urgent_customers"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_index_scan_prunes(spark, built_index):
+    """Query-path scan: bucket partition pruning + term_key pushdown
+    (the Spark equivalent of the reference's bucket-file seek)."""
+    from search_engine_spark.searcher import SearchEngine
+
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg)
+    resolved = eng.resolve_terms(eng.parse_query("world trade"))
+    scan = eng._scan_index(resolved)
+    txt = _optimized(scan)
+    assert "PushedFilters" in txt or "term_key" in txt
+    assert "PartitionFilters" in _plan(scan) or "bucket" in _plan(scan)
