@@ -32,6 +32,14 @@ class EngineConfig:
     n_term_buckets: int = 16      # partition dirs by hash(term_key) for pruning
     block_size: int = 128         # postings per WAND block
     n_bucket_groups: int = 8      # stage-2 jobs (resume granularity)
+    partition_raw: bool = False   # True: extra shuffle in stage A lays
+                                  # postings_raw out by bucket dir (pack
+                                  # groups then scan only their slice —
+                                  # worth it when n_bucket_groups is
+                                  # large at extreme scale); False: SPIMI
+                                  # runs written straight from the parse
+                                  # partitions, pack's groupBy is the
+                                  # only full-postings shuffle
     keep_positions: bool = False  # positions beyond first_pos are only needed
                                   # for phrase support; reference scoring only
                                   # ever reads the first position (importance)

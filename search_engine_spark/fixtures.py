@@ -157,11 +157,16 @@ def pages_schema_arrow():
     )
 
 
-def write_pages_parquet(path: str, n_docs: int = 1000, seed: int = 42) -> str:
+def write_pages_parquet(path: str, n_docs: int = 1000, seed: int = 42,
+                        row_group_size: int = 4096) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pages = make_pages(n_docs, seed)
     table = pa.Table.from_pylist(pages, schema=pages_schema_arrow())
-    pq.write_table(table, path)
+    # small row groups: pyarrow's 1M-row default would put the whole
+    # corpus in ONE group — Spark splits parquet at row-group
+    # boundaries, so a single group serializes every downstream scan
+    # onto one core no matter the cluster size
+    pq.write_table(table, path, row_group_size=row_group_size)
     return path

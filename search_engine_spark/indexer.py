@@ -181,21 +181,34 @@ def build_index(
     # ---- stage A: tokenize -> postings_raw (partitioned by term bucket)
     if ("tokenize", "all") not in done:
         t0 = time.time()
-        # a single-file input would serialize the (CPU-bound) tokenize
-        # pass on one core; a real crawl table already has thousands of
-        # splits, so only repartition when under-parallel
+        # an under-split input serializes the (CPU-bound) tokenize pass:
+        # Spark can only split parquet at row-group boundaries, so a
+        # file with few/giant row groups reports many partitions but
+        # feeds rows to few of them.  A real crawl table has thousands
+        # of splits (the guard no-ops there); anything smaller than
+        # 2 waves gets an explicit balance shuffle — its cost is a few
+        # percent of the parse it unblocks.
         par = spark.sparkContext.defaultParallelism
-        if pages.rdd.getNumPartitions() < par:
-            pages = pages.repartition(par)
+        if pages.rdd.getNumPartitions() < 2 * par:
+            pages = pages.repartition(2 * par)
         tokenized = tokenize_pages(pages, cfg).withColumn("bucket", term_bucket(cfg))
-        # shuffle to bucket-aligned write partitions: without this,
-        # partitionBy fans every shuffle partition into every bucket
-        # dir (tasks x buckets small files); salt keeps >1 write task
-        # per bucket when the cluster is larger than the bucket count
-        salt_mod = max(1, par // cfg.n_term_buckets)
-        write_salt = F.pmod(F.xxhash64("url"), F.lit(salt_mod)).cast("int")
-        (tokenized.repartition(cfg.n_term_buckets * salt_mod, F.col("bucket"), write_salt)
-         .write.mode("overwrite").partitionBy("bucket").parquet(paths.postings_raw))
+        if cfg.partition_raw:
+            # bucket-dir layout: costs one extra full-postings shuffle
+            # here, buys partition-pruned pack-group scans.  Salt keeps
+            # >1 write task per bucket when the cluster is larger than
+            # the bucket count (without the repartition, partitionBy
+            # fans tasks x buckets small files).
+            salt_mod = max(1, par // cfg.n_term_buckets)
+            write_salt = F.pmod(F.xxhash64("url"), F.lit(salt_mod)).cast("int")
+            (tokenized.repartition(cfg.n_term_buckets * salt_mod, F.col("bucket"), write_salt)
+             .write.mode("overwrite").partitionBy("bucket").parquet(paths.postings_raw))
+        else:
+            # SPIMI proper: per-partition runs straight out of the
+            # parse tasks; the pack stage's groupBy(bucket, shard) is
+            # the single full-postings shuffle (the reference's
+            # external merge, Indexer.java:198-296, done by the
+            # shuffle service)
+            tokenized.write.mode("overwrite").parquet(paths.postings_raw)
         _lineage_append(spark, paths, [{
             "stage": "tokenize", "key": "all",
             "bytes": _dir_bytes(paths.postings_raw), "seconds": time.time() - t0,

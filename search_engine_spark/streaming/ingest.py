@@ -56,8 +56,9 @@ def stream_ingest(
     def handle_batch(batch: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
         tokenized = tokenize_pages(batch, cfg).withColumn("bucket", term_bucket(cfg))
-        (tokenized.repartition(cfg.n_term_buckets, F.col("bucket"))
-         .write.mode("append").partitionBy("bucket").parquet(paths.postings_raw))
+        # same layout as the batch builder's SPIMI runs (plain files,
+        # bucket as a column) so appends and full builds interleave
+        tokenized.write.mode("append").parquet(paths.postings_raw)
         _lineage_append(spark, paths, [{
             "stage": "stream_batch", "key": str(epoch_id),
             "seconds": time.time() - t0,

@@ -70,18 +70,19 @@ def main() -> None:
     args = ap.parse_args()
 
     corpus = ensure_corpus(args.docs)
-    results: dict[str, dict] = {}
-    for master in (args.low, args.high):
-        best = None
-        for rep in range(args.reps):
+    samples: dict[str, list[dict]] = {args.low: [], args.high: []}
+    # interleave the levels: the host's CPU-steal windows span minutes,
+    # so alternating runs gives both levels comparable exposure and
+    # min-of-k per level discards the stolen windows
+    for rep in range(args.reps):
+        for master in (args.low, args.high):
             out = f"/tmp/se_scale_ix_{master.replace('[','').replace(']','')}_{rep}"
             subprocess.run(["rm", "-rf", out], check=False)
             r = run_build(corpus, master, out)
             print(f"{master} rep{rep}: {r['seconds']}s "
                   f"({r['docs_per_sec']} docs/s)", file=sys.stderr)
-            if best is None or r["seconds"] < best["seconds"]:
-                best = r
-        results[master] = best
+            samples[master].append(r)
+    results = {m: min(rs, key=lambda r: r["seconds"]) for m, rs in samples.items()}
 
     lo, hi = results[args.low], results[args.high]
     eff = hi["docs_per_sec"] / (args.factor * lo["docs_per_sec"])
@@ -109,10 +110,10 @@ Same job (`build_index.py --no-resume --bucket-groups 1`), same input
 BASELINE input-hint schema `(url, warc_ts, html, text, lang)`), fresh
 process per run, best of {args.reps} (host shows 10-30% CPU steal):
 
-| master | wall sec | docs/sec |
-|---|---|---|
-| `{args.low}` (N) | {lo['seconds']} | {lo['docs_per_sec']} |
-| `{args.high}` (4N) | {hi['seconds']} | {hi['docs_per_sec']} |
+| master | wall sec (best) | docs/sec | all samples (sec) |
+|---|---|---|---|
+| `{args.low}` (N) | {lo['seconds']} | {lo['docs_per_sec']} | {", ".join(str(r['seconds']) for r in samples[args.low])} |
+| `{args.high}` (4N) | {hi['seconds']} | {hi['docs_per_sec']} | {", ".join(str(r['seconds']) for r in samples[args.high])} |
 
 - speedup {args.low} -> {args.high}: **{summary['speedup']}x**
 - scaling efficiency = throughput_4N / (4 * throughput_N) =
