@@ -70,9 +70,13 @@ def _engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
     if key not in _INDEX_CACHE:
         tag = hashlib.md5(key.encode()).hexdigest()[:10]
         out = os.path.join(tempfile.gettempdir(), f"se_entry_index_{tag}")
-        if not os.path.exists(os.path.join(out, "meta.json")):
-            pages = load_documents_as_pages(spark, key)
-            build_index(spark, pages, out, _ENTRY_CFG)
+        # ALWAYS enter the resume path — it is a cheap no-op when the
+        # lineage table says every stage is done, and it repairs a
+        # cache dir left half-built by a killed process (a mere
+        # meta.json existence check would serve a partial index
+        # forever).
+        pages = load_documents_as_pages(spark, key)
+        build_index(spark, pages, out, _ENTRY_CFG, resume=True)
         _INDEX_CACHE[key] = out
     return SearchEngine(spark, _INDEX_CACHE[key], _ENTRY_CFG)
 
@@ -364,7 +368,11 @@ def q_ann_dup_pairs(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    return D.simhash_duplicates(_tbl(spark, sf, "documents"), bits=16)
+    # 64-bit SimHash, banded-Hamming LSH (4x16-bit bands; pairs within
+    # Hamming<=3 share >=1 exact band by pigeonhole) — the scale
+    # semantics; the old 16-bit exact-collision form was a
+    # hash-collision generator at any real corpus size
+    return D.simhash_near_pairs(_tbl(spark, sf, "documents"), max_hamming=3)
 
 
 def q_dedup_embedding_cosine(spark, sf):
@@ -381,9 +389,17 @@ def q_ann_cosine_topk(spark, sf):
 
 
 def q_ann_lsh_topk(spark, sf):
+    # deterministic ANN: exact cosine top-k within the probed LSH
+    # buckets (bucket = vectorized matmul sign-hash; probe = Hamming<=1
+    # neighborhood of the query's bucket) — the DuckDB twin recomputes
+    # the identical bucket + probe + score
     emb = _tbl(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return SIM.ann_lsh_topk(emb, qvec, k=10)
+    out = SIM.ann_lsh_topk(emb, qvec, k=10)
+    return out.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("vec_id"))).cast("long"),
+    )
 
 
 def q_knn_join_first5(spark, sf):
@@ -415,16 +431,128 @@ def q_text_fingerprint(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    media = MM.make_media_table(spark, 64)
-    feats = MM.decode_media(media, fake_decode=True)
-    return feats.select(
-        "media_id", "kind",
-        F.col("n_bytes").cast("long").alias("n_bytes"),
-        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
-        F.round(
-            F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")), 6
-        ).alias("f_sum"),
+    # opaque-binary decode plumbing with an EXACT oracle: media rows
+    # derived from documents (blob = utf-8 bytes), features = 16-bin
+    # byte-histogram COUNTS (ints — no float normalization in the
+    # compared output), DuckDB recomputes per-byte bins from hex(blob)
+    media = MM.media_from_documents(spark, sf)
+    return MM.decode_media_counts(media)
+
+
+def q_entities_top5(spark, sf):
+    """A7/A8/R6 analog with an exact SQL twin: new_tf = tf + 10 when
+    first position <= 30, score = round(new_tf/df, 3), top-5 per doc
+    (score desc, display asc) — the reference's entity ranking
+    (Indexer.java:86-93, MainWindowController.java:606-630).
+
+    Entity membership: the synthetic documents corpus is lowercase-
+    only, so "doc-level capitalized display" (a per-TERM property in
+    the reference: demotion makes all docs agree) is stood in for by
+    the deterministic per-term predicate md5(tok)[0] in 0..3 (~1/4 of
+    the vocabulary), display = initcap.  Every downstream piece —
+    boost, df join, ratio score, per-doc top-5 window — is the real
+    operator."""
+    docs = _tbl(spark, sf, "documents")
+    ex = (
+        docs.select("doc_id", F.posexplode(TS.simple_tokens()).alias("pos0", "tok"))
+        .select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
     )
+    per = ex.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.min("pos").alias("first_pos"),
+    )
+    df_tbl = per.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    is_ent = F.substring(F.md5(F.to_binary(F.col("tok"), F.lit("utf-8"))), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    ents = (
+        per.filter(is_ent)
+        .join(df_tbl, "tok")
+        .withColumn(
+            "new_tf",
+            (F.col("tf") + F.when(F.col("first_pos") <= 30, 10).otherwise(0)).cast("long"),
+        )
+        .withColumn("score", F.round(F.col("new_tf") / F.col("df"), 3))
+        .withColumn(
+            "display",
+            F.concat(F.upper(F.substring("tok", 1, 1)), F.expr("substring(tok, 2)")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("display"))
+    return (
+        ents.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "display", "new_tf", F.col("df").cast("long").alias("df"),
+                "score", "rank")
+    )
+
+
+def q_trec_topics_roundtrip(spark, sf):
+    """S4 round-trip: render the reference query set as a TREC topic
+    file, parse it back through the topic source, return the parsed
+    rows — the oracle is the canonical tuple list."""
+    from search_engine_spark.fixtures import REFERENCE_QUERIES
+    from search_engine_spark.sources.queries import parse_topics
+
+    text = "".join(
+        f"<top>\n<num> Number: {qid}\n<title> {title}\n"
+        + (f"<desc> Description:\nDocuments must discuss {desc}.\n" if desc else "")
+        + "</top>\n"
+        for qid, title, desc in REFERENCE_QUERIES
+    )
+    rows = parse_topics(text)
+    return spark.createDataFrame(rows, "qid string, title string, descr string")
+
+
+def q_trec_run_lines(spark, sf):
+    """S14: the TREC run sink over a fully SQL-checkable result (the
+    relational BM25 top-20) — formatting exactness (printf %.6f, no
+    grouping separators) is what the hash certifies."""
+    from search_engine_spark.sources.sinks import trec_run_lines
+
+    topk = q_ft_bm25_topk(spark, sf)
+    results = topk.select(
+        F.lit("q1").alias("qid"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("string").alias("url"),
+        "score",
+    )
+    return trec_run_lines(results)
+
+
+def q_city_enrich(spark, sf):
+    """S7/S8 with an exact twin: deterministic doc->city tags
+    (doc_id-keyed stand-in for <F P=104>) enriched against the static
+    cities dim, incl. the Java population formatting rule as a native
+    column expression."""
+    from search_engine_spark.operators.cities import _DEMO_CITIES, cities_dim
+
+    names = [c[0] for c in _DEMO_CITIES]
+    arr = F.array(*[F.lit(c) for c in names])
+    docs = _tbl(spark, sf, "documents")
+    tagged = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.element_at(arr, (F.col("doc_id") % len(names)).cast("int") + 1).alias("city"),
+        "doc_id",
+    )
+    dim = cities_dim(spark)
+    return tagged.join(F.broadcast(dim), "city", "left").select(
+        "city", "doc_id", "country", "currency",
+        F.col("population").cast("long").alias("population"),
+        "population_display",
+    )
+
+
+def q_search_city_filtered(spark, sf):
+    """F2/J4/U2 full-engine path: BM25 top-20 semi-joined to the city
+    doc set = (city-term posting membership) ∪ (city_docs dim tags) —
+    the complete reference semantics (Searcher.java:311-328).
+    Non-SQL-expressible (full parser + packed index): rows-only check;
+    rank-identity vs the single-node oracle is asserted in pytest."""
+    from search_engine_spark.operators.cities import make_city_docs
+
+    eng = _engine_for(spark, sf)
+    eng.city_docs = make_city_docs(load_documents_as_pages(spark, sf))
+    return eng.search(ENGINE_QUERY, 20, cities=["london", "tokyo"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -438,7 +566,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk": q_search_bm25_topk,
         "search_wand_topk": q_search_wand_topk,
         "search_batch": q_search_batch,
+        "search_city_filtered": q_search_city_filtered,
         "extract_text_roundtrip": q_extract_text_roundtrip,
+        # sources / sinks / dims
+        "trec_topics_roundtrip": q_trec_topics_roundtrip,
+        "trec_run_lines": q_trec_run_lines,
+        "city_enrich": q_city_enrich,
+        "entities_top5": q_entities_top5,
         # relational operator coverage
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "revenue_by_nation": q_revenue_by_nation,
@@ -565,20 +699,172 @@ WHERE {cos} >= {threshold}
 """
 
 
-def _sql_simhash(bits: int = 16) -> str:
+def _sql_simhash_near_pairs(max_hamming: int = 3, bits: int = 64,
+                            n_bands: int = 4) -> str:
+    """DuckDB twin of dedup.simhash_near_pairs: identical bit
+    definition (bit j = bit (j mod 4) of md5 hex nibble (j div 4),
+    via hex-char IN lists), identical bands, band-equality candidates,
+    exact bit_count(xor) verification."""
+    band_bits = bits // n_bands
     sums = ", ".join(
-        f"CAST(sum(CASE WHEN substr(h, {j + 1}, 1) IN "
-        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s{j}"
+        f"CAST(sum(CASE WHEN substr(h, {j // 4 + 1}, 1) IN ("
+        + ", ".join(f"'{c}'" for c in D.HEX_BIT_SETS[j % 4])
+        + f") THEN 1 ELSE -1 END) AS BIGINT) AS s{j}"
         for j in range(bits)
     )
-    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    band_cols = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s{k * band_bits + jj} > 0 THEN {1 << jj} ELSE 0 END)"
+            for jj in range(band_bits)
+        )
+        + f" AS BIGINT) AS b{k}"
+        for k in range(n_bands)
+    )
+    long_union = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band_idx, b{k} AS band_val FROM sig"
+        for k in range(n_bands)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(sa.b{k}, sb.b{k}))" for k in range(n_bands)
+    )
     return f"""
 WITH {_TOK_CTE},
 t AS (SELECT doc_id, md5(unnest(toks)) AS h FROM tok),
 agg AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id),
-fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg)
-SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc
-FROM fp GROUP BY simhash HAVING count(*) > 1
+sig AS (SELECT doc_id, {band_cols} FROM agg),
+long AS ({long_union}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM long a JOIN long b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b, CAST({hamming} AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE {hamming} <= {max_hamming}
+"""
+
+
+def _sql_ann_lsh_topk(k: int = 10, n_planes: int = 8, dim: int = 64,
+                      probe_hamming: int = 1) -> str:
+    """DuckDB twin of similarity.ann_lsh_topk: recompute every
+    vector's sign bucket from the inlined LCG hyperplanes, probe =
+    Hamming(bucket, bucket_of_vec0) <= probe_hamming, exact cosine
+    top-k within the probed set."""
+    planes = SIM._planes(dim, n_planes)
+    dots = ", ".join(
+        "list_sum(list_transform(range(1, {d} + 1), i -> CAST(embedding[i] AS DOUBLE) * ([{w}])[i])) AS d{j}".format(
+            d=dim, j=j, w=", ".join(repr(v) for v in plane)
+        )
+        for j, plane in enumerate(planes)
+    )
+    bucket = " + ".join(f"(CASE WHEN d{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes))
+    cos = (
+        "round(list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) / ("
+        "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    )
+    return f"""
+WITH d AS (SELECT vec_id, embedding, {dots} FROM embeddings),
+bk AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM d),
+qb AS (SELECT bucket AS b FROM bk WHERE vec_id = 0),
+probed AS (SELECT bk.* FROM bk, qb WHERE bit_count(xor(bk.bucket, qb.b)) <= {probe_hamming}),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+scored AS (SELECT a.vec_id, {cos} AS cosine FROM probed a, q),
+ranked AS (SELECT vec_id, cosine,
+                  CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+           FROM scored)
+SELECT vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _sql_multimodal_counts(bins: int = 16) -> str:
+    """Per-media byte-histogram counts: bin of byte i = its high hex
+    nibble (hex(blob) chars 2i+1), read via strpos — exact integer
+    agreement with numpy's ``arr >> 4`` bincount."""
+    hs = ", ".join(
+        f"CAST(len(list_filter(bins, x -> x = {kk})) AS BIGINT) AS h{kk}"
+        for kk in range(bins)
+    )
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, encode(text) AS blob FROM documents),
+binned AS (
+  SELECT media_id, CAST(octet_length(blob) AS BIGINT) AS n_bytes,
+         list_transform(range(octet_length(blob)),
+                        i -> strpos('0123456789abcdef',
+                                    substr(lower(hex(blob)), CAST(2*i+1 AS BIGINT), 1)) - 1) AS bins
+  FROM m)
+SELECT media_id, n_bytes, {hs} FROM binned
+"""
+
+
+def _sql_entities_top5() -> str:
+    return f"""
+WITH {_TOK_CTE},
+ex AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks) + 1),
+                     i -> {{'pos': i, 'tok': toks[i]}})) AS e
+       FROM tok),
+per AS (SELECT doc_id, e.tok AS tok,
+               CAST(count(*) AS BIGINT) AS tf,
+               min(e.pos) AS first_pos
+        FROM ex GROUP BY doc_id, e.tok),
+dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM per GROUP BY tok),
+scored AS (SELECT p.doc_id,
+                  upper(substr(p.tok, 1, 1)) || substr(p.tok, 2) AS display,
+                  CAST(p.tf + CASE WHEN p.first_pos <= 30 THEN 10 ELSE 0 END AS BIGINT) AS new_tf,
+                  d.df,
+                  round(CAST(p.tf + CASE WHEN p.first_pos <= 30 THEN 10 ELSE 0 END AS DOUBLE) / d.df, 3) AS score
+           FROM per p JOIN dfq d USING (tok)
+           WHERE substr(md5(p.tok), 1, 1) IN ('0', '1', '2', '3')),
+ranked AS (SELECT doc_id, display, new_tf, df, score,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, display ASC) AS BIGINT) AS rank
+           FROM scored)
+SELECT doc_id, display, new_tf, df, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _sql_trec_topics() -> str:
+    from search_engine_spark.fixtures import REFERENCE_QUERIES
+
+    rows = ", ".join(
+        f"('{qid}', '{title}', '{desc}')" for qid, title, desc in sorted(REFERENCE_QUERIES)
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(qid, title, descr)"
+
+
+def _sql_city_enrich() -> str:
+    from search_engine_spark.operators.cities import _DEMO_CITIES
+
+    names = [c[0] for c in _DEMO_CITIES]
+    dim_rows = ", ".join(
+        f"('{city}', '{country}', '{cur}', {pop})"
+        for city, country, cur, pop in _DEMO_CITIES
+    )
+    city_pick = ("[" + ", ".join(f"'{n}'" for n in names) + "]"
+                 f"[CAST(doc_id % {len(names)} AS INT) + 1]")
+
+    def fmt(div: float, suffix: str) -> str:
+        s100 = f"CAST(floor(population / {div} * 100 + 0.5) AS BIGINT)"
+        return (f"(CASE WHEN ({s100}) % 10 <> 0 THEN printf('%.2f', ({s100}) / 100.0) "
+                f"ELSE printf('%.1f', ({s100}) / 100.0) END) || '{suffix}'")
+
+    display = (
+        "CASE WHEN population < 1000 THEN CAST(population AS VARCHAR) "
+        f"WHEN population < 1000000 THEN {fmt(1000.0, 'K')} "
+        f"WHEN population < 1000000000 THEN {fmt(1000000.0, 'M')} "
+        f"ELSE {fmt(1000000000.0, 'B')} END"
+    )
+    return f"""
+WITH dim(city, country, currency, population) AS (VALUES {dim_rows}),
+tagged AS (SELECT {city_pick} AS city, doc_id FROM documents WHERE doc_id % 4 = 0)
+SELECT t.city, t.doc_id, d.country, d.currency,
+       CAST(d.population AS BIGINT) AS population,
+       {display} AS population_display
+FROM tagged t LEFT JOIN dim d ON t.city = d.city
 """
 
 
@@ -631,6 +917,19 @@ _BM25_EXPR = (
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_base()
+    # S14 run formatting over the (already-oracled) relational BM25
+    # top-20 result: wrap that query as a CTE
+    out["trec_run_lines"] = f"""
+WITH topk AS ({out['ft_bm25_topk']})
+SELECT 'q1' || ' Q0 ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(rank AS VARCHAR)
+       || ' ' || printf('%.6f', score) || ' mt' AS line
+FROM topk
+"""
+    return out
+
+
+def _oracle_sql_base() -> dict[str, str]:
     qt = ", ".join(f"'{t}'" for t in FT_QUERY_TERMS)
     cos_dot = (
         "list_sum(list_transform(range(1, len(a.embedding) + 1), "
@@ -796,7 +1095,12 @@ WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
 """,
         "dedup_near_pairs": _sql_near_dup_pairs(0.5),
         "ann_dup_pairs": _sql_ann_dup_pairs(0.35),
-        "dedup_simhash": _sql_simhash(16),
+        "ann_lsh_topk": _sql_ann_lsh_topk(10),
+        "dedup_simhash": _sql_simhash_near_pairs(3),
+        "multimodal_features": _sql_multimodal_counts(MM.N_FEATURES),
+        "entities_top5": _sql_entities_top5(),
+        "trec_topics_roundtrip": _sql_trec_topics(),
+        "city_enrich": _sql_city_enrich(),
         "dedup_embedding_cosine": f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   round(
@@ -848,7 +1152,7 @@ WITH {_TOK_CTE}
 SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
 FROM tok
 """,
-        # no oracle (non-SQL-expressible): search_bm25_topk,
-        # search_wand_topk, search_batch, ann_lsh_topk,
-        # multimodal_features
+        # no oracle (non-SQL-expressible — full N1-N15 parser + Porter
+        # + packed postings): search_bm25_topk, search_wand_topk,
+        # search_batch, search_city_filtered
     }

@@ -87,10 +87,14 @@ def main() -> None:
         "events_sessionize",
         "dedup_minhash_lsh",
         "dedup_near_pairs",
+        "dedup_simhash",
         "ann_dup_pairs",
+        "ann_lsh_topk",
         "knn_join_first5",
         "text_quality",
         "text_fingerprint",
+        "multimodal_features",
+        "entities_top5",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir))
 

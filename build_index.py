@@ -45,6 +45,10 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--repartition", type=int, default=0,
                     help="repartition the input before tokenize (0 = leave as read)")
+    ap.add_argument("--query-bench", type=int, default=0,
+                    help="after building, run the reference query batch this many "
+                         "times and report BM25 top-10 q/s + a result digest "
+                         "(BASELINE.md query protocol)")
     args = ap.parse_args()
 
     from search_engine_spark.config import EngineConfig
@@ -74,13 +78,48 @@ def main() -> None:
     t0 = time.time()
     meta = build_index(spark, pages, args.out, cfg, resume=not args.no_resume)
     dt = time.time() - t0
-    print(json.dumps({
+
+    from search_engine_spark.indexer import IndexPaths, read_lineage
+    stages: dict[str, float] = {}
+    for r in read_lineage(IndexPaths(args.out)):
+        key = r["stage"] if r["key"] in ("all", "0") else f"{r['stage']}:{r['key']}"
+        stages[key] = stages.get(key, 0.0) + float(r.get("seconds", 0.0))
+
+    out = {
         "docs": meta["n_docs"],
         "seconds": round(dt, 3),
         "docs_per_sec": round(meta["n_docs"] / dt, 1),
+        "stages": {k: round(v, 1) for k, v in stages.items()},
         "out": args.out,
         "master": spark.sparkContext.master,
-    }))
+    }
+
+    if args.query_bench:
+        import hashlib
+
+        from search_engine_spark.fixtures import REFERENCE_QUERIES
+        from search_engine_spark.searcher import SearchEngine
+
+        eng = SearchEngine(spark, args.out, cfg)
+        batch = [(qid, t + ("@" + d if d else "")) for qid, t, d in REFERENCE_QUERIES]
+        best = float("inf")
+        rows = None
+        for _ in range(args.query_bench):
+            tq = time.time()
+            rows = eng.search_batch(batch, 10).collect()
+            best = min(best, time.time() - tq)
+        digest = hashlib.sha256(
+            "\n".join(sorted(f"{r['qid']}\t{r['rank']}\t{r['url']}" for r in rows))
+            .encode()
+        ).hexdigest()[:16]
+        out["query"] = {
+            "n_queries": len(batch),
+            "best_batch_sec": round(best, 3),
+            "top10_qps": round(len(batch) / best, 2),
+            "digest": digest,
+        }
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -144,8 +144,15 @@ def write_lineage(paths: IndexPaths, rows: list[dict]) -> None:
 
 
 def lineage_df(spark: SparkSession, paths: IndexPaths) -> DataFrame:
-    """Lineage as a DataFrame (the Iceberg-table view of it)."""
-    return spark.read.schema(LINEAGE_SCHEMA).json(paths.lineage)
+    """Lineage as a DataFrame (the Iceberg-table view of it).  The
+    glob keeps this view consistent with ``read_lineage`` — a crashed
+    writer's leftover ``*.json.tmp`` must not make resume decisions
+    and the queryable view disagree."""
+    return (
+        spark.read.schema(LINEAGE_SCHEMA)
+        .option("pathGlobFilter", "*.json")
+        .json(paths.lineage)
+    )
 
 
 def _dir_bytes(path: str) -> int:
@@ -181,14 +188,28 @@ def build_index(
     # ---- stage A: tokenize -> postings_raw (partitioned by term bucket)
     if ("tokenize", "all") not in done:
         t0 = time.time()
-        # an under-split input serializes the (CPU-bound) tokenize pass:
-        # Spark can only split parquet at row-group boundaries, so a
-        # file with few/giant row groups reports many partitions but
-        # feeds rows to few of them.  A real crawl table has thousands
-        # of splits (the guard no-ops there); anything smaller than
-        # 2 waves gets an explicit balance shuffle — its cost is a few
-        # percent of the parse it unblocks.
+        # an under-split input serializes the (CPU-bound) tokenize
+        # pass.  First choice: WIDEN THE SCAN — shrink
+        # maxPartitionBytes to input/(3*par) so the parquet read
+        # itself yields >= 2 waves of splits (row groups permitting)
+        # and tokenize runs straight off the scan with no exchange of
+        # the full text.  Fallback: an explicit balance shuffle when
+        # the input physically cannot split (few giant row groups —
+        # Spark splits parquet only at row-group boundaries, so such a
+        # file reports many partitions but feeds rows to few).  A real
+        # crawl table has thousands of splits and both guards no-op.
         par = spark.sparkContext.defaultParallelism
+        try:
+            from urllib.parse import urlparse
+
+            input_bytes = sum(
+                os.path.getsize(urlparse(f).path) for f in pages.inputFiles()
+            )
+        except Exception:
+            input_bytes = 0
+        if input_bytes:
+            split = max(4 << 20, input_bytes // (3 * par))
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         if pages.rdd.getNumPartitions() < 2 * par:
             pages = pages.repartition(2 * par)
         tokenized = tokenize_pages(pages, cfg).withColumn("bucket", term_bucket(cfg))
@@ -312,8 +333,6 @@ def build_index(
         "n_term_buckets": cfg.n_term_buckets,
         "block_size": cfg.block_size,
     }
-    with open(paths.meta, "w") as fh:
-        json.dump(meta, fh)
 
     # ---- stage D: pack, one job per bucket group (resume granularity)
     dictionary = spark.read.parquet(paths.dictionary)
@@ -370,6 +389,17 @@ def build_index(
         _lineage_append(spark, paths, [{
             "stage": "pack", "key": str(gid), "seconds": time.time() - t0,
         }])
+
+    # meta.json is written ONLY once every stage (including pack) is
+    # complete: it doubles as the "index is servable" marker for
+    # readers, so a build killed mid-pack must not leave it behind —
+    # a stale marker over a partial packed index serves silently
+    # wrong results (the resume path repairs the index, then rewrites
+    # the marker atomically).
+    tmp = paths.meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, paths.meta)
 
     _lineage_append(spark, paths, [{"stage": "build", "key": "all", "docs": n_docs}])
     return meta

@@ -57,19 +57,84 @@ def format_population(num: float | int) -> str:
     raise AssertionError
 
 
+def population_display_col(col) -> F.Column:
+    """``format_population`` as a native (codegen) column expression —
+    the row-at-a-time Python UDF this replaces is the banned slow
+    path.  Identity with the Python reference rule is asserted in
+    tests/test_cities.py.
+
+    Formatting trick: scaled100 = round(n/div*100) as an exact
+    integer; Java's trailing-zero-dropping stringification is then
+    "%.2f" when the hundredths digit is non-zero, else "%.1f"
+    (which prints both 12.3 and 67.0 correctly)."""
+    n = col.cast("double")
+
+    def fmt(div: float, suffix: str):
+        scaled100 = F.floor(n / F.lit(div) * 100 + F.lit(0.5)).cast("long")
+        value = scaled100.cast("double") / F.lit(100.0)
+        s = F.when(scaled100 % 10 != 0, F.format_string("%.2f", value)) \
+             .otherwise(F.format_string("%.1f", value))
+        return F.concat(s, F.lit(suffix))
+
+    return (
+        F.when(n < 1000, col.cast("string"))
+        .when(n < 1_000_000, fmt(1_000.0, "K"))
+        .when(n < 1_000_000_000, fmt(1_000_000.0, "M"))
+        .otherwise(fmt(1_000_000_000.0, "B"))
+    )
+
+
 def cities_dim(spark: SparkSession,
                rows: list[tuple[str, str, str, int]] | None = None) -> DataFrame:
     data = rows if rows is not None else list(_DEMO_CITIES)
     df = spark.createDataFrame(
         data, "city string, country string, currency string, population long"
     )
-    fmt = F.udf(format_population, "string")
-    return df.withColumn("population_display", fmt(F.col("population")))
+    return df.withColumn("population_display", population_display_col(F.col("population")))
 
 
 def enrich_city_docs(city_docs: DataFrame, dim: DataFrame) -> DataFrame:
     """(city, url) ⋈ broadcast dim — the S8 enrichment join."""
     return city_docs.join(F.broadcast(dim), "city", "left")
+
+
+# ---------------------------------------------------------------------------
+# S13: persisted dimension sinks (ReadFile.java:173-206 writes the
+# cities/languages maps to disk alongside the index; here they are
+# parquet dims any later job can join without recomputation)
+
+def write_cities_dim(dim: DataFrame, path: str) -> None:
+    dim.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def write_languages_dim(pages: DataFrame, path: str) -> None:
+    """Distinct (lang, n_docs) from the corpus — the reference's
+    language set (ReadFile.java:173-189) with a usable doc count."""
+    (pages.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def read_dim(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def make_city_docs(pages: DataFrame, cities: list[str] | None = None) -> DataFrame:
+    """Synthesize the ``<F P=104>`` city-tag dimension (city, url) the
+    reference reads per doc (ReadFile.java:99-120): our pages schema
+    carries no tag field, so the stand-in tags each doc whose url hash
+    selects a city — deterministic, corpus-independent of text
+    content.  Production replaces this with the real tag extraction;
+    every consumer (the search-time union, S8 enrichment) only sees
+    the (city, url) shape."""
+    names = cities if cities is not None else [c[0] for c in _DEMO_CITIES]
+    arr = F.array(*[F.lit(c) for c in names])
+    # ~1 in 4 docs carries a tag; which city is a stable url-hash pick
+    h = F.abs(F.xxhash64("url"))
+    return (
+        pages.select("url", h.alias("h"))
+        .filter(F.col("h") % 4 == 0)
+        .select(F.element_at(arr, (F.col("h") % F.lit(len(names))).cast("int") + 1).alias("city"), "url")
+    )
 
 
 def expand_query_terms(query_terms: list[str], synonyms: DataFrame) -> list[str]:

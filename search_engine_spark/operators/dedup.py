@@ -22,38 +22,65 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import simple_tokens
+from .textstats import TOKEN_SPLIT_RE, simple_tokens
 
 DEFAULT_SHINGLE = 3
 DEFAULT_MINHASHES = 8
 DEFAULT_BAND_SIZE = 2
 
+# the four 1-bit membership sets of a hex nibble: _HEX_BIT[b] is the
+# set of hex chars whose value has bit b set — lets both Spark and the
+# DuckDB oracle read bit j of an md5 without any engine-specific
+# bit/convert function
+HEX_BIT_SETS: tuple[tuple[str, ...], ...] = tuple(
+    tuple(c for c in "0123456789abcdef" if (int(c, 16) >> b) & 1)
+    for b in range(4)
+)
+
 
 def shingle_rows(docs: DataFrame, col: str = "text",
                  n: int = DEFAULT_SHINGLE) -> DataFrame:
-    """Distinct (doc_id, s) shingle rows, built relationally:
-    posexplode the token array once, then window-lead to form the
-    n-gram.
+    """Distinct (doc_id, s) shingle rows via one Arrow pass: the
+    tokenizer runs exactly once per document inside the kernel and
+    shingles are deduped in-kernel, so this operator performs ZERO
+    shuffles — every downstream dedup op starts from a map-only plan.
 
-    Why not an array expression (transform over sequence with
-    element_at)?  Catalyst collapses the projection and re-evaluates
-    the tokenizer split inside EVERY ``element_at`` of the shingle
-    lambda — O(tokens^2) re-splits per document (measured 20x+ wall
-    slowdown).  Here the tokenizer runs exactly once per doc (explode
-    generator), and the window/distinct shuffles parallelize the rest
-    regardless of input file splits."""
-    t = docs.select("doc_id", F.posexplode(simple_tokens(col)).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
-    sh = t.select(
-        "doc_id",
-        F.concat_ws(" ", *parts).alias("s"),
-        F.lead("tok", n - 1).over(w).isNotNull().alias("complete"),
-    )
-    return sh.filter("complete").select("doc_id", "s").distinct()
+    (History: a window-lead formulation shuffled + sorted the entire
+    token stream — one full exchange of ~200x the document count in
+    rows — and before that an array-expression form re-evaluated the
+    tokenizer split inside every ``element_at`` of the shingle lambda,
+    O(tokens^2) per doc.  The per-doc loop here is the same work the
+    window form did per partition, without the exchange.)
+
+    The Python tokenizer is the exact twin of
+    ``textstats.simple_tokens`` (split lower(text) on /[^a-z0-9]+/,
+    drop empties) — asserted identical in tests and by the DuckDB
+    oracle's ``regexp_split_to_array`` CTE."""
+    pat = re.compile(TOKEN_SPLIT_RE)
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list = []
+            ss: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[col]):
+                if text is None:
+                    continue
+                toks = [t for t in pat.split(text.lower()) if t]
+                if len(toks) < n:
+                    continue
+                uniq = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+                ids.extend([doc_id] * len(uniq))
+                ss.extend(uniq)
+            yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "s": ss})
+
+    return docs.select("doc_id", col).mapInPandas(batch, schema="doc_id long, s string")
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -176,32 +203,98 @@ def near_dup_pairs(docs: DataFrame, threshold: float = 0.8,
     )
 
 
-def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """SimHash over tokens: bit j of the fingerprint is the majority
-    vote of bit j of md5(token) (j-th hex nibble's high bit), weighted
-    by token multiplicity.  Portable: hex-char membership test."""
+def simhash_bands(docs: DataFrame, bits: int = 64,
+                  n_bands: int = 4) -> DataFrame:
+    """64-bit SimHash as ``n_bands`` band columns (doc_id, b0..b3).
+
+    Bit j of the fingerprint is the tf-weighted majority vote of bit
+    j of md5(token), where bit j = bit (j mod 4) of hex nibble
+    (j div 4) — read via hex-char membership sets, so the DuckDB
+    oracle evaluates the identical function with plain ``IN`` lists.
+
+    The fingerprint is materialized directly as 16-bit band values
+    (band k = bits [16k, 16k+16)): bands are what the near-dup join
+    keys on, and 4x16-bit ints sidestep signed-64 overflow on the
+    top bit in every engine.  One shuffle (the groupBy)."""
+    band_bits = bits // n_bands
     tok = docs.select("doc_id", F.explode(simple_tokens()).alias("tok"))
     tok = tok.withColumn("h", F.md5(F.to_binary(F.col("tok"), F.lit("utf-8"))))
     bit_sum = [
         F.sum(
-            F.when(F.substring("h", j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                   F.lit(1)).otherwise(F.lit(-1))
+            F.when(
+                F.substring("h", j // 4 + 1, 1).isin(*HEX_BIT_SETS[j % 4]),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
         ).alias(f"s{j}")
         for j in range(bits)
     ]
     agg = tok.groupBy("doc_id").agg(*bit_sum)
-    fp = None
-    for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+    bands = []
+    for k in range(n_bands):
+        band = None
+        for jj in range(band_bits):
+            j = k * band_bits + jj
+            term = F.when(F.col(f"s{j}") > 0, F.lit(1 << jj)).otherwise(F.lit(0))
+            band = term if band is None else band + term
+        bands.append(band.cast("long").alias(f"b{k}"))
+    return agg.select("doc_id", *bands)
 
 
-def simhash_duplicates(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """Docs whose simhash collides exactly (bucket-level near-dup)."""
-    sh = simhash(docs, bits)
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       bits: int = 64, n_bands: int = 4) -> DataFrame:
+    """SimHash near-dup pairs at scale: banded-Hamming LSH.
+
+    A pair within Hamming distance ``max_hamming`` < n_bands must
+    share at least one exact band (pigeonhole), so candidates come
+    from an equality join per band — never an all-pairs scan — and
+    are then verified by the exact distance (bit_count over XOR of
+    the bands).  Same LSH shape as MinHash banding; replaces the
+    16-bit exact-collision form whose 2^16 buckets all collide at
+    real corpus sizes."""
+    assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
+    sigs = simhash_bands(docs, bits, n_bands)
+    band_cols = [f"b{k}" for k in range(n_bands)]
+    long = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(k).alias("band_idx"), F.col(f"b{k}").alias("band_val"))
+                for k in range(n_bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_val")
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(c).alias(f"a_{c}") for c in band_cols])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(c).alias(f"b_{c}") for c in band_cols])
+    hamming = None
+    for c in band_cols:
+        term = F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        hamming = term if hamming is None else hamming + term
     return (
-        sh.groupBy("simhash")
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_duplicates(docs: DataFrame, bits: int = 64,
+                       n_bands: int = 4) -> DataFrame:
+    """Docs whose full 64-bit simhash collides exactly (the
+    Hamming-0 special case — groupBy all bands)."""
+    sh = simhash_bands(docs, bits, n_bands)
+    band_cols = [f"b{k}" for k in range(n_bands)]
+    return (
+        sh.groupBy(*band_cols)
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc"))
         .filter(F.col("n_docs") > 1)
     )

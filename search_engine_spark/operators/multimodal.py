@@ -48,6 +48,48 @@ def _byte_histogram(blob: bytes, bins: int = N_FEATURES) -> np.ndarray:
     return (hist / total).astype(np.float32)
 
 
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An opaque-binary media table derived deterministically from the
+    documents table (blob = utf-8 bytes of text): exercises the real
+    binary-column plumbing AND gives the decode step an exact DuckDB
+    oracle (``encode(text)`` yields the identical bytes there)."""
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text-blob").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("blob"),
+    )
+
+
+def decode_media_counts(media: DataFrame) -> DataFrame:
+    """The oracle-exact decode: per-media byte-histogram COUNTS
+    (16 bins = the byte's high nibble) as integer columns — no float
+    normalization, so the driver's value-hash comparison against the
+    DuckDB twin is exact.  Same Arrow plumbing as ``decode_media``."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"media_id": [], "n_bytes": []}
+            for k in range(N_FEATURES):
+                out[f"h{k}"] = []
+            for mid, b in zip(pdf["media_id"], pdf["blob"]):
+                arr = (np.frombuffer(bytes(b), dtype=np.uint8)
+                       if b is not None else np.empty(0, dtype=np.uint8))
+                counts = np.bincount(arr >> 4, minlength=N_FEATURES)
+                out["media_id"].append(mid)
+                out["n_bytes"].append(arr.size)
+                for k in range(N_FEATURES):
+                    out[f"h{k}"].append(int(counts[k]))
+            yield pd.DataFrame(out)
+
+    schema = "media_id long, n_bytes long, " + ", ".join(
+        f"h{k} long" for k in range(N_FEATURES)
+    )
+    return media.select("media_id", "blob").mapInPandas(batch, schema=schema)
+
+
 def decode_media(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Decode + feature-extract each media blob.
 

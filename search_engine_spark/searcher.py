@@ -38,13 +38,27 @@ UNPACKED_SCHEMA = (
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFAULT):
+    def __init__(self, spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFAULT,
+                 city_docs: DataFrame | None = None):
+        """``city_docs``: optional (city, url) dimension — the
+        reference's ``<F P=104>`` doc tags (ReadFile.java:99-120);
+        when present, a city filter unions these docs with posting
+        membership (Searcher.java:315-327)."""
         self.spark = spark
         self.paths = IndexPaths(index_dir)
         self.cfg = cfg
         with open(self.paths.meta) as fh:
             self.meta = json.load(fh)
         self._stop = cfg.stop_set()
+        self.city_docs = city_docs
+        # dictionary/doc-map DataFrames are created once per engine:
+        # re-planning spark.read.parquet per resolve_terms call cost a
+        # schema-discovery round trip on every query (q/s, not
+        # correctness).  The DataFrame is lazy — nothing is cached in
+        # memory, and (bucket, term_key) pushdown still prunes scans.
+        self._dictionary = spark.read.parquet(self.paths.dictionary)
+        self._doc_stats = spark.read.parquet(self.paths.doc_stats)
+        self._index = spark.read.parquet(self.paths.index)
 
     # -- term resolution ----------------------------------------------------
     def parse_query(self, query: str) -> list[str]:
@@ -68,9 +82,8 @@ class SearchEngine:
         docs; the query's rows are tiny)."""
         if not term_keys:
             return pd.DataFrame(columns=["term_key", "df", "cf", "idf", "bucket"])
-        d = self.spark.read.parquet(self.paths.dictionary)
         rows = (
-            d.filter(F.col("term_key").isin(term_keys))
+            self._dictionary.filter(F.col("term_key").isin(term_keys))
             .select("term_key", "df", "cf", "idf", "bucket")
             .toPandas()
         )
@@ -80,8 +93,9 @@ class SearchEngine:
     def _scan_index(self, resolved: pd.DataFrame) -> DataFrame:
         buckets = sorted({int(b) for b in resolved["bucket"]})
         keys = sorted(resolved["term_key"])
-        ix = self.spark.read.parquet(self.paths.index)
-        return ix.filter(F.col("bucket").isin(buckets) & F.col("term_key").isin(keys))
+        return self._index.filter(
+            F.col("bucket").isin(buckets) & F.col("term_key").isin(keys)
+        )
 
     def _unpack(self, scan: DataFrame, idf_by_key: dict[str, float]) -> DataFrame:
         k1, b = self.meta["k1"], self.meta["b"]
@@ -113,25 +127,35 @@ class SearchEngine:
         ).mapInPandas(unpack_batch, schema=UNPACKED_SCHEMA)
 
     def _doc_map(self) -> DataFrame:
-        return (
-            self.spark.read.parquet(self.paths.doc_stats)
-            .select("shard", "local_id", "url")
-        )
+        return self._doc_stats.select("shard", "local_id", "url")
 
     def _city_doc_set(self, cities: list[str]) -> DataFrame | None:
-        """F2/J4/U2: the allowed-doc set for a city filter = union
-        over cities of the docs on the city term's posting list
-        (docsByCities, Searcher.java:311-328; the reference also
-        unions the <F P=104>-tagged docs — our pages schema carries
-        no city tag, so the posting membership IS the set).  Returns
-        (shard, local_id) rows, or None when no city resolves."""
+        """F2/J4/U2: the allowed-doc set for a city filter = (docs on
+        any city term's posting list) ∪ (docs tagged with the city in
+        the ``city_docs`` dimension) — the full reference semantics
+        (docsByCities, Searcher.java:311-328: posting membership plus
+        the <F P=104> tags from ReadFile.java:99-120).  Returns
+        (shard, local_id) rows, or None when nothing matches."""
         keys = sorted({c.lower() for c in cities if c})
+        parts: list[DataFrame] = []
         resolved = self.resolve_terms(keys)
-        if resolved.empty:
+        if not resolved.empty:
+            idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+            members = self._unpack(self._scan_index(resolved), idf_by_key)
+            parts.append(members.select("shard", "local_id"))
+        if self.city_docs is not None and keys:
+            tagged = (
+                self.city_docs.filter(F.lower(F.col("city")).isin(keys))
+                .join(self._doc_stats.select("url", "shard", "local_id"), "url")
+                .select("shard", "local_id")
+            )
+            parts.append(tagged)
+        if not parts:
             return None
-        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
-        members = self._unpack(self._scan_index(resolved), idf_by_key)
-        return members.select("shard", "local_id").distinct()
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
 
     def search(self, query: str, k: int | None = None,
                cities: list[str] | None = None) -> DataFrame:
@@ -149,9 +173,11 @@ class SearchEngine:
             allowed = self._city_doc_set(cities)
             if allowed is None:
                 return self.spark.createDataFrame([], "url string, score double, rank int")
-            per_posting = per_posting.join(
-                F.broadcast(allowed), ["shard", "local_id"], "left_semi"
-            )
+            # no forced broadcast: for a common city term the allowed
+            # set is O(N) docs — an unbounded explicit broadcast OOMs
+            # the driver at scale.  AQE broadcasts it when it is
+            # actually small and shuffle-joins otherwise.
+            per_posting = per_posting.join(allowed, ["shard", "local_id"], "left_semi")
         blend_a, blend_b = self.meta["blend_bm25"], self.meta["blend_bonus"]
         scores = (
             per_posting.groupBy("shard", "local_id")
@@ -174,8 +200,7 @@ class SearchEngine:
         ents = self.spark.read.parquet(self.paths.entities)
         if urls is not None:
             ents = ents.filter(F.col("url").isin(urls))
-        dictionary = self.spark.read.parquet(self.paths.dictionary)
-        return top_entities(ents, dictionary, k)
+        return top_entities(ents, self._dictionary, k)
 
     def search_batch(self, queries: list[tuple[str, str]], k: int | None = None) -> DataFrame:
         """All queries in one job (lifecycle 3.3): one pruned index

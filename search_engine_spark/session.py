@@ -31,6 +31,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 64m advisory lets AQE coalesce the small post-agg
+        # shuffles (doc stats, dictionary) down to 1-2 tasks, which
+        # serializes those stages at every parallelism level; 8m keeps
+        # them wide without meaningfully adding task overhead
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         # local-mode has no network transfer: broadcasting a ~10-60MB
         # doc/dictionary side beats shuffling the 100x bigger postings
         # side (at cluster scale AQE still falls back to SMJ for big

@@ -24,7 +24,10 @@ def trec_run_lines(results: DataFrame, tag: str = RUN_TAG) -> DataFrame:
                 " ",
                 F.col("qid"), F.lit("Q0"), F.col("url"),
                 F.col("rank").cast("string"),
-                F.format_number(F.col("score"), 6),
+                # printf-style, NOT format_number: the latter inserts
+                # comma grouping for scores >= 1000, corrupting the
+                # space-delimited run format
+                F.format_string("%.6f", F.col("score")),
                 F.lit(tag),
             ).alias("line"),
             "qid", "rank",

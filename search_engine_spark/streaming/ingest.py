@@ -8,9 +8,10 @@ is that story on Structured Streaming:
    stand-in for a Kafka/Iceberg CDC feed), tokenizes each micro-batch
    with the SAME Arrow kernel as the batch build, appends to
    ``postings_raw`` (bucket-partitioned), and records one lineage row
-   per epoch.  The streaming checkpoint gives exactly-once appends
-   across restarts; ``availableNow`` drains what's there and stops
-   (the test/ops mode).
+   per epoch.  Exactly-once = streaming checkpoint (which epochs ran)
+   PLUS an idempotent per-epoch publish (replayed epochs overwrite
+   their own files, never append duplicates); ``availableNow`` drains
+   what's there and stops (the test/ops mode).
 2. ``refresh_index`` invalidates the DERIVED stages (doc_stats /
    dictionary / entities / pack) in lineage and re-runs them over the
    accumulated raw postings — the batch builder's resume machinery
@@ -21,6 +22,8 @@ is that story on Structured Streaming:
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,9 +59,29 @@ def stream_ingest(
     def handle_batch(batch: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
         tokenized = tokenize_pages(batch, cfg).withColumn("bucket", term_bucket(cfg))
-        # same layout as the batch builder's SPIMI runs (plain files,
-        # bucket as a column) so appends and full builds interleave
-        tokenized.write.mode("append").parquet(paths.postings_raw)
+        # IDEMPOTENT epoch publish (exactly-once, not just
+        # at-least-once): foreachBatch replays an epoch if the job
+        # dies between the data write and the checkpoint commit, so a
+        # plain mode("append") would duplicate postings rows and
+        # silently inflate tf/df on the next refresh.  Instead each
+        # epoch writes to a scratch dir and is then published under
+        # deterministic ``epoch-<id>-*`` names, deleting any partial
+        # files a crashed attempt of the SAME epoch left — replays
+        # overwrite, never duplicate.  (On a cluster this publish is
+        # an Iceberg/Delta transactional commit keyed by epoch_id;
+        # same layout: plain files, bucket as a column, so appends
+        # and full builds interleave.)
+        scratch = os.path.join(paths.root, "_epoch_scratch")
+        tokenized.write.mode("overwrite").parquet(scratch)
+        os.makedirs(paths.postings_raw, exist_ok=True)
+        for fn in os.listdir(paths.postings_raw):
+            if fn.startswith(f"epoch-{epoch_id}-"):
+                os.remove(os.path.join(paths.postings_raw, fn))
+        for fn in sorted(os.listdir(scratch)):
+            if fn.endswith(".parquet"):
+                os.replace(os.path.join(scratch, fn),
+                           os.path.join(paths.postings_raw, f"epoch-{epoch_id}-{fn}"))
+        shutil.rmtree(scratch, ignore_errors=True)
         _lineage_append(spark, paths, [{
             "stage": "stream_batch", "key": str(epoch_id),
             "seconds": time.time() - t0,
