@@ -55,7 +55,8 @@ FT_QUERY_TERMS = ("table", "join", "query")
 ENGINE_QUERY = "data table row"
 SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8h session gap (median per-user gap ~7.3h)
 
-_ENTRY_CFG = EngineConfig(n_doc_shards=8, n_term_buckets=8, n_bucket_groups=2)
+_ENTRY_CFG = EngineConfig(n_doc_shards=8, n_term_buckets=8, n_bucket_groups=2,
+                          keep_positions=True)
 _INDEX_CACHE: dict[str, str] = {}
 
 
@@ -68,7 +69,9 @@ def _engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
     over documents-as-pages, then open a SearchEngine on it."""
     key = os.path.abspath(sf_dir)
     if key not in _INDEX_CACHE:
-        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        # the cfg is part of the cache key: a layout change (e.g.
+        # keep_positions) must not be served from a stale /tmp index
+        tag = hashlib.md5(f"{key}|{_ENTRY_CFG}".encode()).hexdigest()[:10]
         out = os.path.join(tempfile.gettempdir(), f"se_entry_index_{tag}")
         # ALWAYS enter the resume path — it is a cheap no-op when the
         # lineage table says every stage is done, and it repairs a
@@ -487,6 +490,43 @@ def q_entities_top5(spark, sf):
     )
 
 
+PHRASE_TERMS = ("hash", "join")
+
+
+def q_ft_phrase_topk(spark, sf):
+    """Positional phrase matching, fully SQL-checkable: docs where
+    'hash' is immediately followed by 'join' in the simple token
+    stream, ranked by phrase frequency.  The relational shape is the
+    engine's phrase plan (co-partitioned join on (doc, pos-offset))
+    over the simple tokenizer."""
+    docs = _tbl(spark, sf, "documents")
+    ex = docs.select("doc_id", F.posexplode(TS.simple_tokens()).alias("pos", "tok"))
+    parts = [
+        ex.filter(F.col("tok") == t)
+        .select("doc_id", (F.col("pos") - F.lit(j)).alias("base"))
+        for j, t in enumerate(PHRASE_TERMS)
+    ]
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.join(p, ["doc_id", "base"])
+    m = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("phrase_tf"))
+    w = Window.orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+    return (
+        m.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "phrase_tf", "rank")
+    )
+
+
+def q_search_phrase(spark, sf):
+    """Full-engine phrase search over the packed positional index
+    (delta+varint `poss` blobs).  Non-SQL-expressible (full parser +
+    stemming feed the positions); pytest asserts identity with a
+    driver-side reference over parse_doc."""
+    eng = _engine_for(spark, sf)
+    return eng.phrase_search("hash join", 20)
+
+
 def q_trec_topics_roundtrip(spark, sf):
     """S4 round-trip: render the reference query set as a TREC topic
     file, parse it back through the topic source, return the parsed
@@ -562,11 +602,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term_stats": q_ft_term_stats,
         "ft_term_first_pos": q_ft_term_first_pos,
         "ft_bm25_topk": q_ft_bm25_topk,
+        "ft_phrase_topk": q_ft_phrase_topk,
         # full engine (rows-only; pytest asserts rank-identity vs oracle)
         "search_bm25_topk": q_search_bm25_topk,
         "search_wand_topk": q_search_wand_topk,
         "search_batch": q_search_batch,
         "search_city_filtered": q_search_city_filtered,
+        "search_phrase": q_search_phrase,
         "extract_text_roundtrip": q_extract_text_roundtrip,
         # sources / sinks / dims
         "trec_topics_roundtrip": q_trec_topics_roundtrip,
@@ -962,6 +1004,31 @@ SELECT doc_id, e.tok AS tok, CAST(count(*) AS BIGINT) AS tf,
        CAST(min(e.pos) AS BIGINT) AS first_pos,
        CAST(min(e.pos) AS BIGINT) <= 30 AS important
 FROM ex GROUP BY doc_id, e.tok
+""",
+        "ft_phrase_topk": f"""
+WITH {_TOK_CTE},
+ex AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks) + 1),
+                     i -> {{'pos': i, 'tok': toks[i]}})) AS e
+       FROM tok),
+"""
+        + ",\n".join(
+            f"t{j} AS (SELECT doc_id, e.pos - {j} AS base FROM ex WHERE e.tok = '{t}')"
+            for j, t in enumerate(PHRASE_TERMS)
+        )
+        + """,
+m AS (SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+      FROM t0 """
+        + " ".join(
+            f"JOIN t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.base = t0.base"
+            for j in range(1, len(PHRASE_TERMS))
+        )
+        + """
+      GROUP BY t0.doc_id),
+ranked AS (SELECT doc_id, phrase_tf,
+                  CAST(row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM m)
+SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 20
 """,
         "ft_bm25_topk": f"""
 WITH {_TF_CTE},

@@ -91,6 +91,41 @@ def unpack_bits(buf: bytes, n: int) -> np.ndarray:
     return np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=n, bitorder="little").astype(bool)
 
 
+def encode_positions(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode per-posting position lists (phrase support).
+
+    ``flat_positions`` is the concatenation of each posting's ascending
+    position list; segment lengths are exactly ``tfs``, so no count
+    prefix is stored — the decoder re-splits using the tfs column that
+    the index row already carries.  Within each segment positions are
+    delta-coded (first absolute), then the whole stream is varint."""
+    flat = np.ascontiguousarray(flat_positions, dtype=np.uint64)
+    if flat.size == 0:
+        return b""
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    seg_starts = np.concatenate(
+        ([0], np.cumsum(np.asarray(tfs, dtype=np.int64))[:-1])
+    )
+    deltas[seg_starts] = flat[seg_starts]
+    return varint_encode(deltas)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions`: the flat ascending position
+    array (split it with ``np.cumsum(tfs)`` if per-posting lists are
+    needed; phrase matching consumes it flat with a repeated doc id)."""
+    vals = varint_decode(buf)
+    if vals.size == 0:
+        return vals
+    tfs = np.asarray(tfs, dtype=np.int64)
+    cs = np.cumsum(vals, dtype=np.uint64)
+    seg_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    base = np.zeros(tfs.size, dtype=np.uint64)
+    base[1:] = cs[seg_starts[1:] - 1]
+    return cs - np.repeat(base, tfs)
+
+
 def bm25_contribution(
     tfs: np.ndarray,
     lens: np.ndarray,

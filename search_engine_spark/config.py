@@ -40,9 +40,11 @@ class EngineConfig:
                                   # runs written straight from the parse
                                   # partitions, pack's groupBy is the
                                   # only full-postings shuffle
-    keep_positions: bool = False  # positions beyond first_pos are only needed
-                                  # for phrase support; reference scoring only
-                                  # ever reads the first position (importance)
+    keep_positions: bool = False  # True: pack per-posting position lists
+                                  # (delta+varint `poss` blobs) enabling
+                                  # SearchEngine.phrase_search; False saves
+                                  # the space — reference scoring only ever
+                                  # reads the first position (importance)
 
     # storage: "parquet" in this sandbox; "iceberg" on a cluster with the
     # runtime jars (writeTo(...).partitionedBy(bucket(term_key)))

@@ -45,7 +45,8 @@ from .plans.tokenize import tokenize_pages
 
 INDEX_SCHEMA = (
     "term_key string, bucket int, shard int, n int, doc_ids binary, "
-    "tfs binary, lens binary, imps binary, block_last binary, block_max binary"
+    "tfs binary, lens binary, imps binary, block_last binary, block_max binary, "
+    "poss binary"
 )
 
 
@@ -332,6 +333,7 @@ def build_index(
         "n_doc_shards": cfg.n_doc_shards,
         "n_term_buckets": cfg.n_term_buckets,
         "block_size": cfg.block_size,
+        "keep_positions": bool(cfg.keep_positions and "positions" in raw.columns),
     }
 
     # ---- stage D: pack, one job per bucket group (resume granularity)
@@ -340,6 +342,7 @@ def build_index(
     k1, b, bs = cfg.k1, cfg.b, cfg.block_size
     blend_a, blend_b = cfg.blend_bm25, cfg.blend_bonus
     avgdl_f = float(avgdl)
+    keep_positions = cfg.keep_positions and "positions" in raw.columns
 
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         """Pack EVERY term of one (bucket, shard) slice in a single
@@ -347,6 +350,10 @@ def build_index(
         costs one Arrow round-trip per term — ~500k tiny invocations
         at a 40k-doc corpus dominated the whole build; this form is
         ~512 invocations of vectorized work."""
+        import numpy as np
+
+        from .codec import encode_positions
+
         pdf = pdf.sort_values(["term_key", "local_id"], kind="mergesort")
         bucket = int(pdf["bucket"].iloc[0])
         shard = int(pdf["shard"].iloc[0])
@@ -358,11 +365,19 @@ def build_index(
                 idf=float(g["idf"].iloc[0]), k1=k1, b=b, avgdl=avgdl_f,
                 blend_bm25=blend_a, blend_bonus=blend_b, block_size=bs,
             )
+            if keep_positions:
+                flat = np.concatenate(
+                    [np.asarray(p, dtype=np.uint64) for p in g["positions"]]
+                )
+                poss = encode_positions(flat, g["tf"].to_numpy())
+            else:
+                poss = b""
             rows.append({
                 "term_key": term_key, "bucket": bucket, "shard": shard,
                 "n": row["n"], "doc_ids": row["doc_ids"], "tfs": row["tfs"],
                 "lens": row["lens"], "imps": row["imps"],
                 "block_last": row["block_last"], "block_max": row["block_max"],
+                "poss": poss,
             })
         return pd.DataFrame(rows)
 
@@ -375,12 +390,15 @@ def build_index(
         # buckets — clear them so the re-run is idempotent
         for bkt in buckets:
             shutil.rmtree(os.path.join(paths.index, f"bucket={bkt}"), ignore_errors=True)
+        cols = ["term_key", "bucket", "shard", "local_id", "tf", "length",
+                "important", "idf"]
+        if keep_positions:
+            cols.append("positions")
         part = (
             raw.filter(F.col("bucket").isin(buckets))
             .join(doc_map, "url")
             .join(dictionary.select("term_key", "idf"), "term_key")
-            .select("term_key", "bucket", "shard", "local_id", "tf", "length",
-                    "important", "idf")
+            .select(*cols)
         )
         # group by (bucket, shard) — parallelism = buckets x shards,
         # bounded memory per group = the shard's slice of this bucket

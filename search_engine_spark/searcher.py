@@ -193,6 +193,93 @@ class SearchEngine:
             .select("url", "score", "rank")
         )
 
+    # -- phrase search (positions path; requires keep_positions build) -------
+    def parse_phrase(self, phrase: str) -> list[tuple[str, int]]:
+        """Ordered (term_key, offset) pairs for a phrase query: the
+        same tokenize/stem kernels as the build, offsets = raw token
+        positions within the phrase, stop words skipped but their
+        GAP preserved (so "state of the art" matches docs where the
+        stop words sat between the content words, exactly as the
+        index recorded positions over the unfiltered token stream)."""
+        from .textproc import tokenize
+        from .porter import porter_stem
+
+        out: list[tuple[str, int]] = []
+        for i, tok in enumerate(tokenize(phrase)):
+            if tok.lower() in self._stop and tok.strip() != "between":
+                continue
+            word = porter_stem(tok) if self.meta["stem"] else tok
+            out.append((word.lower(), i))
+        return out
+
+    def _unpack_positions(self, scan: DataFrame) -> DataFrame:
+        """(term_key, shard, local_id, pos) rows from the packed
+        ``poss`` blobs (one output row per occurrence)."""
+
+        def unpack_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .codec import decode_positions
+
+            for pdf in it:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    tfs = varint_decode(bytes(row.tfs)).astype(np.int64)
+                    ids = delta_decode(bytes(row.doc_ids)).astype(np.int64)
+                    pos = decode_positions(bytes(row.poss), tfs)
+                    outs.append(pd.DataFrame({
+                        "term_key": np.repeat(row.term_key, int(tfs.sum())),
+                        "shard": np.repeat(np.int32(row.shard), int(tfs.sum())),
+                        "local_id": np.repeat(ids, tfs),
+                        "pos": pos.astype(np.int64),
+                    }))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return scan.select("term_key", "shard", "doc_ids", "tfs", "poss").mapInPandas(
+            unpack_batch, schema="term_key string, shard int, local_id long, pos long"
+        )
+
+    def phrase_search(self, phrase: str, k: int | None = None) -> DataFrame:
+        """Exact phrase top-k: docs containing the phrase's content
+        terms at consecutive (gap-preserving) positions, ranked by
+        phrase frequency (ties: url asc).  Relational plan: one pruned
+        index scan over the phrase's terms, positions unpacked once,
+        then an n-way co-partitioned join on (shard, local_id,
+        pos - offset) — each join keys on the same columns, so Spark
+        reuses one exchange per side and no all-pairs work happens.
+        Requires an index built with ``keep_positions=True``."""
+        if not self.meta.get("keep_positions"):
+            raise ValueError("phrase_search requires an index built with keep_positions=True")
+        k = k or self.cfg.top_k
+        terms = self.parse_phrase(phrase)
+        empty = self.spark.createDataFrame([], "url string, phrase_tf long, rank int")
+        if not terms:
+            return empty
+        keys = sorted({t for t, _ in terms})
+        resolved = self.resolve_terms(keys)
+        if set(resolved["term_key"]) != set(keys):
+            return empty  # a phrase term missing from the dictionary
+        pos_rows = self._unpack_positions(self._scan_index(resolved))
+        base = None
+        for j, (key, off) in enumerate(terms):
+            part = (
+                pos_rows.filter(F.col("term_key") == key)
+                .select("shard", "local_id", (F.col("pos") - F.lit(off)).alias("base"))
+            )
+            base = part if base is None else base.join(
+                part, ["shard", "local_id", "base"]
+            )
+        matches = base.groupBy("shard", "local_id").agg(
+            F.count(F.lit(1)).alias("phrase_tf")
+        )
+        return (
+            matches.join(self._doc_map(), ["shard", "local_id"])
+            .orderBy(F.desc("phrase_tf"), F.asc("url"))
+            .limit(k)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("phrase_tf"), F.asc("url"))))
+            .select("url", "phrase_tf", "rank")
+        )
+
     def entities_top5(self, urls: list[str] | None = None, k: int = 5) -> DataFrame:
         """A8/R6: top-k entities per doc by round(new_tf/df, 3)."""
         from .operators.entities import top_entities

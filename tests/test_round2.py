@@ -311,6 +311,69 @@ def test_stream_replay_is_idempotent(spark, tmp_dir):
 
 
 # ---------------------------------------------------------------------------
+# positions codec + phrase search
+
+def test_positions_codec_roundtrip():
+    from search_engine_spark.codec import decode_positions, encode_positions
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        tfs = rng.integers(1, 9, size=rng.integers(1, 30))
+        lists = [np.sort(rng.choice(2000, size=t, replace=False)) for t in tfs]
+        flat = np.concatenate(lists)
+        buf = encode_positions(flat, tfs)
+        back = decode_positions(buf, tfs)
+        assert back.tolist() == flat.tolist()
+    assert encode_positions(np.array([], dtype=np.uint64), np.array([], dtype=np.int64)) == b""
+
+
+def test_phrase_search_matches_python_reference(spark, tmp_dir):
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.fixtures import make_pages, pages_schema_arrow
+    from search_engine_spark.indexer import build_index
+    from search_engine_spark.searcher import SearchEngine
+    from search_engine_spark.textproc import parse_doc
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pages = make_pages(150, seed=13)
+    src = os.path.join(tmp_dir, "pages.parquet")
+    pq.write_table(pa.Table.from_pylist(pages, schema=pages_schema_arrow()), src)
+    cfg = EngineConfig(n_doc_shards=4, n_term_buckets=4, n_bucket_groups=2,
+                       keep_positions=True)
+    ix = os.path.join(tmp_dir, "ix")
+    build_index(spark, spark.read.parquet(src), ix, cfg, resume=False)
+    eng = SearchEngine(spark, ix, cfg)
+
+    phrase = "world trade"
+    got = [(r["url"], r["phrase_tf"]) for r in eng.phrase_search(phrase, 20).collect()]
+
+    terms = eng.parse_phrase(phrase)
+    stop = cfg.stop_set()
+    ref = []
+    for p in pages:
+        posmap = {k.lower(): set(v.positions)
+                  for k, v in parse_doc(p["text"], stop, cfg.stem).items()}
+        base_sets = [{pos - off for pos in posmap.get(key, ())} for key, off in terms]
+        bases = set.intersection(*base_sets) if all(base_sets) else set()
+        if bases:
+            ref.append((p["url"], len(bases)))
+    ref.sort(key=lambda t: (-t[1], t[0]))
+    assert got == ref[:20] and got, "phrase results must match the reference and be non-empty"
+
+    # a phrase with an out-of-dictionary word -> empty
+    assert eng.phrase_search("zzznope trade", 10).count() == 0
+
+    # an index without positions refuses rather than silently failing
+    cfg2 = EngineConfig(n_doc_shards=4, n_term_buckets=4, n_bucket_groups=2)
+    ix2 = os.path.join(tmp_dir, "ix2")
+    build_index(spark, spark.read.parquet(src), ix2, cfg2, resume=False)
+    with pytest.raises(ValueError):
+        SearchEngine(spark, ix2, cfg2).phrase_search(phrase)
+
+
+# ---------------------------------------------------------------------------
 # lineage: the DataFrame view ignores stray tmp files
 
 def test_lineage_df_ignores_tmp_files(spark, tmp_dir):
