@@ -405,6 +405,19 @@ def q_ann_lsh_topk(spark, sf):
     )
 
 
+def q_ann_ivf_topk(spark, sf):
+    # IVF ANN: deterministic seed-vector centroids (vec_id < 16),
+    # matmul assignment, nprobe=4 probe — exact cosine top-k within
+    # the probed inverted lists; DuckDB recomputes the whole structure
+    emb = _tbl(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = SIM.ivf_topk(emb, qvec, k=10)
+    return out.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("vec_id"))).cast("long"),
+    )
+
+
 def q_knn_join_first5(spark, sf):
     emb = _tbl(spark, sf, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
@@ -637,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "knn_join_first5": q_knn_join_first5,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -815,6 +829,41 @@ qb AS (SELECT bucket AS b FROM bk WHERE vec_id = 0),
 probed AS (SELECT bk.* FROM bk, qb WHERE bit_count(xor(bk.bucket, qb.b)) <= {probe_hamming}),
 q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
 scored AS (SELECT a.vec_id, {cos} AS cosine FROM probed a, q),
+ranked AS (SELECT vec_id, cosine,
+                  CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+           FROM scored)
+SELECT vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _sql_ann_ivf_topk(k: int = 10, n_centroids: int = 16, nprobe: int = 4) -> str:
+    """DuckDB twin of similarity.ivf_topk: same seed centroids
+    (vec_id < n_centroids), same rounded-cosine argmax assignment
+    (ties -> smallest centroid id), same nprobe probe, exact cosine
+    top-k within the probed lists."""
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, len({a}.embedding) + 1), "
+            f"i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE))) / ("
+            f"sqrt(list_sum(list_transform({a}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            f"sqrt(list_sum(list_transform({b}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+        )
+
+    return f"""
+WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {n_centroids}),
+sims AS (SELECT e.vec_id, e.embedding, c.cid, {cos('e', 'c')} AS sim
+         FROM embeddings e CROSS JOIN c),
+asg AS (SELECT vec_id, embedding, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cid ASC) AS rn FROM sims)
+        WHERE rn = 1),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT cid FROM (
+            SELECT c.cid, row_number() OVER (ORDER BY {cos('c', 'q')} DESC, c.cid ASC) AS rn
+            FROM c, q)
+          WHERE rn <= {nprobe}),
+scored AS (SELECT a.vec_id, {cos('a', 'q')} AS cosine
+           FROM asg a JOIN probe p ON a.cid = p.cid, q),
 ranked AS (SELECT vec_id, cosine,
                   CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
            FROM scored)
@@ -1163,6 +1212,7 @@ WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
         "dedup_near_pairs": _sql_near_dup_pairs(0.5),
         "ann_dup_pairs": _sql_ann_dup_pairs(0.35),
         "ann_lsh_topk": _sql_ann_lsh_topk(10),
+        "ann_ivf_topk": _sql_ann_ivf_topk(10),
         "dedup_simhash": _sql_simhash_near_pairs(3),
         "multimodal_features": _sql_multimodal_counts(MM.N_FEATURES),
         "entities_top5": _sql_entities_top5(),

@@ -197,6 +197,98 @@ def ann_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path besides sign-LSH
+
+def _ivf_centroids(embeddings: DataFrame, n_centroids: int):
+    """Deterministic coarse quantizer: the centroids ARE the first
+    ``n_centroids`` vectors by vec_id (k-medoids-style seeding).  No
+    Lloyd iterations — distributed float averaging is summation-order
+    dependent, which would make the assignment non-reproducible
+    across engines/runs; seed vectors keep the whole structure exact
+    (and SQL-checkable).  At production scale the seeds can be a
+    stratified sample materialized once."""
+    import numpy as np
+
+    rows = (embeddings.filter(F.col("vec_id") < n_centroids)
+            .orderBy("vec_id").collect())
+    return np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """(vec_id, centroid_id, embedding): each vector assigned to its
+    max-cosine centroid (rounded to 6 decimals; ties -> smallest
+    centroid id).  One matmul per Arrow batch — same vectorized shape
+    as the LSH bucket assignment."""
+    import numpy as np
+    import pandas as pd
+
+    cents = _ivf_centroids(embeddings, n_centroids)
+    cnorm = np.linalg.norm(cents, axis=1)
+
+    def assign(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            sims = (m @ cents.T) / (np.linalg.norm(m, axis=1)[:, None] * cnorm[None, :])
+            cid = np.argmax(np.round(sims, 6), axis=1)  # argmax -> first max = smallest id
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "centroid_id": cid.astype(np.int64),
+                "embedding": pdf["embedding"],
+            })
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, centroid_id long, embedding array<float>"
+    )
+
+
+def ivf_probe_centroids(embeddings: DataFrame, query_vec: list[float],
+                        n_centroids: int = 16, nprobe: int = 4) -> list[int]:
+    """Driver-side: the ``nprobe`` centroids nearest the query
+    (rounded cosine desc, centroid id asc)."""
+    import numpy as np
+
+    cents = _ivf_centroids(embeddings, n_centroids)
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = np.round((cents @ q) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q)), 6)
+    order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))
+    return sorted(order[:nprobe])
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF ANN top-k: exact cosine top-k restricted to the vectors
+    assigned to the query's ``nprobe`` nearest centroids — probes
+    ~nprobe/n_centroids of the corpus.  Deterministic, so the DuckDB
+    oracle recomputes it exactly; recall floor pinned in pytest."""
+    probe = ivf_probe_centroids(embeddings, query_vec, n_centroids, nprobe)
+    assigned = ivf_assign(embeddings, n_centroids)
+    pruned = assigned.filter(F.col("centroid_id").isin(probe))
+    return cosine_topk(pruned, query_vec, k)
+
+
+def write_ivf_index(embeddings: DataFrame, path: str,
+                    n_centroids: int = 16) -> None:
+    """The stored IVF layout: embeddings partitioned by centroid_id —
+    a probe reads only its nprobe partition directories."""
+    (ivf_assign(embeddings, n_centroids)
+     .repartition(F.col("centroid_id"))
+     .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
+
+
+def ivf_topk_pruned(spark, path: str, embeddings: DataFrame,
+                    query_vec: list[float], k: int = 10,
+                    n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF top-k over the stored layout (centroid filter becomes a
+    PartitionFilter on the scan).  ``embeddings`` is only consulted
+    for the centroid seed vectors."""
+    probe = ivf_probe_centroids(embeddings, query_vec, n_centroids, nprobe)
+    pruned = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe))
+    return cosine_topk(pruned, query_vec, k)
+
+
 def knn_join_exact(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Batch exact kNN join: for every query row (qid, embedding),
     the k nearest corpus vectors.  Broadcast the (small) query side;

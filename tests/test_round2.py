@@ -170,6 +170,50 @@ def test_ann_bucketed_table_partition_prunes(spark, tmp_dir):
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN: exact-within-probe semantics, recall gauge, pruning
+
+def test_ivf_topk_exact_within_probe(spark):
+    emb = spark.read.parquet(os.path.join(SF_001, "embeddings.parquet"))
+    ids, m = _np_embeddings(spark)
+    qvec = m[0].tolist()
+    got = [(r["vec_id"], r["cosine"]) for r in SIM.ivf_topk(emb, qvec, k=10).collect()]
+
+    cents = m[:16]
+    sims = np.round(
+        (m @ cents.T) / (np.linalg.norm(m, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :]),
+        6,
+    )
+    cid = np.argmax(sims, axis=1)
+    probe = set(SIM.ivf_probe_centroids(emb, qvec))
+    mask = np.isin(cid, list(probe))
+    cos = np.round((m[mask] @ m[0]) / (np.linalg.norm(m[mask], axis=1) * np.linalg.norm(m[0])), 6)
+    ref = sorted(
+        ((int(i), float(c)) for i, c in zip(ids[mask], cos)),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got == ref
+
+
+def test_ivf_recall_and_pruned_table(spark, tmp_dir):
+    emb = spark.read.parquet(os.path.join(SF_001, "embeddings.parquet"))
+    ids, m = _np_embeddings(spark)
+    qvec = m[0].tolist()
+
+    approx = {r["vec_id"] for r in SIM.ivf_topk(emb, qvec, k=10).collect()}
+    exact = {r["vec_id"] for r in SIM.cosine_topk(emb, qvec, k=10).collect()}
+    assert len(approx & exact) / 10 >= 0.5
+
+    path = os.path.join(tmp_dir, "ivf")
+    SIM.write_ivf_index(emb, path)
+    out = SIM.ivf_topk_pruned(spark, path, emb, qvec, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    got = [(r["vec_id"], r["cosine"]) for r in out.collect()]
+    want = [(r["vec_id"], r["cosine"]) for r in SIM.ivf_topk(emb, qvec, k=10).collect()]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # multimodal: counts kernel == numpy reference; blob == utf-8 bytes
 
 def test_decode_media_counts_reference(spark):
