@@ -102,3 +102,51 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_dir):
     want = {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
             for r in windowed_event_counts(spark.read.parquet(src)).collect()}
     assert got == want and len(want) > 3
+
+
+def test_stateful_sessionize_stream_equals_batch(spark, tmp_dir):
+    """applyInPandasWithState sessionization == the batch lag/running-
+    sum twin.  Watermark mechanics: chunk0 holds the real events; two
+    far-future sentinel chunks (excluded user) arrive in later micro-
+    batches so the watermark passes every real session's end+gap and
+    the timeout path flushes the per-user open sessions."""
+    import datetime as dt
+
+    from search_engine_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    gap_us = 30 * 60 * 1_000_000  # 30 min
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    real = [
+        (i,
+         base + dt.timedelta(minutes=int((i * 7) % 300) + 70 * ((i * 3) % 4)),
+         i % 5)
+        for i in range(200)
+    ]
+    far1 = [(9001, base + dt.timedelta(days=2), 999)]
+    far2 = [(9002, base + dt.timedelta(days=3), 999)]
+
+    src = os.path.join(tmp_dir, "events_stream")
+    os.makedirs(src)
+    ddl = "event_id long, ts timestamp, user_id long"
+    for name, rows in (("c0", real), ("c1", far1), ("c2", far2)):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
+            os.path.join(src, name))
+
+    stream = (spark.readStream.schema(ddl)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "*")))
+    q = (sessionize_stream(stream, gap_us)
+         .writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r["user_id"], r["session"]): (r["n_events"], r["start_us"], r["end_us"])
+           for r in spark.sql("SELECT * FROM sess_out").collect()
+           if r["user_id"] != 999}
+    want = {(r["user_id"], r["session"]): (r["n_events"], r["start_us"], r["end_us"])
+            for r in sessionize_batch(
+                spark.createDataFrame(real, ddl), gap_us).collect()}
+    assert got == want and len(want) >= 10
