@@ -446,6 +446,20 @@ def q_text_fingerprint(spark, sf):
     return TS.fingerprint(_tbl(spark, sf, "documents"))
 
 
+def q_text_winnow_fingerprint(spark, sf):
+    # MOSS-style winnowing: k-gram hash stream -> sliding-window min
+    # -> per-doc distinct fingerprint set (summarized as a hash so the
+    # row stays one-per-doc); guarantees shared fingerprints for any
+    # >= w+k-1 token overlap
+    return TS.winnow_fingerprint(_tbl(spark, sf, "documents"))
+
+
+def q_text_bpe_stats(spark, sf):
+    # token counting under the BPE-ish piece regex (LLM token
+    # budgeting), beside the whitespace tokenizer's counts
+    return TS.token_count_bpe(_tbl(spark, sf, "documents"))
+
+
 def q_multimodal_features(spark, sf):
     # opaque-binary decode plumbing with an EXACT oracle: media rows
     # derived from documents (blob = utf-8 bytes), features = 16-bin
@@ -656,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_winnow_fingerprint": q_text_winnow_fingerprint,
+        "text_bpe_stats": q_text_bpe_stats,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -868,6 +884,32 @@ ranked AS (SELECT vec_id, cosine,
                   CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
            FROM scored)
 SELECT vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _sql_winnow_fingerprint(k: int = 3, w: int = 4) -> str:
+    """DuckDB twin of textstats.winnow_fingerprint: identical k-gram
+    hash (first 8 md5 hex chars as int), identical sliding-window
+    mins (all hashes when fewer than one window), identical summary
+    hash."""
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+WITH {_TOK_CTE},
+sh AS (SELECT doc_id,
+              list_transform(range(1, greatest(len(toks) - {k - 1}, 0) + 1),
+                             i -> ('0x' || substr(md5({gram}), 1, 8))::BIGINT) AS hs
+       FROM tok
+       WHERE len(toks) >= {k}),
+mins AS (SELECT doc_id,
+                CASE WHEN len(hs) < {w} THEN list_distinct(hs)
+                     ELSE list_distinct(list_transform(
+                            range(1, len(hs) - {w - 1} + 1),
+                            i -> list_min(hs[i:i+{w - 1}])))
+                END AS sel
+         FROM sh)
+SELECT doc_id, CAST(len(sel) AS BIGINT) AS n_fps,
+       md5(array_to_string(list_sort(sel), ',')) AS fp_hash
+FROM mins
 """
 
 
@@ -1264,6 +1306,18 @@ FROM tok
 """,
         "text_quality": _sql_quality(),
         "text_langid": _sql_langid(),
+        "text_winnow_fingerprint": _sql_winnow_fingerprint(),
+        "text_bpe_stats": f"""
+WITH p AS (SELECT doc_id,
+                  regexp_extract_all(text, '{TS.BPE_ISH_RE.replace("'", "''")}') AS pieces
+           FROM documents)
+SELECT doc_id,
+       CAST(len(pieces) AS BIGINT) AS n_pieces,
+       CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces,
+       round(CAST(coalesce(list_sum(list_transform(pieces, x -> length(x))), 0) AS DOUBLE)
+             / greatest(len(pieces), 1), 6) AS mean_piece_len
+FROM p
+""",
         "text_fingerprint": f"""
 WITH {_TOK_CTE}
 SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp

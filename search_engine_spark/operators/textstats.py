@@ -102,9 +102,89 @@ def language_id(docs: DataFrame) -> DataFrame:
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set
     (set-semantics fingerprint — robust to token order/repetition).
-    A windowed rolling-hash (winnowing) variant lives in dedup.py."""
+    The windowed rolling-hash variant is :func:`winnow_fingerprint`."""
     toks = simple_tokens()
     return docs.select(
         "doc_id",
         F.md5(F.to_binary(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))), F.lit("utf-8"))).alias("fp"),
+    )
+
+
+def winnow_fingerprint(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing (MOSS-style) fingerprints: hash every k-token
+    shingle (first 8 hex chars of md5 as an int), slide a window of
+    ``w`` consecutive shingle hashes, keep each window's minimum,
+    and summarize the distinct selected hashes per doc as
+    (doc_id, n_fps, fp_hash = md5 of the sorted mins joined by ',').
+
+    Winnowing guarantees a shared fingerprint for any match of length
+    >= w+k-1 tokens — the position-robust near-dup fingerprint that
+    the set-semantics :func:`fingerprint` is not.  One Arrow pass,
+    zero shuffles (same shape as dedup.shingle_rows); the DuckDB twin
+    recomputes it relationally with a window MIN."""
+    import hashlib
+    import re as _re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    pat = _re.compile(TOKEN_SPLIT_RE)
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "n_fps": [], "fp_hash": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = [t for t in pat.split(text.lower()) if t]
+                if len(toks) < k:
+                    continue  # no shingles -> no fingerprint row (as in the oracle)
+                hs = [
+                    int(hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:8], 16)
+                    for i in range(len(toks) - k + 1)
+                ]
+                if len(hs) < w:
+                    mins = set(hs)  # shorter than one window: keep all
+                else:
+                    mins = {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+                sel = sorted(mins)
+                out["doc_id"].append(doc_id)
+                out["n_fps"].append(len(sel))
+                out["fp_hash"].append(
+                    hashlib.md5(",".join(str(x) for x in sel).encode()).hexdigest()
+                )
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "n_fps": pd.array(out["n_fps"], dtype="int64"),
+                "fp_hash": out["fp_hash"],
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch, schema="doc_id long, n_fps long, fp_hash string"
+    )
+
+
+# GPT-2-flavoured piece splitter restricted to a regex subset with
+# identical semantics in Java (Spark), RE2 (DuckDB), and Python `re`:
+# contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Token counting under a BPE-ish piece regex (the pre-tokenizer
+    shape LLM pipelines budget tokens with), next to the whitespace
+    counts in :func:`token_stats`: (doc_id, n_pieces,
+    n_distinct_pieces, mean_piece_len).  Pure codegen expressions —
+    scan speed."""
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
+        F.round(
+            F.aggregate(pieces, F.lit(0.0), lambda acc, x: acc + F.length(x))
+            / F.greatest(F.size(pieces), F.lit(1)),
+            6,
+        ).alias("mean_piece_len"),
     )

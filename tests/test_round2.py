@@ -237,6 +237,56 @@ def test_media_blob_is_utf8_text(spark):
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints + BPE-ish token counting
+
+def test_winnow_shares_fingerprints_on_overlap(spark):
+    import hashlib
+
+    from search_engine_spark.operators.textstats import winnow_fingerprint
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, f"intro words here {shared} tail one"),
+         (2, f"different start {shared} other ending"),
+         (3, "completely unrelated vocabulary set nothing common")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in winnow_fingerprint(docs).collect()}
+    assert all(rows[d]["n_fps"] > 0 for d in (1, 2, 3))
+
+    # recompute the full mins sets driver-side to check overlap behavior
+    def mins(text, k=3, w=4):
+        toks = text.lower().split()
+        hs = [int(hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:8], 16)
+              for i in range(len(toks) - k + 1)]
+        return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+    m1 = mins(f"intro words here {shared} tail one")
+    m2 = mins(f"different start {shared} other ending")
+    m3 = mins("completely unrelated vocabulary set nothing common")
+    assert m1 & m2, "a 10-token overlap must share winnowed fingerprints"
+    assert not (m1 & m3)
+    # and the Spark kernel agrees with this driver-side reference
+    assert rows[1]["fp_hash"] == hashlib.md5(
+        ",".join(str(x) for x in sorted(m1)).encode()).hexdigest()
+
+
+def test_token_count_bpe_reference(spark):
+    import re as _re
+
+    from search_engine_spark.operators.textstats import BPE_ISH_RE, token_count_bpe
+
+    texts = ["It's a test-case, 42 times! don't worry (v2.0)", "hello   world", "a"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in token_count_bpe(docs).collect()}
+    for i, t in enumerate(texts):
+        pieces = _re.findall(BPE_ISH_RE, t)
+        assert got[i]["n_pieces"] == len(pieces), t
+        assert got[i]["n_distinct_pieces"] == len(set(pieces)), t
+
+
+# ---------------------------------------------------------------------------
 # cities: native formatting == Java reference rule; persisted dims; tags
 
 def test_population_display_native_matches_python(spark):
