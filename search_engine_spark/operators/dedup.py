@@ -98,7 +98,8 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = DEFAULT_MINHASHES,
-                       shingle_n: int = DEFAULT_SHINGLE) -> DataFrame:
+                       shingle_n: int = DEFAULT_SHINGLE,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """Per-doc MinHash signature: for seed s, min over shingles of
     md5(s || ':' || shingle) (hex-lexicographic min == numeric min).
 
@@ -110,8 +111,9 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = DEFAULT_MINHASHES,
     ~60x slower; the explode+groupBy form stays in whole-stage
     codegen and is one shuffle.  Docs with fewer than ``shingle_n``
     tokens have no shingles and drop out (they cannot be LSH
-    candidates anyway)."""
-    ex = shingle_rows(docs, n=shingle_n)
+    candidates anyway).  Pass a precomputed ``shingles`` frame to
+    share the tokenize pass with other consumers."""
+    ex = shingles if shingles is not None else shingle_rows(docs, n=shingle_n)
     aggs = [
         F.min(
             F.md5(F.to_binary(F.concat(F.lit(f"{s}:"), F.col("s")), F.lit("utf-8")))
@@ -123,10 +125,11 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = DEFAULT_MINHASHES,
 
 def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = DEFAULT_MINHASHES,
                         band_size: int = DEFAULT_BAND_SIZE,
-                        shingle_n: int = DEFAULT_SHINGLE) -> DataFrame:
+                        shingle_n: int = DEFAULT_SHINGLE,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """LSH banding: docs sharing any band of ``band_size`` consecutive
     minhashes become a candidate pair (doc_a < doc_b, distinct)."""
-    sigs = minhash_signatures(docs, n_hashes, shingle_n)
+    sigs = minhash_signatures(docs, n_hashes, shingle_n, shingles=shingles)
     n_bands = n_hashes // band_size
     bands = sigs.select(
         "doc_id",
@@ -148,12 +151,25 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = DEFAULT_MINHASHES,
     )
 
 
+def _shared_shingles(docs: DataFrame, shingle_n: int) -> DataFrame:
+    """Shingles persisted for multi-consumer plans.  The map-only
+    kernel has no exchange Catalyst could reuse, so a plan that
+    consumes the shingle frame from several branches would re-run the
+    full-corpus tokenize per branch (measured: 6 MapInPandas nodes in
+    the near-dup plan).  MEMORY_AND_DISK persistence computes it once;
+    at 100 TB the equivalent is materializing the shingle table once
+    per dedup campaign."""
+    from pyspark import StorageLevel
+
+    return shingle_rows(docs, n=shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                         shingle_n: int = DEFAULT_SHINGLE) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold (shingle-join + count
     distinct).  At scale, feed LSH candidates instead of all pairs —
     this exact verifier is the second stage of minhash dedup."""
-    sh = shingle_rows(docs, n=shingle_n)
+    sh = _shared_shingles(docs, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -181,9 +197,15 @@ def near_dup_pairs(docs: DataFrame, threshold: float = 0.8,
     verifier (``ngram_jaccard_pairs``) exists for oracle checks at
     test scale, but its shingle self-join is quadratic in docs per
     shingle; here the expensive join is restricted to the LSH
-    candidate set."""
-    cand = lsh_candidate_pairs(docs, n_hashes, band_size, shingle_n)
-    sh = shingle_rows(docs, n=shingle_n)
+    candidate set.
+
+    The shingle pass (the full-corpus tokenize) is computed ONCE and
+    shared between candidate generation and verification — Catalyst
+    does not CSE identical mapInPandas subtrees, so without the
+    persisted reuse the most expensive pass of the pipeline ran SIX
+    times per query (once per consuming branch)."""
+    sh = _shared_shingles(docs, shingle_n)
+    cand = lsh_candidate_pairs(docs, n_hashes, band_size, shingle_n, shingles=sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
