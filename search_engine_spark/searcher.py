@@ -258,11 +258,18 @@ class SearchEngine:
         resolved = self.resolve_terms(keys)
         if set(resolved["term_key"]) != set(keys):
             return empty  # a phrase term missing from the dictionary
-        pos_rows = self._unpack_positions(self._scan_index(resolved))
+        # one PRUNED scan+unpack per phrase term: the term filter
+        # reaches each branch's parquet scan (bucket dir + row-group
+        # stats), so no branch decodes another term's positions — a
+        # single shared unpack feeding n filter branches would re-run
+        # the decode kernel once per branch (no CSE across
+        # mapInPandas) over every term's blob
         base = None
-        for j, (key, off) in enumerate(terms):
+        for key, off in terms:
             part = (
-                pos_rows.filter(F.col("term_key") == key)
+                self._unpack_positions(
+                    self._scan_index(resolved[resolved["term_key"] == key])
+                )
                 .select("shard", "local_id", (F.col("pos") - F.lit(off)).alias("base"))
             )
             base = part if base is None else base.join(
