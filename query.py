@@ -3,6 +3,7 @@
     python query.py --index /tmp/ix "world trade"            # single query
     python query.py --index /tmp/ix --batch q1:"world trade" q2:"space rocket"
     python query.py --index /tmp/ix --wand "world trade"     # block-max WAND
+    python query.py --index /tmp/ix --phrase "world trade"   # exact phrase
     python query.py --index /tmp/ix --loop 20 "world trade"  # q/s measurement
 
 Cluster: ``spark-submit --py-files engine.zip query.py ...``.
@@ -29,6 +30,9 @@ def main() -> None:
     ap.add_argument("--wand", action="store_true")
     ap.add_argument("--batch", action="store_true",
                     help="args are qid:querytext pairs, scored in one job")
+    ap.add_argument("--phrase", action="store_true",
+                    help="exact phrase query (index must be built with "
+                         "keep_positions=True)")
     ap.add_argument("--loop", type=int, default=0,
                     help="repeat the query N times and report q/s")
     ap.add_argument("query", nargs="+")
@@ -48,6 +52,10 @@ def main() -> None:
             pairs.append((qid, text))
         for r in eng.search_batch(pairs, args.k).collect():
             print(f"{r['qid']} {r['rank']} {r['url']} {r['score']:.6f}")
+    elif args.phrase:
+        text = " ".join(args.query)
+        for r in eng.phrase_search(text, args.k).collect():
+            print(f"q1 {r['rank']} {r['url']} {r['phrase_tf']}")
     else:
         text = " ".join(args.query)
         run = (lambda: wand_search(eng, text, args.k)) if args.wand else (
