@@ -465,7 +465,7 @@ def q_multimodal_features(spark, sf):
     # derived from documents (blob = utf-8 bytes), features = 16-bin
     # byte-histogram COUNTS (ints — no float normalization in the
     # compared output), DuckDB recomputes per-byte bins from hex(blob)
-    media = MM.media_from_documents(spark, sf)
+    media = MM.media_from_docs(_tbl(spark, sf, "documents"))
     return MM.decode_media_counts(media)
 
 

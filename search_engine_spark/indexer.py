@@ -208,6 +208,7 @@ def build_index(
             )
         except Exception:
             input_bytes = 0
+        old_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
         if input_bytes:
             split = max(4 << 20, input_bytes // (3 * par))
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
@@ -231,6 +232,14 @@ def build_index(
             # external merge, Indexer.java:198-296, done by the
             # shuffle service)
             tokenized.write.mode("overwrite").parquet(paths.postings_raw)
+        # the shrunken split size is for the tokenize scan only —
+        # restore it so the rest of the session (queries, later
+        # builds) keeps its configured value
+        if input_bytes:
+            if old_split is None:
+                spark.conf.unset("spark.sql.files.maxPartitionBytes")
+            else:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
         _lineage_append(spark, paths, [{
             "stage": "tokenize", "key": "all",
             "bytes": _dir_bytes(paths.postings_raw), "seconds": time.time() - t0,

@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import balanced
 from .textstats import TOKEN_SPLIT_RE, simple_tokens
 
 DEFAULT_SHINGLE = 3
@@ -62,8 +63,14 @@ def shingle_rows(docs: DataFrame, col: str = "text",
     The Python tokenizer is the exact twin of
     ``textstats.simple_tokens`` (split lower(text) on /[^a-z0-9]+/,
     drop empties) — asserted identical in tests and by the DuckDB
-    oracle's ``regexp_split_to_array`` CTE."""
+    oracle's ``regexp_split_to_array`` CTE.
+
+    "Zero shuffles" means no TOKEN-level exchange; an under-split
+    input (single-row-group parquet) gets one round-robin balancing
+    pass first — without it the kernel serializes on one core at any
+    parallelism (``partitioning.balanced``)."""
     pat = re.compile(TOKEN_SPLIT_RE)
+    docs = balanced(docs)
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -158,7 +165,14 @@ def _shared_shingles(docs: DataFrame, shingle_n: int) -> DataFrame:
     full-corpus tokenize per branch (measured: 6 MapInPandas nodes in
     the near-dup plan).  MEMORY_AND_DISK persistence computes it once;
     at 100 TB the equivalent is materializing the shingle table once
-    per dedup campaign."""
+    per dedup campaign.
+
+    Lifetime: Spark's cache manager keys persisted plans by logical-
+    plan equality, so repeated calls over the SAME input reuse one
+    entry (no per-call growth); one entry per distinct input frame
+    lives until session end or LRU eviction — long sessions running
+    many one-shot campaigns should ``spark.catalog.clearCache()``
+    between them."""
     from pyspark import StorageLevel
 
     return shingle_rows(docs, n=shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
@@ -239,7 +253,7 @@ def simhash_bands(docs: DataFrame, bits: int = 64,
     keys on, and 4x16-bit ints sidestep signed-64 overflow on the
     top bit in every engine.  One shuffle (the groupBy)."""
     band_bits = bits // n_bands
-    tok = docs.select("doc_id", F.explode(simple_tokens()).alias("tok"))
+    tok = balanced(docs).select("doc_id", F.explode(simple_tokens()).alias("tok"))
     tok = tok.withColumn("h", F.md5(F.to_binary(F.col("tok"), F.lit("utf-8"))))
     # integer bit extraction: the 64 bits live in the first 16 hex
     # chars, parsed ONCE into two 32-bit halves; each bit is then a

@@ -48,18 +48,26 @@ def _byte_histogram(blob: bytes, bins: int = N_FEATURES) -> np.ndarray:
     return (hist / total).astype(np.float32)
 
 
-def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """An opaque-binary media table derived deterministically from the
-    documents table (blob = utf-8 bytes of text): exercises the real
+def media_from_docs(docs: DataFrame) -> DataFrame:
+    """An opaque-binary media table derived deterministically from a
+    documents frame (blob = utf-8 bytes of text): exercises the real
     binary-column plumbing AND gives the decode step an exact DuckDB
-    oracle (``encode(text)`` yields the identical bytes there)."""
-    import os
-
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    oracle (``encode(text)`` yields the identical bytes there).
+    Layout-agnostic — the caller supplies the frame."""
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("text-blob").alias("kind"),
         F.encode(F.col("text"), "utf-8").alias("blob"),
+    )
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convenience wrapper over :func:`media_from_docs` for the driver
+    testdata layout."""
+    import os
+
+    return media_from_docs(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     )
 
 
@@ -68,6 +76,9 @@ def decode_media_counts(media: DataFrame) -> DataFrame:
     (16 bins = the byte's high nibble) as integer columns — no float
     normalization, so the driver's value-hash comparison against the
     DuckDB twin is exact.  Same Arrow plumbing as ``decode_media``."""
+    from ..partitioning import balanced
+
+    media = balanced(media)
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -97,6 +108,9 @@ def decode_media(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     ``fake_decode`` the feature is a deterministic 16-bin byte
     histogram (a real computation with the same shape a CNN/FFT
     embedding would have)."""
+    from ..partitioning import balanced
+
+    media = balanced(media)
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -215,15 +215,18 @@ def _ivf_centroids(embeddings: DataFrame, n_centroids: int):
     return np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
+               cents=None) -> DataFrame:
     """(vec_id, centroid_id, embedding): each vector assigned to its
     max-cosine centroid (rounded to 6 decimals; ties -> smallest
     centroid id).  One matmul per Arrow batch — same vectorized shape
-    as the LSH bucket assignment."""
+    as the LSH bucket assignment.  Pass precomputed ``cents`` to
+    share the seed-vector collect with the probe computation."""
     import numpy as np
     import pandas as pd
 
-    cents = _ivf_centroids(embeddings, n_centroids)
+    if cents is None:
+        cents = _ivf_centroids(embeddings, n_centroids)
     cnorm = np.linalg.norm(cents, axis=1)
 
     def assign(it):
@@ -245,12 +248,14 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
 
 
 def ivf_probe_centroids(embeddings: DataFrame, query_vec: list[float],
-                        n_centroids: int = 16, nprobe: int = 4) -> list[int]:
+                        n_centroids: int = 16, nprobe: int = 4,
+                        cents=None) -> list[int]:
     """Driver-side: the ``nprobe`` centroids nearest the query
     (rounded cosine desc, centroid id asc)."""
     import numpy as np
 
-    cents = _ivf_centroids(embeddings, n_centroids)
+    if cents is None:
+        cents = _ivf_centroids(embeddings, n_centroids)
     q = np.asarray(query_vec, dtype=np.float64)
     sims = np.round((cents @ q) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q)), 6)
     order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))
@@ -263,8 +268,9 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     assigned to the query's ``nprobe`` nearest centroids — probes
     ~nprobe/n_centroids of the corpus.  Deterministic, so the DuckDB
     oracle recomputes it exactly; recall floor pinned in pytest."""
-    probe = ivf_probe_centroids(embeddings, query_vec, n_centroids, nprobe)
-    assigned = ivf_assign(embeddings, n_centroids)
+    cents = _ivf_centroids(embeddings, n_centroids)  # one collect, shared
+    probe = ivf_probe_centroids(embeddings, query_vec, n_centroids, nprobe, cents=cents)
+    assigned = ivf_assign(embeddings, n_centroids, cents=cents)
     pruned = assigned.filter(F.col("centroid_id").isin(probe))
     return cosine_topk(pruned, query_vec, k)
 

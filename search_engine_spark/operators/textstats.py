@@ -128,7 +128,10 @@ def winnow_fingerprint(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
 
     import pandas as pd
 
+    from ..partitioning import balanced
+
     pat = _re.compile(TOKEN_SPLIT_RE)
+    docs = balanced(docs)
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -51,14 +51,24 @@ class SearchEngine:
             self.meta = json.load(fh)
         self._stop = cfg.stop_set()
         self.city_docs = city_docs
-        # dictionary/doc-map DataFrames are created once per engine:
-        # re-planning spark.read.parquet per resolve_terms call cost a
-        # schema-discovery round trip on every query (q/s, not
-        # correctness).  The DataFrame is lazy — nothing is cached in
-        # memory, and (bucket, term_key) pushdown still prunes scans.
-        self._dictionary = spark.read.parquet(self.paths.dictionary)
-        self._doc_stats = spark.read.parquet(self.paths.doc_stats)
-        self._index = spark.read.parquet(self.paths.index)
+        self.refresh()
+
+    def refresh(self) -> None:
+        """(Re)open the index tables.  The dictionary/doc-map/index
+        DataFrames are created once per engine: re-planning
+        spark.read.parquet per resolve_terms call cost a schema-
+        discovery round trip on every query (q/s, not correctness).
+        The DataFrames are lazy — nothing is cached in memory and
+        (bucket, term_key) pushdown still prunes scans — but their
+        parquet FILE LISTING is frozen at creation, so after
+        ``streaming.ingest.refresh_index`` (or any rebuild) call
+        ``refresh()`` (or construct a new engine): the old frames
+        point at replaced part files."""
+        with open(self.paths.meta) as fh:
+            self.meta = json.load(fh)
+        self._dictionary = self.spark.read.parquet(self.paths.dictionary)
+        self._doc_stats = self.spark.read.parquet(self.paths.doc_stats)
+        self._index = self.spark.read.parquet(self.paths.index)
 
     # -- term resolution ----------------------------------------------------
     def parse_query(self, query: str) -> list[str]:
@@ -195,21 +205,24 @@ class SearchEngine:
 
     # -- phrase search (positions path; requires keep_positions build) -------
     def parse_phrase(self, phrase: str) -> list[tuple[str, int]]:
-        """Ordered (term_key, offset) pairs for a phrase query: the
-        same tokenize/stem kernels as the build, offsets = raw token
-        positions within the phrase, stop words skipped but their
-        GAP preserved (so "state of the art" matches docs where the
-        stop words sat between the content words, exactly as the
-        index recorded positions over the unfiltered token stream)."""
-        from .textproc import tokenize
-        from .porter import porter_stem
+        """Ordered (term_key, offset) pairs for a phrase query via the
+        FULL build parse (tokenize + N2-N12 rewrites + stop filter +
+        stemming + case rules) — the index stores rule-rewritten
+        multi-token terms ("between 18 and 24", "14 May", "45%") as
+        single terms at their raw token offset, so the phrase must be
+        parsed with the identical kernel or those phrases silently
+        miss.  Offsets are raw token positions within the phrase;
+        dropped stop words keep their GAP (so "state of the art"
+        matches docs where the stop words sat between the content
+        words, exactly as the index recorded positions over the
+        unfiltered token stream)."""
+        from .textproc import parse_doc
 
         out: list[tuple[str, int]] = []
-        for i, tok in enumerate(tokenize(phrase)):
-            if tok.lower() in self._stop and tok.strip() != "between":
-                continue
-            word = porter_stem(tok) if self.meta["stem"] else tok
-            out.append((word.lower(), i))
+        for key, ts in parse_doc(phrase, self._stop, self.meta["stem"]).items():
+            for pos in ts.positions:
+                out.append((key.lower(), pos))
+        out.sort(key=lambda t: t[1])
         return out
 
     def _unpack_positions(self, scan: DataFrame) -> DataFrame:

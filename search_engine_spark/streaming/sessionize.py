@@ -62,11 +62,18 @@ def sessionize_stream(
         (user_id,) = key
         if state.hasTimedOut:
             session, n, s_us, e_us = state.get
-            state.remove()
-            yield pd.DataFrame({
-                "user_id": [user_id], "session": [session], "n_events": [n],
-                "start_us": [s_us], "end_us": [e_us],
-            })
+            # keep the SESSION COUNTER (n_events=0 marks "no open
+            # session") instead of state.remove(): dropping it would
+            # restart numbering at 1 for this user's next session,
+            # emitting duplicate (user_id, session) keys and
+            # diverging from the batch twin's 1..k order.  Cost: four
+            # longs per ever-seen user, no further timeouts.
+            state.update((session, 0, 0, 0))
+            if n > 0:
+                yield pd.DataFrame({
+                    "user_id": [user_id], "session": [session], "n_events": [n],
+                    "start_us": [s_us], "end_us": [e_us],
+                })
             return
 
         rows = pd.concat(list(pdfs), ignore_index=True)

@@ -53,10 +53,15 @@ def test_shingle_rows_matches_python_reference(spark):
     assert got == want
 
 
-def test_shingle_rows_plan_has_no_exchange(spark):
+def test_shingle_rows_plan_has_no_keyed_exchange(spark):
+    """Shingling must never shuffle token/shingle rows by key; the
+    only permissible exchange is the round-robin input-balance pass
+    that un-serializes a single-row-group parquet input."""
     docs = spark.read.parquet(os.path.join(SF_001, "documents.parquet"))
     plan = D.shingle_rows(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, "shingling must be map-only (no shuffle)"
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    # the testdata file IS single-row-group, so the balance guard fires
+    assert plan.count("Exchange") <= 1
 
 
 # ---------------------------------------------------------------------------
@@ -455,6 +460,23 @@ def test_phrase_search_matches_python_reference(spark, tmp_dir):
             ref.append((p["url"], len(bases)))
     ref.sort(key=lambda t: (-t[1], t[0]))
     assert got == ref[:20] and got, "phrase results must match the reference and be non-empty"
+
+    # rule-rewritten phrase: "between 18 and 24" is indexed as ONE
+    # term (N10) — parse_phrase must run the full rule kernel or this
+    # silently returns empty (fixture snippets inject the construct)
+    rule_terms = eng.parse_phrase("between 18 and 24")
+    assert rule_terms == [("between 18 and 24", 0)]
+    got_rule = [(r["url"], r["phrase_tf"]) for r in
+                eng.phrase_search("between 18 and 24", 50).collect()]
+    ref_rule = []
+    for p in pages:
+        posmap = {k.lower(): set(v.positions)
+                  for k, v in parse_doc(p["text"], stop, cfg.stem).items()}
+        hits = posmap.get("between 18 and 24", set())
+        if hits:
+            ref_rule.append((p["url"], len(hits)))
+    ref_rule.sort(key=lambda t: (-t[1], t[0]))
+    assert got_rule == ref_rule[:50] and got_rule, "rule phrase must match docs"
 
     # a phrase with an out-of-dictionary word -> empty
     assert eng.phrase_search("zzznope trade", 10).count() == 0

@@ -125,13 +125,22 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_dir):
          i % 5)
         for i in range(200)
     ]
-    far1 = [(9001, base + dt.timedelta(days=2), 999)]
-    far2 = [(9002, base + dt.timedelta(days=3), 999)]
+    # a SECOND burst after the users' first sessions have been flushed
+    # by timeout: session numbering must CONTINUE (k+1...), not restart
+    # at 1 — the state keeps the counter after a timeout flush
+    late = [
+        (500 + i, base + dt.timedelta(days=2, minutes=5 * i), i % 3)
+        for i in range(30)
+    ]
+    far1 = [(9001, base + dt.timedelta(days=1), 999)]
+    far2 = [(9002, base + dt.timedelta(days=4), 999)]
+    far3 = [(9003, base + dt.timedelta(days=5), 999)]
 
     src = os.path.join(tmp_dir, "events_stream")
     os.makedirs(src)
     ddl = "event_id long, ts timestamp, user_id long"
-    for name, rows in (("c0", real), ("c1", far1), ("c2", far2)):
+    for name, rows in (("c0", real), ("c1", far1), ("c2", late),
+                       ("c3", far2), ("c4", far3)):
         spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
             os.path.join(src, name))
 
@@ -148,5 +157,8 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_dir):
            if r["user_id"] != 999}
     want = {(r["user_id"], r["session"]): (r["n_events"], r["start_us"], r["end_us"])
             for r in sessionize_batch(
-                spark.createDataFrame(real, ddl), gap_us).collect()}
+                spark.createDataFrame(real + late, ddl), gap_us).collect()}
     assert got == want and len(want) >= 10
+    # users 0-2 had sessions in BOTH bursts: their late-burst sessions
+    # must be numbered after the flushed early ones (no restart at 1)
+    assert any(s > 1 for (u, s) in want if u in (0, 1, 2))
