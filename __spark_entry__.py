@@ -364,6 +364,14 @@ def q_dedup_near_pairs(spark, sf):
     return D.near_dup_pairs(_tbl(spark, sf, "documents"), threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf):
+    # the keep-list: connected components over the verified near-dup
+    # pairs (iterative min-label propagation; the DuckDB twin is a
+    # recursive-CTE transitive closure)
+    pairs = D.near_dup_pairs(_tbl(spark, sf, "documents"), threshold=0.5)
+    return D.dedup_clusters(pairs)
+
+
 def q_ann_dup_pairs(spark, sf):
     # LSH-bucketed embedding near-dup (the scale path for
     # dedup_embedding_cosine): cosine only within a sign bucket
@@ -659,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_near_pairs": q_dedup_near_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ann_dup_pairs": q_ann_dup_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1252,6 +1261,20 @@ JOIN sizes sb ON inter.doc_b = sb.doc_id
 WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
 """,
         "dedup_near_pairs": _sql_near_dup_pairs(0.5),
+        "dedup_clusters": f"""
+WITH RECURSIVE np AS ({_sql_near_dup_pairs(0.5)}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM np
+          UNION SELECT doc_b, doc_a FROM np),
+reach AS (
+  SELECT src AS doc_id, dst AS other FROM edges
+  UNION
+  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON r.other = e.src
+)
+SELECT doc_id,
+       least(doc_id, min(other)) AS cluster_id,
+       doc_id = least(doc_id, min(other)) AS keep
+FROM reach GROUP BY doc_id
+""",
         "ann_dup_pairs": _sql_ann_dup_pairs(0.35),
         "ann_lsh_topk": _sql_ann_lsh_topk(10),
         "ann_ivf_topk": _sql_ann_ivf_topk(10),

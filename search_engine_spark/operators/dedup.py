@@ -347,6 +347,55 @@ def simhash_duplicates(docs: DataFrame, bits: int = 64,
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Duplicate clusters + keep-list from near-dup PAIRS — the final
+    step of a production dedup pipeline ("which doc do we keep"):
+    connected components via iterative min-label propagation, then
+    keep = (doc == cluster minimum).
+
+    Input: (doc_a, doc_b, ...) candidate/verified pairs.  Output:
+    (doc_id, cluster_id, keep) for every doc appearing in a pair
+    (docs in no pair are trivially kept and not emitted).
+
+    Distributed shape: each iteration is one join + one min-agg over
+    the edge list, labels localCheckpoint'ed per round (truncates the
+    iterative lineage — without it the plan doubles every round).
+    Min-propagation is monotone non-increasing, so sum(label) is a
+    safe convergence metric; near-dup components have tiny diameters,
+    so it converges in a handful of rounds (hard cap ``max_iters``)."""
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
+
+
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force all-pairs at test
     scale; the bucketed ANN path for production is in similarity.py)."""

@@ -65,6 +65,38 @@ def test_semi_join_is_semi(spark):
     assert "LeftSemi" in plan
 
 
+def test_simhash_band_join_is_hash_join(spark):
+    """Banded-Hamming candidates must come from an equality hash join
+    on band values — never a cartesian/BNLJ pass."""
+    from search_engine_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(D.simhash_near_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_probe_filters_reach_scan(spark, tmp_dir):
+    """Stored ANN layouts: the probe filter must be a PartitionFilter
+    (reading only the probed directories), for both LSH and IVF."""
+    import numpy as np
+
+    from search_engine_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    p1 = os.path.join(tmp_dir, "lsh")
+    SIM.write_bucketed_embeddings(emb, p1)
+    plan1 = _plan(SIM.ann_lsh_topk_pruned(spark, p1, qvec))
+    assert "PartitionFilters" in plan1 and "bucket" in plan1
+
+    p2 = os.path.join(tmp_dir, "ivf")
+    SIM.write_ivf_index(emb, p2)
+    plan2 = _plan(SIM.ivf_topk_pruned(spark, p2, emb, qvec))
+    assert "PartitionFilters" in plan2 and "centroid_id" in plan2
+
+
 def test_index_scan_prunes(spark, built_index):
     """Query-path scan: bucket partition pruning + term_key pushdown
     (the Spark equivalent of the reference's bucket-file seek)."""

@@ -66,6 +66,48 @@ def test_resume_skips_completed_stages(spark, fixture_pages_parquet, tmp_dir):
     assert len([r for r in lineage2 if r["stage"] == "pack"]) >= 4
 
 
+def test_killed_pack_repair_serves_correct_results(spark, fixture_pages_parquet, tmp_dir):
+    """The ADVICE-flagged scenario end-to-end: a build killed during
+    pack must NOT leave a servable-looking index.  meta.json (the
+    servable marker) only appears after pack completes, and re-entering
+    the resume path repairs the index to rank-identical results."""
+    import shutil
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.searcher import SearchEngine
+
+    cfg = EngineConfig(n_doc_shards=4, n_term_buckets=8, n_bucket_groups=4)
+    pages = spark.read.parquet(fixture_pages_parquet)
+    clean = os.path.join(tmp_dir, "clean")
+    build_index(spark, pages, clean, cfg)
+    want = [(r["url"], round(r["score"], 9))
+            for r in SearchEngine(spark, clean, cfg).search("world trade", 10).collect()]
+
+    # simulate the kill: copy the clean build, then erase half the pack
+    # groups' outputs + lineage rows + the meta marker (what a SIGKILL
+    # mid-stage-D leaves behind)
+    broken = os.path.join(tmp_dir, "broken")
+    shutil.copytree(clean, broken)
+    paths = IndexPaths(broken)
+    os.remove(paths.meta)
+    for bkt in (2, 3, 6, 7):
+        shutil.rmtree(os.path.join(paths.index, f"bucket={bkt}"), ignore_errors=True)
+    rows = [r for r in read_lineage(paths)
+            if not (r["stage"] == "pack" and r["key"] in ("2", "3"))
+            and r["stage"] != "build"]
+    write_lineage(paths, rows)
+
+    # a reader must refuse the partial index (no servable marker)
+    assert not os.path.exists(paths.meta)
+
+    # the repair path: resume completes only the missing groups...
+    build_index(spark, pages, broken, cfg, resume=True)
+    assert os.path.exists(paths.meta)
+    got = [(r["url"], round(r["score"], 9))
+           for r in SearchEngine(spark, broken, cfg).search("world trade", 10).collect()]
+    assert got == want
+
+
 def test_fresh_resume_noop(spark, fixture_pages_parquet, tmp_dir):
     cfg = EngineConfig(n_doc_shards=4, n_term_buckets=4, n_bucket_groups=2)
     pages = spark.read.parquet(fixture_pages_parquet)

@@ -174,6 +174,24 @@ def test_ann_bucketed_table_partition_prunes(spark, tmp_dir):
     assert got == want
 
 
+def test_dedup_clusters_transitive(spark):
+    """Connected components: chained pairs merge into one cluster with
+    the minimum doc as keeper, independent clusters stay apart."""
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12),        # chain -> one cluster, keep 1
+         (20, 21),                        # separate cluster, keep 20
+         (30, 31), (32, 31)],             # V-shape -> keep 30
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in D.dedup_clusters(pairs).collect()}
+    assert got == {
+        1: (1, True), 5: (1, False), 9: (1, False), 12: (1, False),
+        20: (20, True), 21: (20, False),
+        30: (30, True), 31: (30, False), 32: (30, False),
+    }
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN: exact-within-probe semantics, recall gauge, pruning
 
