@@ -630,6 +630,24 @@ def q_search_city_filtered(spark, sf):
     return eng.search(ENGINE_QUERY, 20, cities=["london", "tokyo"])
 
 
+def q_multimodal_resize(spark, sf):
+    """Resize (nearest-neighbor byte sampling to a 256-byte budget)
+    over the opaque-binary media rows; compared via exact integer
+    projections (sizes, byte sum, first/last byte) that DuckDB
+    recomputes from hex(blob)."""
+    media = MM.media_from_docs(_tbl(spark, sf, "documents"))
+    out = MM.resize_media(media, target_bytes=256)
+    first = F.when(F.col("n_bytes_out") > 0,
+                   F.conv(F.substring(F.hex("blob_out"), 1, 2), 16, 10).cast("long")).otherwise(F.lit(-1))
+    last = F.when(F.col("n_bytes_out") > 0,
+                  F.conv(F.expr("substring(hex(blob_out), length(hex(blob_out)) - 1, 2)"), 16, 10).cast("long")).otherwise(F.lit(-1))
+    return out.select(
+        "media_id", "kind", "n_bytes_in", "n_bytes_out",
+        first.alias("b_first"), last.alias("b_last"),
+        F.md5(F.to_binary(F.hex("blob_out"), F.lit("utf-8"))).alias("blob_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # full-text relational core
@@ -681,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_winnow_fingerprint": q_text_winnow_fingerprint,
         "text_bpe_stats": q_text_bpe_stats,
+        "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1280,6 +1299,22 @@ FROM reach GROUP BY doc_id
         "ann_ivf_topk": _sql_ann_ivf_topk(10),
         "dedup_simhash": _sql_simhash_near_pairs(3),
         "multimodal_features": _sql_multimodal_counts(MM.N_FEATURES),
+        "multimodal_resize": """
+WITH m AS (SELECT doc_id AS media_id, 'text-blob' AS kind, encode(text) AS blob FROM documents),
+h AS (SELECT media_id, kind, octet_length(blob) AS n, hex(blob) AS hx FROM m),
+r AS (SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes_in,
+             CAST(least(n, 256) AS BIGINT) AS n_bytes_out,
+             CASE WHEN n > 256
+                  THEN array_to_string(list_transform(range(256),
+                       j -> substr(hx, CAST(2 * ((j * n) // 256) + 1 AS BIGINT), 2)), '')
+                  ELSE hx END AS hx_out
+      FROM h)
+SELECT media_id, kind, n_bytes_in, n_bytes_out,
+  CAST(CASE WHEN n_bytes_out > 0 THEN ('0x' || substr(hx_out, 1, 2))::BIGINT ELSE -1 END AS BIGINT) AS b_first,
+  CAST(CASE WHEN n_bytes_out > 0 THEN ('0x' || substr(hx_out, length(hx_out) - 1, 2))::BIGINT ELSE -1 END AS BIGINT) AS b_last,
+  md5(hx_out) AS blob_md5
+FROM r
+""",
         "entities_top5": _sql_entities_top5(),
         "trec_topics_roundtrip": _sql_trec_topics(),
         "city_enrich": _sql_city_enrich(),

@@ -133,6 +133,49 @@ def decode_media(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     return media.select("media_id", "kind", "blob").mapInPandas(batch, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, n_bytes_in long, n_bytes_out long, blob_out binary"
+)
+
+
+def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Resize each media payload to a fixed byte budget via
+    nearest-neighbor sampling (output byte j = input byte
+    floor(j * n / target)).  The real image resize slots into the same
+    kernel once codecs exist; the sampling IS the deterministic
+    stand-in, so the op carries an exact oracle (DuckDB recomputes the
+    sampled bytes from hex(blob)).  Inputs shorter than the budget
+    pass through unchanged."""
+    from ..partitioning import balanced
+
+    media = balanced(media)
+    t = int(target_bytes)
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "kind": [], "n_bytes_in": [],
+                   "n_bytes_out": [], "blob_out": []}
+            for mid, kind, b in zip(pdf["media_id"], pdf["kind"], pdf["blob"]):
+                arr = (np.frombuffer(bytes(b), dtype=np.uint8)
+                       if b is not None else np.empty(0, dtype=np.uint8))
+                n = arr.size
+                if n > t:
+                    idx = (np.arange(t, dtype=np.int64) * n) // t
+                    resized = arr[idx]
+                else:
+                    resized = arr
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes_in"].append(n)
+                out["n_bytes_out"].append(int(resized.size))
+                out["blob_out"].append(resized.tobytes())
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "blob").mapInPandas(
+        batch, schema=RESIZED_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 500, fake_decode: bool = True) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled
     frame.  Stub frame content = deterministic byte slice."""

@@ -251,6 +251,21 @@ def test_decode_media_counts_reference(spark):
         assert [g[f"h{k}"] for k in range(16)] == counts.tolist()
 
 
+def test_resize_media_nearest_neighbor(spark):
+    media = MM.media_from_documents(spark, SF_001).limit(10)
+    src = {r["media_id"]: bytes(r["blob"]) for r in media.collect()}
+    got = {r["media_id"]: r for r in MM.resize_media(media, 64).collect()}
+    for mid, b in src.items():
+        arr = np.frombuffer(b, dtype=np.uint8)
+        if arr.size > 64:
+            idx = (np.arange(64, dtype=np.int64) * arr.size) // 64
+            want = arr[idx].tobytes()
+        else:
+            want = b
+        assert bytes(got[mid]["blob_out"]) == want
+        assert got[mid]["n_bytes_in"] == arr.size
+
+
 def test_media_blob_is_utf8_text(spark):
     docs = spark.read.parquet(os.path.join(SF_001, "documents.parquet")).limit(5)
     media = {r["media_id"]: bytes(r["blob"])

@@ -40,9 +40,21 @@ def test_streamed_ingest_matches_batch_build(spark, tmp_dir, cfg):
     stream_ingest(spark, stream_dir, ix_stream, cfg)
     refresh_index(spark, ix_stream, cfg)
 
+    # an engine opened BEFORE the next refresh must serve the new
+    # index after .refresh() (its cached frames freeze the parquet
+    # file listing; refresh_index replaces the underlying files)
+    from search_engine_spark.searcher import SearchEngine
+
+    eng_held = SearchEngine(spark, ix_stream, cfg)
+    eng_held.search("world trade", 5).collect()
+
     _write_chunk(pages[120:], os.path.join(stream_dir, "chunk1.parquet"))
     stream_ingest(spark, stream_dir, ix_stream, cfg)
     meta_s = refresh_index(spark, ix_stream, cfg)
+    eng_held.refresh()
+    assert eng_held.meta["n_docs"] == N_DOCS
+    held_top = [(r["url"], round(r["score"], 9))
+                for r in eng_held.search("world trade", 10).collect()]
 
     # one-shot batch build over the full corpus
     sdf = spark.createDataFrame(
@@ -62,13 +74,12 @@ def test_streamed_ingest_matches_batch_build(spark, tmp_dir, cfg):
     assert d_s == d_b
 
     # the search path over the streamed index matches the batch index
-    from search_engine_spark.searcher import SearchEngine
-
     top_s = [(r["url"], round(r["score"], 9))
              for r in SearchEngine(spark, ix_stream, cfg).search("world trade", 10).collect()]
     top_b = [(r["url"], round(r["score"], 9))
              for r in SearchEngine(spark, ix_batch, cfg).search("world trade", 10).collect()]
     assert top_s == top_b
+    assert held_top == top_b, "refreshed held engine must serve the new index"
 
     # lineage kept one row per streamed epoch
     stages = [r["stage"] for r in read_lineage(IndexPaths(ix_stream))]
