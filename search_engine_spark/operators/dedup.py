@@ -372,12 +372,14 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
     )
     prev_sum = None
+    prev_labels = None
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src").agg(F.min("label").alias("nlabel"))
         )
-        labels = (
+        new_labels = (
             labels.join(neigh, labels.doc_id == neigh.src, "left")
             .select(
                 "doc_id",
@@ -385,10 +387,24 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             )
             .localCheckpoint()
         )
+        # release the previous round's pinned checkpoint — without
+        # this, max_iters copies of the label table stay in executor
+        # storage for the life of the job
+        if prev_labels is not None:
+            prev_labels.unpersist()
+        prev_labels, labels = labels, new_labels
         cur = labels.agg(F.sum("label")).first()[0]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # returning unconverged labels would silently split one true
+        # cluster into several keep=True rows (duplicates retained)
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds — "
+            "a component's diameter exceeds the cap; raise max_iters"
+        )
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

@@ -190,6 +190,12 @@ def test_dedup_clusters_transitive(spark):
         20: (20, True), 21: (20, False),
         30: (30, True), 31: (30, False), 32: (30, False),
     }
+    # a component whose diameter exceeds the round cap must REFUSE
+    # (unconverged labels would silently keep duplicate docs)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_clusters(chain, max_iters=2)
 
 
 # ---------------------------------------------------------------------------
