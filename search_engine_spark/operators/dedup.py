@@ -297,7 +297,15 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     are then verified by the exact distance (bit_count over XOR of
     the bands).  Same LSH shape as MinHash banding; replaces the
     16-bit exact-collision form whose 2^16 buckets all collide at
-    real corpus sizes."""
+    real corpus sizes.
+
+    Tune ``max_hamming`` to the document length distribution: short
+    docs over a shared vocabulary concentrate fingerprints, so the
+    verified-pair density is data-dependent (measured on the 240k-doc
+    synthetic corpus: Hamming<=3 verifies ~8.2M pairs, i.e. ~34 per
+    doc — tools/pipeline_bench.py records the <=1 setting alongside).
+    MinHash+Jaccard (near_dup_pairs) is the precision path; SimHash
+    is the recall-cheap prefilter."""
     assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
     sigs = simhash_bands(docs, bits, n_bands)
     band_cols = [f"b{k}" for k in range(n_bands)]

@@ -1,0 +1,92 @@
+"""Training-data-pipeline operators at scale-bench corpus size.
+
+The per-round bench (bench.py, sf0.1 = 5k docs) verifies the operators
+are wired correctly; this harness runs the expensive pipeline ops on
+the 240k-doc scaling corpus (48x) to evidence that their plans hold at
+scale — LSH candidate counts stay bounded, the verify stage touches
+candidates only, cluster propagation converges, and wall time scales
+with the corpus, not with pairs^2.
+
+Usage: python tools/pipeline_bench.py [--docs 240000] [--cpus 16]
+Prints one JSON line: {"op": seconds, ...} plus output row counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=240_000)
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args()
+
+    from tools.scale_bench import ensure_corpus
+
+    corpus = ensure_corpus(args.docs)
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators import dedup as D
+    from search_engine_spark.operators import textstats as TS
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark(app="pipeline_bench", master=f"local[{args.cpus}]")
+    # documents-shaped view of the pages corpus: deterministic doc_id
+    # from the url's trailing ordinal
+    docs = (
+        spark.read.parquet(corpus)
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            "text",
+        )
+    )
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def run(name: str, thunk, sink: str = "count") -> None:
+        """sink='count' for join/agg-shaped ops (count() forces the
+        work AND yields the row count in one pass); sink='noop' for
+        pure projections, where count() would let Catalyst prune the
+        very expressions being measured."""
+        t0 = time.time()
+        df = thunk()
+        if sink == "count":
+            counts[name] = int(df.count())
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 2)
+        print(f"{name}: {timings[name]}s, rows={counts.get(name, 'n/a')}",
+              file=sys.stderr, flush=True)
+
+    run("exact_dups", lambda: D.exact_duplicates(docs))
+    run("minhash_lsh_candidates", lambda: D.lsh_candidate_pairs(docs))
+    run("near_dup_pairs", lambda: D.near_dup_pairs(docs, threshold=0.5))
+    run("dedup_clusters", lambda: D.dedup_clusters(
+        D.near_dup_pairs(docs, threshold=0.5)))
+    run("simhash_near_pairs_h1", lambda: D.simhash_near_pairs(docs, max_hamming=1))
+    run("winnow_fingerprint", lambda: TS.winnow_fingerprint(docs), sink="noop")
+    run("quality_score", lambda: TS.quality_score(docs), sink="noop")
+    run("token_count_bpe", lambda: TS.token_count_bpe(docs), sink="noop")
+
+    print(json.dumps({
+        "metric": "pipeline ops at scale corpus",
+        "docs": args.docs,
+        "cpus": args.cpus,
+        "seconds": timings,
+        "rows": counts,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
