@@ -305,7 +305,13 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     synthetic corpus: Hamming<=3 verifies ~8.2M pairs, i.e. ~34 per
     doc — tools/pipeline_bench.py records the <=1 setting alongside).
     MinHash+Jaccard (near_dup_pairs) is the precision path; SimHash
-    is the recall-cheap prefilter."""
+    is the recall-cheap prefilter.
+
+    The band width is the other lever: pigeonhole only needs
+    max_hamming < n_bands, so for max_hamming <= 1 use ``n_bands=2``
+    (two 32-bit bands) — a 32-bit equality candidate join collides
+    ~2^16 times less than 16-bit bands, shrinking the verify stage by
+    the same factor."""
     assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
     sigs = simhash_bands(docs, bits, n_bands)
     band_cols = [f"b{k}" for k in range(n_bands)]
