@@ -43,6 +43,7 @@ from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import similarity as SIM
 from search_engine_spark.operators import textstats as TS
+from search_engine_spark.ranking import ranked
 from search_engine_spark.searcher import SearchEngine
 from search_engine_spark.sources.pages import extract_text, load_documents_as_pages
 from search_engine_spark.wand import wand_search
@@ -174,10 +175,15 @@ def q_ft_bm25_topk(spark, sf):
         )
     )
     scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # top-k pattern (searcher.py search()): orderBy+limit plans as
+    # TakeOrderedAndProject (per-partition heaps, k rows to the
+    # driver); the window then ranks only the k surviving rows.  The
+    # previous full-table Window.orderBy ranked EVERY row in a single
+    # partition — a driver-bottleneck at scale.
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+        ranked(topk, [("score", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
         .select("doc_id", "score", "rank")
     )
 
@@ -248,12 +254,17 @@ def q_revenue_by_nation(spark, sf):
 
 
 def q_topk_orders(spark, sf):
-    # K4: deterministic global top-50
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
+    # K4: deterministic global top-50 as TakeOrdered (orderBy+limit),
+    # never a single-partition full-table window
+    topk = (
         _tbl(spark, sf, "orders")
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 50)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+    return (
+        ranked(topk, [("o_totalprice", "desc"), ("o_orderkey", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
         .select("o_orderkey", "o_totalprice", "rank")
     )
 
@@ -379,10 +390,12 @@ def q_ann_dup_pairs(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    # 64-bit SimHash, banded-Hamming LSH (4x16-bit bands; pairs within
-    # Hamming<=3 share >=1 exact band by pigeonhole) — the scale
-    # semantics; the old 16-bit exact-collision form was a
-    # hash-collision generator at any real corpus size
+    # 64-bit SimHash near-pairs at Hamming<=3.  Candidates come from
+    # the block-combination scheme derived from max_hamming (8 blocks,
+    # 5-block 40-bit keys — full recall by pigeonhole, ~2^24x fewer
+    # random key collisions than the old fixed 4x16-bit banding); the
+    # DuckDB twin keeps the simple 4-band candidates, which also have
+    # full recall at h<=3, so the verified outputs are identical.
     return D.simhash_near_pairs(_tbl(spark, sf, "documents"), max_hamming=3)
 
 
@@ -393,10 +406,9 @@ def q_dedup_embedding_cosine(spark, sf):
 def q_ann_cosine_topk(spark, sf):
     emb = _tbl(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return SIM.cosine_topk(emb, qvec, k=10).withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("vec_id"))).cast("long"),
-    )
+    return SIM.cosine_topk(emb, qvec, k=10).transform(
+        lambda d: ranked(d, [("cosine", "desc"), ("vec_id", "asc")])
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_ann_lsh_topk(spark, sf):
@@ -407,10 +419,9 @@ def q_ann_lsh_topk(spark, sf):
     emb = _tbl(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     out = SIM.ann_lsh_topk(emb, qvec, k=10)
-    return out.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("vec_id"))).cast("long"),
-    )
+    return out.transform(
+        lambda d: ranked(d, [("cosine", "desc"), ("vec_id", "asc")])
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_ann_ivf_topk(spark, sf):
@@ -420,10 +431,9 @@ def q_ann_ivf_topk(spark, sf):
     emb = _tbl(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     out = SIM.ivf_topk(emb, qvec, k=10)
-    return out.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("vec_id"))).cast("long"),
-    )
+    return out.transform(
+        lambda d: ranked(d, [("cosine", "desc"), ("vec_id", "asc")])
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_knn_join_first5(spark, sf):
@@ -545,10 +555,10 @@ def q_ft_phrase_topk(spark, sf):
     for p in parts[1:]:
         base = base.join(p, ["doc_id", "base"])
     m = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("phrase_tf"))
-    w = Window.orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+    topk = m.orderBy(F.desc("phrase_tf"), F.asc("doc_id")).limit(20)
     return (
-        m.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+        ranked(topk, [("phrase_tf", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
         .select("doc_id", "phrase_tf", "rank")
     )
 
@@ -884,18 +894,27 @@ def _sql_ann_ivf_topk(k: int = 10, n_centroids: int = 16, nprobe: int = 4) -> st
     """DuckDB twin of similarity.ivf_topk: same seed centroids
     (vec_id < n_centroids), same rounded-cosine argmax assignment
     (ties -> smallest centroid id), same nprobe probe, exact cosine
-    top-k within the probed lists."""
-    def cos(a: str, b: str) -> str:
+    top-k within the probed lists.  Assignment/probe sims use the
+    explicit half-UP rounding floor(x*1e6+0.5)/1e6 — the exact twin of
+    similarity._round6_half_up (np.round is banker's, SQL round() is
+    half away from zero; at an exact midpoint they'd diverge)."""
+    def raw_cos(a: str, b: str) -> str:
         return (
-            f"round(list_sum(list_transform(range(1, len({a}.embedding) + 1), "
+            f"(list_sum(list_transform(range(1, len({a}.embedding) + 1), "
             f"i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE))) / ("
             f"sqrt(list_sum(list_transform({a}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
-            f"sqrt(list_sum(list_transform({b}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+            f"sqrt(list_sum(list_transform({b}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
         )
+
+    def cos(a: str, b: str) -> str:
+        return f"round({raw_cos(a, b)}, 6)"
+
+    def cos_half_up(a: str, b: str) -> str:
+        return f"(floor({raw_cos(a, b)} * 1000000 + 0.5) / 1000000)"
 
     return f"""
 WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {n_centroids}),
-sims AS (SELECT e.vec_id, e.embedding, c.cid, {cos('e', 'c')} AS sim
+sims AS (SELECT e.vec_id, e.embedding, c.cid, {cos_half_up('e', 'c')} AS sim
          FROM embeddings e CROSS JOIN c),
 asg AS (SELECT vec_id, embedding, cid FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -903,7 +922,7 @@ asg AS (SELECT vec_id, embedding, cid FROM (
         WHERE rn = 1),
 q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
 probe AS (SELECT cid FROM (
-            SELECT c.cid, row_number() OVER (ORDER BY {cos('c', 'q')} DESC, c.cid ASC) AS rn
+            SELECT c.cid, row_number() OVER (ORDER BY {cos_half_up('c', 'q')} DESC, c.cid ASC) AS rn
             FROM c, q)
           WHERE rn <= {nprobe}),
 scored AS (SELECT a.vec_id, {cos('a', 'q')} AS cosine

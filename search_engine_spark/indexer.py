@@ -209,37 +209,39 @@ def build_index(
         except Exception:
             input_bytes = 0
         old_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
-        if input_bytes:
-            split = max(4 << 20, input_bytes // (3 * par))
-            spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
-        if pages.rdd.getNumPartitions() < 2 * par:
-            pages = pages.repartition(2 * par)
-        tokenized = tokenize_pages(pages, cfg).withColumn("bucket", term_bucket(cfg))
-        if cfg.partition_raw:
-            # bucket-dir layout: costs one extra full-postings shuffle
-            # here, buys partition-pruned pack-group scans.  Salt keeps
-            # >1 write task per bucket when the cluster is larger than
-            # the bucket count (without the repartition, partitionBy
-            # fans tasks x buckets small files).
-            salt_mod = max(1, par // cfg.n_term_buckets)
-            write_salt = F.pmod(F.xxhash64("url"), F.lit(salt_mod)).cast("int")
-            (tokenized.repartition(cfg.n_term_buckets * salt_mod, F.col("bucket"), write_salt)
-             .write.mode("overwrite").partitionBy("bucket").parquet(paths.postings_raw))
-        else:
-            # SPIMI proper: per-partition runs straight out of the
-            # parse tasks; the pack stage's groupBy(bucket, shard) is
-            # the single full-postings shuffle (the reference's
-            # external merge, Indexer.java:198-296, done by the
-            # shuffle service)
-            tokenized.write.mode("overwrite").parquet(paths.postings_raw)
-        # the shrunken split size is for the tokenize scan only —
-        # restore it so the rest of the session (queries, later
-        # builds) keeps its configured value
-        if input_bytes:
-            if old_split is None:
-                spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        # the shrunken split size is for the tokenize scan only; the
+        # restore lives in a finally so a failed/killed scan can't
+        # leave the whole session on a 4MB split size
+        try:
+            if input_bytes:
+                split = max(4 << 20, input_bytes // (3 * par))
+                spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+            if pages.rdd.getNumPartitions() < 2 * par:
+                pages = pages.repartition(2 * par)
+            tokenized = tokenize_pages(pages, cfg).withColumn("bucket", term_bucket(cfg))
+            if cfg.partition_raw:
+                # bucket-dir layout: costs one extra full-postings shuffle
+                # here, buys partition-pruned pack-group scans.  Salt keeps
+                # >1 write task per bucket when the cluster is larger than
+                # the bucket count (without the repartition, partitionBy
+                # fans tasks x buckets small files).
+                salt_mod = max(1, par // cfg.n_term_buckets)
+                write_salt = F.pmod(F.xxhash64("url"), F.lit(salt_mod)).cast("int")
+                (tokenized.repartition(cfg.n_term_buckets * salt_mod, F.col("bucket"), write_salt)
+                 .write.mode("overwrite").partitionBy("bucket").parquet(paths.postings_raw))
             else:
-                spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
+                # SPIMI proper: per-partition runs straight out of the
+                # parse tasks; the pack stage's groupBy(bucket, shard) is
+                # the single full-postings shuffle (the reference's
+                # external merge, Indexer.java:198-296, done by the
+                # shuffle service)
+                tokenized.write.mode("overwrite").parquet(paths.postings_raw)
+        finally:
+            if input_bytes:
+                if old_split is None:
+                    spark.conf.unset("spark.sql.files.maxPartitionBytes")
+                else:
+                    spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
         _lineage_append(spark, paths, [{
             "stage": "tokenize", "key": "all",
             "bytes": _dir_bytes(paths.postings_raw), "seconds": time.time() - t0,

@@ -128,12 +128,16 @@ def make_city_docs(pages: DataFrame, cities: list[str] | None = None) -> DataFra
     the (city, url) shape."""
     names = cities if cities is not None else [c[0] for c in _DEMO_CITIES]
     arr = F.array(*[F.lit(c) for c in names])
-    # ~1 in 4 docs carries a tag; which city is a stable url-hash pick
+    # ~1 in 4 docs carries a tag; which city is a stable url-hash
+    # pick.  The city index must come from an INDEPENDENT hash: with
+    # one hash h, the tag filter h%4==0 forces h%6 into {0,2,4}, so
+    # half the 6-city dim (paris/tokyo/hilo) could never be tagged.
     h = F.abs(F.xxhash64("url"))
+    h2 = F.abs(F.xxhash64(F.lit("city-pick"), F.col("url")))
     return (
-        pages.select("url", h.alias("h"))
+        pages.select("url", h.alias("h"), h2.alias("h2"))
         .filter(F.col("h") % 4 == 0)
-        .select(F.element_at(arr, (F.col("h") % F.lit(len(names))).cast("int") + 1).alias("city"), "url")
+        .select(F.element_at(arr, (F.col("h2") % F.lit(len(names))).cast("int") + 1).alias("city"), "url")
     )
 
 

@@ -287,64 +287,111 @@ def simhash_bands(docs: DataFrame, bits: int = 64,
     return agg.select("doc_id", *bands)
 
 
+def _simhash_layout(max_hamming: int) -> tuple[int, int]:
+    """(n_blocks m, combo size c) for the block-combination candidate
+    scheme: split the 64-bit signature into m equal blocks; a pair
+    within Hamming distance h differs in at most h blocks, so at
+    least m-h blocks match EXACTLY, and keying candidates on every
+    (m-h)-subset of blocks has full recall (the subset of untouched
+    blocks is one of the enumerated keys).  m is chosen so the
+    candidate key stays wide (>= ~32 bits): a 16-bit key space
+    (the old fixed 4x16 banding at h=3) collides ~N^2/2^16 times —
+    measured 8.2M verified pairs and a 10x-the-minhash-pipeline
+    verify stage at just 240k docs."""
+    h = max_hamming
+    if h <= 0:
+        return 2, 2          # 1 key of 64 bits (exact match)
+    if h == 1:
+        return 2, 1          # 2 keys of 32 bits
+    if h == 2:
+        return 4, 2          # 6 keys of 32 bits
+    if h == 3:
+        return 8, 5          # 56 keys of 40 bits
+    if h <= 7:
+        return 8, 8 - h      # C(8, 8-h) keys of (8-h)*8 bits
+    raise ValueError("max_hamming > 7 needs a custom block layout")
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
-                       bits: int = 64, n_bands: int = 4) -> DataFrame:
-    """SimHash near-dup pairs at scale: banded-Hamming LSH.
+                       bits: int = 64, n_bands: int | None = None) -> DataFrame:
+    """SimHash near-dup pairs at scale, full recall at ``max_hamming``.
 
-    A pair within Hamming distance ``max_hamming`` < n_bands must
-    share at least one exact band (pigeonhole), so candidates come
-    from an equality join per band — never an all-pairs scan — and
-    are then verified by the exact distance (bit_count over XOR of
-    the bands).  Same LSH shape as MinHash banding; replaces the
-    16-bit exact-collision form whose 2^16 buckets all collide at
-    real corpus sizes.
+    Candidate generation derives from ``max_hamming`` (the
+    block-combination scheme of :func:`_simhash_layout`): the 64-bit
+    signature is split into m blocks and each doc emits one join key
+    per (m-h)-subset of blocks (key = xxhash64 of the subset's block
+    values — a hash collision can only ADD candidates, never lose
+    one, so recall is preserved).  Docs meet in an equality join on
+    those wide keys — never an all-pairs scan, and never the 16-bit
+    band space whose ~N^2/2^16 collisions made the verify stage
+    explode at the old fixed 4x16 layout.
 
-    Tune ``max_hamming`` to the document length distribution: short
-    docs over a shared vocabulary concentrate fingerprints, so the
-    verified-pair density is data-dependent (measured on the 240k-doc
-    synthetic corpus: Hamming<=3 verifies ~8.2M pairs, i.e. ~34 per
-    doc — tools/pipeline_bench.py records the <=1 setting alongside).
-    MinHash+Jaccard (near_dup_pairs) is the precision path; SimHash
-    is the recall-cheap prefilter.
+    Each matched row carries BOTH docs' block values, so verification
+    (exact Hamming = sum of per-block XOR popcounts) happens inside
+    the same join — no candidate ``distinct`` shuffle and no sig
+    re-join.  Exactly-once emission: a pair sharing several subset
+    keys is kept only on its FIRST truly-matching combo, computed
+    from an m-bit block-equality mask through a 2^m-entry literal
+    lookup table (m <= 8 -> 256 entries; a per-combo CASE chain at
+    56 combos x 5 comparisons would strain codegen).
 
-    The band width is the other lever: pigeonhole only needs
-    max_hamming < n_bands, so for max_hamming <= 1 use ``n_bands=2``
-    (two 32-bit bands) — a 32-bit equality candidate join collides
-    ~2^16 times less than 16-bit bands, shrinking the verify stage by
-    the same factor."""
-    assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
-    sigs = simhash_bands(docs, bits, n_bands)
-    band_cols = [f"b{k}" for k in range(n_bands)]
-    long = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(k).alias("band_idx"), F.col(f"b{k}").alias("band_val"))
-                for k in range(n_bands)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_val")
-    a, b = long.alias("a"), long.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"),
-                     *[F.col(c).alias(f"a_{c}") for c in band_cols])
-    sb = sigs.select(F.col("doc_id").alias("doc_b"),
-                     *[F.col(c).alias(f"b_{c}") for c in band_cols])
+    ``n_bands`` (legacy) forces the simple one-block-per-key banding
+    with that many bands — kept because its pigeonhole precondition
+    (max_hamming < n_bands) is part of the public contract/tests.
+
+    Density note: verified-pair density is data-dependent (short docs
+    over a shared vocabulary concentrate fingerprints); MinHash+
+    Jaccard (near_dup_pairs) is the precision path, SimHash the
+    recall-cheap prefilter."""
+    if n_bands is not None:
+        assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
+        m, csize = n_bands, 1
+    else:
+        m, csize = _simhash_layout(max_hamming)
+    import itertools
+
+    combos = list(itertools.combinations(range(m), csize))
+    block_cols = [f"b{k}" for k in range(m)]
+    sigs = simhash_bands(docs, bits, n_bands=m)
+    keyed = sigs.select(
+        "doc_id", *block_cols,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(ci).alias("combo"),
+                F.xxhash64(F.lit(ci), *[F.col(f"b{k}") for k in combo]).alias("key"),
+            )
+            for ci, combo in enumerate(combos)
+        ])).alias("ck"),
+    ).select("doc_id", F.col("ck.combo").alias("combo"),
+             F.col("ck.key").alias("key"), *block_cols)
+
+    a, b = keyed.alias("a"), keyed.alias("b")
+    # m-bit mask of which blocks agree, then the first combo fully
+    # contained in that mask (precomputed per mask value) — the
+    # join-key hash already guarantees SOME combo matches for every
+    # true pair, so first_match >= 0 whenever hamming <= max_hamming
+    eq_mask = None
+    for k in range(m):
+        bit = F.when(F.col(f"a.b{k}") == F.col(f"b.b{k}"), F.lit(1 << k)).otherwise(F.lit(0))
+        eq_mask = bit if eq_mask is None else eq_mask + bit
+    combo_masks = [sum(1 << k for k in combo) for combo in combos]
+    first_match = [
+        next((ci for ci, cm in enumerate(combo_masks) if cm & mask == cm), -1)
+        for mask in range(1 << m)
+    ]
+    witness = F.element_at(F.array(*[F.lit(v) for v in first_match]), eq_mask + 1)
     hamming = None
-    for c in band_cols:
-        term = F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+    for k in range(m):
+        term = F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
         hamming = term if hamming is None else hamming + term
     return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
+        a.join(b, (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.combo") == F.col("b.combo"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
         .withColumn("hamming", hamming.cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .filter((F.col("hamming") <= max_hamming) & (F.col("a.combo") == witness))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"), "hamming")
     )
 
 

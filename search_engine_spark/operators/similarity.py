@@ -200,6 +200,17 @@ def ann_dup_pairs(
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the second scale path besides sign-LSH
 
+def _round6_half_up(x):
+    """Half-UP rounding to 6 decimals (floor(x*1e6 + 0.5)/1e6).
+    np.round is banker's (half to even) while SQL round() is half away
+    from zero — an exact-midpoint similarity would then assign a
+    vector to different centroids across engines.  Both the kernels
+    here and the DuckDB oracle use this identical expression."""
+    import numpy as np
+
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
 def _ivf_centroids(embeddings: DataFrame, n_centroids: int):
     """Deterministic coarse quantizer: the centroids ARE the first
     ``n_centroids`` vectors by vec_id (k-medoids-style seeding).  No
@@ -235,7 +246,7 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
                 continue
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             sims = (m @ cents.T) / (np.linalg.norm(m, axis=1)[:, None] * cnorm[None, :])
-            cid = np.argmax(np.round(sims, 6), axis=1)  # argmax -> first max = smallest id
+            cid = np.argmax(_round6_half_up(sims), axis=1)  # argmax -> first max = smallest id
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"],
                 "centroid_id": cid.astype(np.int64),
@@ -257,7 +268,7 @@ def ivf_probe_centroids(embeddings: DataFrame, query_vec: list[float],
     if cents is None:
         cents = _ivf_centroids(embeddings, n_centroids)
     q = np.asarray(query_vec, dtype=np.float64)
-    sims = np.round((cents @ q) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q)), 6)
+    sims = _round6_half_up((cents @ q) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q)))
     order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))
     return sorted(order[:nprobe])
 

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from .codec import bm25_contribution, unpack_bits, varint_decode, delta_decode
 from .config import DEFAULT, EngineConfig
 from .indexer import IndexPaths
+from .ranking import ranked
 from .textproc import parse_doc
 
 UNPACKED_SCHEMA = (
@@ -194,12 +195,16 @@ class SearchEngine:
             .agg(F.sum("contrib").alias("bm25"), F.sum("bonus").alias("bonus"))
             .withColumn("score", F.lit(blend_a) * F.col("bm25") + F.lit(blend_b) * F.col("bonus"))
         )
-        return (
+        # orderBy+limit plans as TakeOrderedAndProject (per-partition
+        # heaps, k rows total); the rank is then attached window-free
+        # over only those k rows (ranking.ranked).
+        topk = (
             scores.join(self._doc_map(), ["shard", "local_id"])
             .orderBy(F.desc("score"), F.asc("url"))
             .limit(k)
-            .withColumn("rank", F.row_number().over(
-                Window.orderBy(F.desc("score"), F.asc("url"))))
+        )
+        return (
+            ranked(topk.select("url", "score"), [("score", "desc"), ("url", "asc")])
             .select("url", "score", "rank")
         )
 
@@ -291,12 +296,13 @@ class SearchEngine:
         matches = base.groupBy("shard", "local_id").agg(
             F.count(F.lit(1)).alias("phrase_tf")
         )
-        return (
+        topk = (
             matches.join(self._doc_map(), ["shard", "local_id"])
             .orderBy(F.desc("phrase_tf"), F.asc("url"))
             .limit(k)
-            .withColumn("rank", F.row_number().over(
-                Window.orderBy(F.desc("phrase_tf"), F.asc("url"))))
+        )
+        return (
+            ranked(topk.select("url", "phrase_tf"), [("phrase_tf", "desc"), ("url", "asc")])
             .select("url", "phrase_tf", "rank")
         )
 

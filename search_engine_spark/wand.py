@@ -35,9 +35,10 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .ranking import ranked
 from .codec import bm25_contribution, delta_decode, unpack_bits, varint_decode
 
 WAND_OUT_SCHEMA = "shard int, local_id long, score double"
@@ -141,10 +142,12 @@ def wand_search(engine, query: str, k: int | None = None) -> DataFrame:
         "block_last", "block_max",
     )
     per_shard = scan.groupBy("shard").applyInPandas(shard_fn, schema=WAND_OUT_SCHEMA)
-    return (
+    topk = (
         per_shard.join(engine._doc_map(), ["shard", "local_id"])
         .orderBy(F.desc("score"), F.asc("url"))
         .limit(k)
-        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("url"))))
+    )
+    return (
+        ranked(topk.select("url", "score"), [("score", "desc"), ("url", "asc")])
         .select("url", "score", "rank")
     )

@@ -208,9 +208,8 @@ def test_ivf_topk_exact_within_probe(spark):
     got = [(r["vec_id"], r["cosine"]) for r in SIM.ivf_topk(emb, qvec, k=10).collect()]
 
     cents = m[:16]
-    sims = np.round(
-        (m @ cents.T) / (np.linalg.norm(m, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :]),
-        6,
+    sims = SIM._round6_half_up(
+        (m @ cents.T) / (np.linalg.norm(m, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :])
     )
     cid = np.argmax(sims, axis=1)
     probe = set(SIM.ivf_probe_centroids(emb, qvec))
