@@ -7,13 +7,16 @@
                         SURVEY.md §2 (plus the training-data-pipeline
                         operators: dedup / similarity / text analysis
                         / multimodal).
-``oracle_sql()``      — exact DuckDB ANSI-SQL twins for every
-                        SQL-expressible query.  Non-SQL-expressible
-                        paths (full N1-N15 parser + Porter + packed
-                        postings + WAND, LSH-pruned ANN, multimodal
-                        decode) are covered by the pytest oracle
-                        (tests/test_spark_index.py) and get the
-                        driver's rows-only check here.
+``oracle_sql()``      — exact DuckDB ANSI-SQL twins for EVERY query.
+                        SQL-expressible paths are recomputed by
+                        DuckDB outright; the packed-engine paths
+                        (full N1-N15 parser + Porter + codec + WAND)
+                        are equivalence rows — the Spark side joins
+                        the engine result to an independent
+                        plain-postings twin (twin.py) per rank and
+                        the oracle states the constant all-match
+                        expectation, so the driver hash still fails
+                        on any divergence.
 
 Numeric-compare policy: every float aggregate is rounded IN BOTH
 ENGINES, at a precision strictly finer than the value grid of the
@@ -43,6 +46,7 @@ from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import similarity as SIM
 from search_engine_spark.operators import textstats as TS
+from search_engine_spark import twin as TW
 from search_engine_spark.ranking import ranked
 from search_engine_spark.searcher import SearchEngine
 from search_engine_spark.sources.pages import extract_text, load_documents_as_pages
@@ -189,22 +193,58 @@ def q_ft_bm25_topk(spark, sf):
 
 
 # ---------------------------------------------------------------------------
-# queries — full engine (non-SQL-expressible: rows-only driver check,
-# rank-identity vs the single-node oracle asserted in pytest)
+# queries — full engine equivalence rows.  The packed-index paths are
+# not SQL-expressible (the N1-N15 parser + Porter stemming feed them),
+# so each row joins the ENGINE output per rank against an independent
+# plain-DataFrame twin recomputed from the pre-pack postings_raw table
+# (search_engine_spark/twin.py) and emits per-rank match flags whose
+# expected value is constant — an exact hash-checkable DuckDB oracle
+# (SELECT rank, true, true FROM range(...)).  A wrong rank count,
+# wrong doc at any rank, or score off by >1e-9 flips the row red.
+# Rank-identity vs the single-node oracle is additionally asserted in
+# pytest (tests/test_spark_index.py, test_wand.py, test_round2.py).
+
+def _rank_eq(engine_out, twin_out, exact, approx):
+    e = engine_out.withColumn("rank", F.col("rank").cast("long"))
+    t = twin_out.withColumn("rank", F.col("rank").cast("long"))
+    return TW.compare_topk(e, t, ["rank"], exact, approx)
+
 
 def q_search_bm25_topk(spark, sf):
+    """Packed-index BM25 top-20 ≡ plain-postings twin, per rank."""
     eng = _engine_for(spark, sf)
-    return eng.search(ENGINE_QUERY, 20)
+    return _rank_eq(
+        eng.search(ENGINE_QUERY, 20),
+        TW.twin_bm25_topk(spark, eng, ENGINE_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
 
 
 def q_search_wand_topk(spark, sf):
+    """Block-max WAND ≡ the exhaustive packed scorer, per rank (WAND
+    is a pruning strategy, not an approximation)."""
     eng = _engine_for(spark, sf)
-    return wand_search(eng, ENGINE_QUERY, 20)
+    return _rank_eq(
+        wand_search(eng, ENGINE_QUERY, 20),
+        eng.search(ENGINE_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
 
 
 def q_search_batch(spark, sf):
+    """One-job batch search ≡ the per-query loop, per (qid, rank)."""
     eng = _engine_for(spark, sf)
-    return eng.search_batch([("q1", ENGINE_QUERY), ("q2", "query plan join")], 10)
+    qs = [("q1", ENGINE_QUERY), ("q2", "query plan join")]
+    batch = eng.search_batch(qs, 10).withColumn("rank", F.col("rank").cast("long"))
+    loop = None
+    for qid, q in qs:
+        one = eng.search(q, 10).select(
+            F.lit(qid).alias("qid"), F.col("rank").cast("long").alias("rank"),
+            "url", "score",
+        )
+        loop = one if loop is None else loop.unionByName(one)
+    return TW.compare_topk(batch, loop, ["qid", "rank"],
+                           exact_cols=["url"], approx_cols=["score"])
 
 
 def q_extract_text_roundtrip(spark, sf):
@@ -564,12 +604,14 @@ def q_ft_phrase_topk(spark, sf):
 
 
 def q_search_phrase(spark, sf):
-    """Full-engine phrase search over the packed positional index
-    (delta+varint `poss` blobs).  Non-SQL-expressible (full parser +
-    stemming feed the positions); pytest asserts identity with a
-    driver-side reference over parse_doc."""
+    """Packed positional phrase search (delta+varint ``poss`` blobs)
+    ≡ plain twin over the raw ``positions`` arrays, per rank."""
     eng = _engine_for(spark, sf)
-    return eng.phrase_search("hash join", 20)
+    return _rank_eq(
+        eng.phrase_search("hash join", 20),
+        TW.twin_phrase_topk(spark, eng, "hash join", 20),
+        exact=["url", "phrase_tf"], approx=[],
+    )
 
 
 def q_trec_topics_roundtrip(spark, sf):
@@ -630,14 +672,19 @@ def q_city_enrich(spark, sf):
 def q_search_city_filtered(spark, sf):
     """F2/J4/U2 full-engine path: BM25 top-20 semi-joined to the city
     doc set = (city-term posting membership) ∪ (city_docs dim tags) —
-    the complete reference semantics (Searcher.java:311-328).
-    Non-SQL-expressible (full parser + packed index): rows-only check;
-    rank-identity vs the single-node oracle is asserted in pytest."""
+    the complete reference semantics (Searcher.java:311-328) — made
+    an equivalence row against the plain-postings twin recomputing
+    the identical union + scores + top-k."""
     from search_engine_spark.operators.cities import make_city_docs
 
     eng = _engine_for(spark, sf)
     eng.city_docs = make_city_docs(load_documents_as_pages(spark, sf))
-    return eng.search(ENGINE_QUERY, 20, cities=["london", "tokyo"])
+    cities = ["london", "tokyo"]
+    return _rank_eq(
+        eng.search(ENGINE_QUERY, 20, cities=cities),
+        TW.twin_city_filtered_topk(spark, eng, ENGINE_QUERY, cities, 20),
+        exact=["url"], approx=["score"],
+    )
 
 
 def q_multimodal_resize(spark, sf):
@@ -1400,7 +1447,31 @@ WITH {_TOK_CTE}
 SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
 FROM tok
 """,
-        # no oracle (non-SQL-expressible — full N1-N15 parser + Porter
-        # + packed postings): search_bm25_topk, search_wand_topk,
-        # search_batch, search_city_filtered
+        # full-engine equivalence rows: the Spark side joins the
+        # packed-index result to an independent plain-postings twin
+        # per rank (twin.py), so the expected output is exactly k
+        # all-true match rows — constants DuckDB states directly.
+        # Any rank-count change, wrong doc, or score drift > 1e-9
+        # breaks the row-count/hash match.
+        "search_bm25_topk": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "search_wand_topk": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "search_city_filtered": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "search_phrase": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS phrase_tf_match
+FROM range(1, 21)
+""",
+        "search_batch": """
+SELECT qid, CAST(r.range AS BIGINT) AS rank,
+       true AS url_match, true AS score_match
+FROM (VALUES ('q1'), ('q2')) AS t(qid) CROSS JOIN range(1, 11) AS r
+""",
     }

@@ -1,0 +1,175 @@
+"""Plain-DataFrame twins of the packed-index query paths.
+
+The full engine answers queries through dictionary pruning + packed
+delta/varint blobs + Arrow unpack kernels — not expressible in the
+driver's DuckDB oracle (the N1-N15 parser + Porter stemming feed it).
+These twins recompute the SAME query from the PRE-PACK
+``postings_raw`` table using nothing but built-in DataFrame ops, so
+they are independent of everything the packed path adds: the
+dictionary stage, the codec (delta+varint+bitpack), the pruned scan,
+and the unpack kernels.  ``__spark_entry__`` joins engine output
+against twin output per rank and emits match flags whose expected
+value is a constant — turning the formerly rows-only ``search_*``
+driver rows into exact hash-checkable equivalence rows.
+
+Scalar constants (k1, b, avgdl, n_docs, blend weights) come from the
+index meta — they are corpus-level scalars whose recomputation would
+only re-introduce float-summation-order noise; everything per-term
+and per-doc (tf, df, idf, doc length, importance bonus, positions) is
+recomputed from the raw rows.  The per-posting arithmetic mirrors
+``codec.bm25_contribution`` (Ranker.java:32-40) operation-for-
+operation so the doubles agree bit-for-bit before the final
+(order-insensitive up to ~1e-15) per-doc sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ranking import ranked
+
+
+def raw_postings(spark: SparkSession, engine) -> DataFrame:
+    """The engine's own pre-pack postings table (stage A output)."""
+    return spark.read.parquet(engine.paths.postings_raw)
+
+
+def twin_bm25_scores(spark: SparkSession, engine, term_keys: list[str]) -> DataFrame:
+    """(url, score) for the given parsed term keys, recomputed from
+    postings_raw: df/idf/dl from the raw rows, BM25 contribution and
+    the importance-bonus blend exactly as the packed path computes
+    them (searcher.py _unpack + search)."""
+    meta = engine.meta
+    k1, b = float(meta["k1"]), float(meta["b"])
+    avgdl, n_docs = float(meta["avgdl"]), float(meta["n_docs"])
+    blend_a, blend_b = float(meta["blend_bm25"]), float(meta["blend_bonus"])
+    raw = raw_postings(spark, engine)
+    dl = raw.groupBy("url").agg(F.sum("tf").alias("dl"))
+    qt = raw.filter(F.col("term_key").isin(list(term_keys))).select(
+        "url", "term_key", "tf", "important"
+    )
+    dfreq = qt.groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl)))
+    contrib = F.lit(k1 + 1.0) * tf * F.col("idf") / norm
+    per = (
+        qt.join(F.broadcast(dfreq), "term_key")
+        .join(dl, "url")
+        .withColumn("idf", F.log2(F.lit(n_docs) / F.col("df")))
+        .withColumn("contrib", contrib)
+        .withColumn("bonus", F.when(F.col("important"), F.lit(1.2)).otherwise(F.lit(1.0)))
+    )
+    return (
+        per.groupBy("url")
+        .agg(F.sum("contrib").alias("bm25"), F.sum("bonus").alias("bonus"))
+        .select(
+            "url",
+            (F.lit(blend_a) * F.col("bm25") + F.lit(blend_b) * F.col("bonus")).alias("score"),
+        )
+    )
+
+
+def twin_bm25_topk(spark: SparkSession, engine, query: str, k: int) -> DataFrame:
+    """(url, score, rank) — the plain twin of ``SearchEngine.search``.
+    Query parsing is shared with the engine (driver-side kernel, its
+    own pytest oracle); everything data-side is recomputed."""
+    keys = engine.parse_query(query)
+    scores = twin_bm25_scores(spark, engine, keys)
+    topk = scores.orderBy(F.desc("score"), F.asc("url")).limit(k)
+    return ranked(topk, [("score", "desc"), ("url", "asc")])
+
+
+def twin_city_filtered_topk(spark: SparkSession, engine, query: str,
+                            cities: list[str], k: int) -> DataFrame:
+    """Plain twin of the city-filtered search: allowed docs = (urls on
+    any city term's raw posting rows) ∪ (city_docs tags restricted to
+    indexed urls) — Searcher.java:311-328 semantics — then the BM25
+    top-k semi-joined to that set.  Scores of allowed docs are
+    unaffected by the filter, so filtering scores (here) is equivalent
+    to filtering postings (engine)."""
+    raw = raw_postings(spark, engine)
+    city_keys = sorted({c.lower() for c in cities if c})
+    member = raw.filter(F.col("term_key").isin(city_keys)).select("url")
+    parts = [member]
+    if engine.city_docs is not None:
+        tagged = (
+            engine.city_docs.filter(F.lower(F.col("city")).isin(city_keys))
+            .select("url")
+            .join(raw.select("url").distinct(), "url", "left_semi")
+        )
+        parts.append(tagged)
+    allowed = parts[0]
+    for p in parts[1:]:
+        allowed = allowed.unionByName(p)
+    allowed = allowed.distinct()
+    scores = twin_bm25_scores(spark, engine, engine.parse_query(query))
+    topk = (
+        scores.join(allowed, "url", "left_semi")
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(k)
+    )
+    return ranked(topk, [("score", "desc"), ("url", "asc")])
+
+
+def twin_phrase_topk(spark: SparkSession, engine, phrase: str, k: int) -> DataFrame:
+    """(url, phrase_tf, rank) — plain twin of
+    ``SearchEngine.phrase_search``: the same (term_key, offset) pairs
+    from the shared phrase parse, matched on raw ``positions`` arrays
+    via the n-way (url, pos - offset) equi-join, ranked by phrase
+    frequency (ties: url asc)."""
+    terms = engine.parse_phrase(phrase)
+    empty = spark.createDataFrame([], "url string, phrase_tf long, rank int")
+    if not terms:
+        return empty
+    raw = raw_postings(spark, engine)
+    present = {
+        r["term_key"]
+        for r in raw.filter(F.col("term_key").isin(sorted({t for t, _ in terms})))
+        .select("term_key").distinct().collect()
+    }
+    if {t for t, _ in terms} - present:
+        return empty  # a phrase term missing from the corpus
+    base = None
+    for key, off in terms:
+        part = (
+            raw.filter(F.col("term_key") == key)
+            .select("url", F.explode("positions").alias("pos"))
+            .select("url", (F.col("pos") - F.lit(off)).alias("base"))
+        )
+        base = part if base is None else base.join(part, ["url", "base"])
+    matches = base.groupBy("url").agg(F.count(F.lit(1)).cast("long").alias("phrase_tf"))
+    topk = matches.orderBy(F.desc("phrase_tf"), F.asc("url")).limit(k)
+    return ranked(topk, [("phrase_tf", "desc"), ("url", "asc")])
+
+
+def compare_topk(engine_out: DataFrame, twin_out: DataFrame,
+                 join_cols: list[str], exact_cols: list[str],
+                 approx_cols: list[str], tol: float = 1e-9) -> DataFrame:
+    """Per-rank equivalence frame: full-outer join on ``join_cols``
+    (so a row present on only one side still surfaces as a mismatch
+    row), one boolean ``<col>_match`` per compared column — null-safe
+    exact equality for ``exact_cols``, abs-diff <= tol for
+    ``approx_cols`` (engine sums floats in a different order than the
+    twin; bit-identical per-posting doubles still leave ~1e-15 sum
+    noise)."""
+    cmp_cols = list(exact_cols) + list(approx_cols)
+    e = engine_out.select(
+        *join_cols, *[F.col(c).alias(f"e_{c}") for c in cmp_cols]
+    )
+    t = twin_out.select(
+        *join_cols, *[F.col(c).alias(f"t_{c}") for c in cmp_cols]
+    )
+    j = e.join(t, list(join_cols), "full_outer")
+    flags = [
+        F.col(f"e_{c}").eqNullSafe(F.col(f"t_{c}")).alias(f"{c}_match")
+        for c in exact_cols
+    ] + [
+        (
+            F.col(f"e_{c}").isNotNull()
+            & F.col(f"t_{c}").isNotNull()
+            & (F.abs(F.col(f"e_{c}") - F.col(f"t_{c}")) <= tol)
+        ).alias(f"{c}_match")
+        for c in approx_cols
+    ]
+    return j.select(*join_cols, *flags)

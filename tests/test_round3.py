@@ -1,0 +1,113 @@
+"""Round-3 tests: window-free post-limit ranking, packed-engine ≡
+plain-twin equivalence rows, the max_hamming-derived SimHash candidate
+scheme, and city-tag reachability."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import dedup as D
+from search_engine_spark.ranking import ranked
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# ranking.ranked: identical to the window rank, no WindowExec node
+
+def test_ranked_matches_reference_and_has_no_window(spark):
+    df = spark.range(500).select(
+        (F.col("id") % 83).alias("v"), F.col("id").alias("k")
+    )
+    topk = df.orderBy(F.desc("v"), F.asc("k")).limit(12)
+    out = ranked(topk, [("v", "desc"), ("k", "asc")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan and "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = sorted((r["rank"], r["v"], r["k"]) for r in out.collect())
+    want = sorted(
+        ((i % 83), i) for i in range(500)
+    )
+    want = sorted(want, key=lambda t: (-t[0], t[1]))[:12]
+    assert rows == [(i + 1, v, k) for i, (v, k) in enumerate(want)]
+
+
+def test_ranked_ties_on_nonfinal_keys(spark):
+    # equal primary keys must resolve by the unique tie-break
+    df = spark.createDataFrame(
+        [(5, "b"), (5, "a"), (3, "c")], "v long, k string"
+    )
+    out = {(r["k"]): r["rank"] for r in
+           ranked(df, [("v", "desc"), ("k", "asc")]).collect()}
+    assert out == {"a": 1, "b": 2, "c": 3}
+
+
+# ---------------------------------------------------------------------------
+# packed engine ≡ plain twin (the driver's former no_oracle rows)
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as E
+
+    return E
+
+
+@pytest.mark.parametrize("name,n_expected", [
+    ("search_bm25_topk", 20),
+    ("search_wand_topk", 20),
+    ("search_batch", 20),
+    ("search_city_filtered", 20),
+    ("search_phrase", 20),
+])
+def test_equivalence_rows_all_true(spark, entry_mod, name, n_expected):
+    rows = entry_mod.queries()[name](spark, SF_001).collect()
+    assert len(rows) == n_expected, name
+    for r in rows:
+        d = r.asDict()
+        for col, val in d.items():
+            if col.endswith("_match"):
+                assert val is True, (name, d)
+
+
+# ---------------------------------------------------------------------------
+# SimHash: the max_hamming-derived combo scheme emits exactly the
+# legacy banded scheme's verified pairs (both have full recall)
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_001, "documents.parquet"))
+
+
+@pytest.mark.parametrize("h,legacy_bands", [(1, 2), (2, 4), (3, 4)])
+def test_simhash_combo_equals_legacy(spark, h, legacy_bands):
+    docs = _docs(spark)
+    combo = {(r["doc_a"], r["doc_b"], r["hamming"])
+             for r in D.simhash_near_pairs(docs, max_hamming=h).collect()}
+    legacy = {(r["doc_a"], r["doc_b"], r["hamming"])
+              for r in D.simhash_near_pairs(docs, max_hamming=h,
+                                            n_bands=legacy_bands).collect()}
+    assert combo == legacy
+
+
+def test_simhash_exactly_once_no_duplicate_pairs(spark):
+    docs = _docs(spark)
+    out = D.simhash_near_pairs(docs, max_hamming=3)
+    total = out.count()
+    distinct = out.select("doc_a", "doc_b").distinct().count()
+    assert total == distinct
+
+
+# ---------------------------------------------------------------------------
+# city tags: every city in the dim must be reachable (the old
+# single-hash pick made half the dim unreachable: h%4==0 => h%6 even)
+
+def test_make_city_docs_reaches_every_city(spark):
+    from search_engine_spark.operators.cities import _DEMO_CITIES, make_city_docs
+    from search_engine_spark.sources.pages import load_documents_as_pages
+
+    pages = load_documents_as_pages(spark, SF_001)
+    got = {r["city"] for r in make_city_docs(pages).select("city").distinct().collect()}
+    assert got == {c[0] for c in _DEMO_CITIES}
