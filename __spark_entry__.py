@@ -63,6 +63,7 @@ SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8h session gap (median per-user gap ~7.
 _ENTRY_CFG = EngineConfig(n_doc_shards=8, n_term_buckets=8, n_bucket_groups=2,
                           keep_positions=True)
 _INDEX_CACHE: dict[str, str] = {}
+_ANN_CACHE: dict[str, str] = {}
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -87,6 +88,28 @@ def _engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
         build_index(spark, pages, out, _ENTRY_CFG, resume=True)
         _INDEX_CACHE[key] = out
     return SearchEngine(spark, _INDEX_CACHE[key], _ENTRY_CFG)
+
+
+def _ann_layouts_for(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize (once per sf_dir, cached on disk) the stored ANN
+    layouts — embeddings partitioned by sign-LSH bucket and by IVF
+    centroid — so the driver rows exercise the partition-pruned scan
+    the 100 TB path uses, not a per-query recompute of every bucket."""
+    key = os.path.abspath(sf_dir)
+    if key not in _ANN_CACHE:
+        tag = hashlib.md5(f"{key}|planes8|cents16".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_ann_{tag}")
+        marker = os.path.join(out, "_DONE")
+        if not os.path.exists(marker):
+            emb = _tbl(spark, key, "embeddings")
+            SIM.write_bucketed_embeddings(emb, os.path.join(out, "lsh"),
+                                          n_planes=8, dim=64)
+            SIM.write_ivf_index(emb, os.path.join(out, "ivf"), n_centroids=16)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _ANN_CACHE[key] = out
+    out = _ANN_CACHE[key]
+    return os.path.join(out, "lsh"), os.path.join(out, "ivf")
 
 
 def _doc_tf(docs: DataFrame) -> DataFrame:
@@ -455,10 +478,14 @@ def q_ann_lsh_topk(spark, sf):
     # deterministic ANN: exact cosine top-k within the probed LSH
     # buckets (bucket = vectorized matmul sign-hash; probe = Hamming<=1
     # neighborhood of the query's bucket) — the DuckDB twin recomputes
-    # the identical bucket + probe + score
+    # the identical bucket + probe + score.  The row queries the
+    # STORED bucket-partitioned layout, so the probe is a
+    # PartitionFilter on the scan (the 100 TB path), not a per-query
+    # bucket recompute over the whole corpus.
     emb = _tbl(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = SIM.ann_lsh_topk(emb, qvec, k=10)
+    lsh_path, _ = _ann_layouts_for(spark, sf)
+    out = SIM.ann_lsh_topk_pruned(spark, lsh_path, qvec, k=10)
     return out.transform(
         lambda d: ranked(d, [("cosine", "desc"), ("vec_id", "asc")])
     ).withColumn("rank", F.col("rank").cast("long"))
@@ -467,10 +494,14 @@ def q_ann_lsh_topk(spark, sf):
 def q_ann_ivf_topk(spark, sf):
     # IVF ANN: deterministic seed-vector centroids (vec_id < 16),
     # matmul assignment, nprobe=4 probe — exact cosine top-k within
-    # the probed inverted lists; DuckDB recomputes the whole structure
+    # the probed inverted lists; DuckDB recomputes the whole
+    # structure.  Queries the STORED centroid-partitioned layout
+    # (probe = PartitionFilter); the embeddings table is consulted
+    # only for the 16 centroid seed vectors.
     emb = _tbl(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = SIM.ivf_topk(emb, qvec, k=10)
+    _, ivf_path = _ann_layouts_for(spark, sf)
+    out = SIM.ivf_topk_pruned(spark, ivf_path, emb, qvec, k=10)
     return out.transform(
         lambda d: ranked(d, [("cosine", "desc"), ("vec_id", "asc")])
     ).withColumn("rank", F.col("rank").cast("long"))

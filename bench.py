@@ -38,6 +38,14 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_sample() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — same probe as
+    tools/scale_bench.py; lets a reader tell a real regression from a
+    stolen window without re-litigating every number."""
+    f = open("/proc/stat").readline().split()
+    return int(f[8]), sum(int(x) for x in f[1:])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -59,6 +67,7 @@ def main() -> None:
     cfg = EngineConfig(n_doc_shards=32, n_term_buckets=16, n_bucket_groups=1)
     ix_dir = tempfile.mkdtemp(prefix="se_bench_ix_")
     timings: dict[str, float] = {}
+    steal: dict[str, float] = {}
 
     # warm the JVM + Python-worker + Arrow paths before the clock
     # starts: the benchmark measures the pipeline, not cold-start
@@ -72,17 +81,26 @@ def main() -> None:
 
     # -- index build (cold, full pipeline) -----------------------------------
     pages = load_documents_as_pages(spark, sf_dir)
+    s0, j0 = _cpu_sample()
     t0 = time.time()
     meta = build_index(spark, pages, ix_dir, cfg, resume=False)
     timings["index_build"] = round(time.time() - t0, 3)
+    s1, j1 = _cpu_sample()
+    steal["index_build"] = round(100 * (s1 - s0) / max(1, j1 - j0), 2)
 
     def timed(name, thunk, reps: int = 2) -> None:
-        best = float("inf")
+        best, best_steal = float("inf"), 0.0
         for _ in range(reps):
+            s0, j0 = _cpu_sample()
             t0 = time.time()
             _force(thunk())
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            s1, j1 = _cpu_sample()
+            if dt < best:
+                best = dt
+                best_steal = 100 * (s1 - s0) / max(1, j1 - j0)
         timings[name] = round(best, 3)
+        steal[name] = round(best_steal, 2)
 
     # -- query paths over the packed index -----------------------------------
     eng = SearchEngine(spark, ix_dir, cfg)
@@ -117,11 +135,17 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "steal_pct": steal,
         "sf": sf_dir,
         "n_docs_indexed": n_docs,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
         "cpus": int(cpus),
     }
+    # end of campaign: release the persisted shingle frames the dedup
+    # rows created (scoped persist — see dedup.clear_shingle_cache)
+    from search_engine_spark.operators.dedup import clear_shingle_cache
+
+    clear_shingle_cache()
     shutil.rmtree(ix_dir, ignore_errors=True)
     spark.stop()
     print(json.dumps(out))

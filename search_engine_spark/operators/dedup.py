@@ -158,6 +158,28 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = DEFAULT_MINHASHES,
     )
 
 
+# scoped registry for the persisted shingle frames: keyed by the
+# INPUT plan's semantic hash (+ session identity + shingle width), so
+# (a) repeated calls over the same corpus return the SAME DataFrame
+# object — no re-persist, no "CacheManager: already cached" churn —
+# and (b) a new campaign over a different corpus EVICTS and unpersists
+# the previous corpus-sized entry instead of accumulating them for the
+# life of the session.  Bounded at 2 entries (current + previous).
+_SHINGLE_CACHE: dict[tuple[int, int, int], DataFrame] = {}
+_SHINGLE_CACHE_MAX = 2
+
+
+def clear_shingle_cache() -> None:
+    """Explicitly release every persisted shingle frame (end of a
+    dedup campaign)."""
+    for df in _SHINGLE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _SHINGLE_CACHE.clear()
+
+
 def _shared_shingles(docs: DataFrame, shingle_n: int) -> DataFrame:
     """Shingles persisted for multi-consumer plans.  The map-only
     kernel has no exchange Catalyst could reuse, so a plan that
@@ -165,17 +187,23 @@ def _shared_shingles(docs: DataFrame, shingle_n: int) -> DataFrame:
     full-corpus tokenize per branch (measured: 6 MapInPandas nodes in
     the near-dup plan).  MEMORY_AND_DISK persistence computes it once;
     at 100 TB the equivalent is materializing the shingle table once
-    per dedup campaign.
-
-    Lifetime: Spark's cache manager keys persisted plans by logical-
-    plan equality, so repeated calls over the SAME input reuse one
-    entry (no per-call growth); one entry per distinct input frame
-    lives until session end or LRU eviction — long sessions running
-    many one-shot campaigns should ``spark.catalog.clearCache()``
-    between them."""
+    per dedup campaign.  Lifetime is scoped by the registry above —
+    see :func:`clear_shingle_cache` for the explicit release."""
     from pyspark import StorageLevel
 
-    return shingle_rows(docs, n=shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
+    key = (id(docs.sparkSession), docs.semanticHash(), shingle_n)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
+        oldest = next(iter(_SHINGLE_CACHE))
+        try:
+            _SHINGLE_CACHE.pop(oldest).unpersist()
+        except Exception:
+            pass
+    sh = shingle_rows(docs, n=shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_CACHE[key] = sh
+    return sh
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,

@@ -111,3 +111,64 @@ def test_make_city_docs_reaches_every_city(spark):
     pages = load_documents_as_pages(spark, SF_001)
     got = {r["city"] for r in make_city_docs(pages).select("city").distinct().collect()}
     assert got == {c[0] for c in _DEMO_CITIES}
+
+
+# ---------------------------------------------------------------------------
+# scoped shingle persist: same corpus -> same frame object; a new
+# corpus evicts (and unpersists) the oldest entry
+
+def test_shared_shingles_scoped_cache(spark):
+    D.clear_shingle_cache()
+    docs1 = _docs(spark)
+    sh1 = D._shared_shingles(docs1, 3)
+    assert D._shared_shingles(_docs(spark), 3) is sh1  # same plan -> same object
+    corpora = [
+        spark.createDataFrame([(i, f"a b c d {i}")], "doc_id long, text string")
+        for i in range(3)
+    ]
+    for c in corpora:
+        D._shared_shingles(c, 3)
+    assert len(D._SHINGLE_CACHE) <= D._SHINGLE_CACHE_MAX
+    assert sh1.storageLevel.useMemory is False  # evicted entry unpersisted
+    D.clear_shingle_cache()
+    assert not D._SHINGLE_CACHE
+
+
+# ---------------------------------------------------------------------------
+# real media decode (optional PIL)
+
+def test_decode_media_real_requires_pil_or_works(spark):
+    from search_engine_spark.operators import multimodal as MM
+
+    media = MM.make_media_table(spark, n=6)
+    if not MM._have_pil():
+        with pytest.raises(NotImplementedError):
+            MM.decode_media(media, fake_decode=False)
+        pytest.skip("PIL not installed in this container")
+    # random bytes are not decodable images -> null features, no crash
+    rows = MM.decode_media(media, fake_decode=False).collect()
+    assert len(rows) == 6
+    assert all(r["features"] is None for r in rows)
+
+
+@pytest.mark.skipif(
+    not __import__("importlib.util", fromlist=["util"]).find_spec("PIL"),
+    reason="PIL not installed in this container",
+)
+def test_decode_media_real_image_histogram(spark):
+    import io
+
+    from PIL import Image
+
+    from search_engine_spark.operators import multimodal as MM
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=200).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), 8, 8, 0, "png")],
+        MM.MEDIA_SCHEMA,
+    )
+    row = MM.decode_media(media, fake_decode=False).collect()[0]
+    feats = row["features"]
+    assert abs(sum(feats) - 1.0) < 1e-6
+    assert feats[200 // 16] == pytest.approx(1.0)
