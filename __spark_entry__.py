@@ -46,6 +46,7 @@ from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import similarity as SIM
 from search_engine_spark.operators import textstats as TS
+from search_engine_spark.operators import webquality as WQ
 from search_engine_spark import twin as TW
 from search_engine_spark.ranking import ranked
 from search_engine_spark.searcher import SearchEngine
@@ -549,6 +550,36 @@ def q_text_bpe_stats(spark, sf):
     return TS.token_count_bpe(_tbl(spark, sf, "documents"))
 
 
+def q_text_gopher_quality(spark, sf):
+    # Gopher-rule quality flags (Rae et al. 2021 App. A adapted):
+    # every metric is an integer count from ONE map-only Arrow pass
+    # and every flag a cross-multiplied integer comparison, so the
+    # DuckDB twin (list-function recomputation) is exact with no
+    # float rounding anywhere
+    return WQ.gopher_quality(_tbl(spark, sf, "documents"))
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
+SAMPLE_SALT = "r3"
+SAMPLE_DEFAULT = 0.05
+
+
+def q_sample_stratified(spark, sf):
+    # deterministic training-mix cut: per-language keep rates via a
+    # portable md5 hash bucket — same doc set on any engine/cluster
+    out = WQ.sample_stratified(
+        _tbl(spark, sf, "documents").select("doc_id", "lang", "source"),
+        rates=SAMPLE_RATES, salt=SAMPLE_SALT, default_rate=SAMPLE_DEFAULT,
+    )
+    return out.select("doc_id", "lang", "source", F.col("bucket").cast("long").alias("bucket"))
+
+
+def q_source_rollup(spark, sf):
+    # per-(source, lang) corpus rollup: doc/token totals + mean
+    # quality — the aggregate a domain-level filter ranks origins by
+    return WQ.source_rollup(_tbl(spark, sf, "documents"))
+
+
 def q_multimodal_features(spark, sf):
     # opaque-binary decode plumbing with an EXACT oracle: media rows
     # derived from documents (blob = utf-8 bytes), features = 16-bin
@@ -787,6 +818,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_winnow_fingerprint": q_text_winnow_fingerprint,
         "text_bpe_stats": q_text_bpe_stats,
+        "text_gopher_quality": q_text_gopher_quality,
+        "sample_stratified": q_sample_stratified,
+        "source_rollup": q_source_rollup,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
     }
@@ -1168,6 +1202,49 @@ FROM q
 """
 
 
+def _sql_gopher_quality() -> str:
+    """Relational recomputation of webquality.gopher_quality: list
+    functions over the shared tokenizer CTE (O(n^2)-per-doc top-count
+    scans are fine at oracle scale), then the identical integer flag
+    comparisons — no floats anywhere, so the match is exact by
+    construction."""
+    stop = ", ".join(f"'{w}'" for w in TS._EN_STOPWORDS)
+    return f"""
+WITH {_TOK_CTE},
+m AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bigs
+  FROM tok
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+    CAST(coalesce(list_max(list_transform(list_distinct(toks),
+         x -> len(list_filter(toks, y -> y = x)))), 0) AS BIGINT) AS top_word,
+    CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+    CAST(coalesce(list_max(list_transform(list_distinct(bigs),
+         x -> len(list_filter(bigs, y -> y = x)))), 0) AS BIGINT) AS top_bigram,
+    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS tok_chars,
+    CAST(len(list_filter(list_distinct(toks), x -> x IN ({stop}))) AS BIGINT) AS n_stop
+  FROM m
+)
+SELECT *,
+  (n_words BETWEEN {WQ.MIN_WORDS} AND {WQ.MAX_WORDS}) AS ok_words,
+  ({WQ.MIN_MEAN_LEN} * n_words <= tok_chars AND tok_chars <= {WQ.MAX_MEAN_LEN} * n_words) AS ok_mean_len,
+  (100 * top_word <= {WQ.TOP_WORD_MAX_PCT} * n_words) AS ok_top_word,
+  (n_bigrams = 0 OR 100 * top_bigram <= {WQ.TOP_BIGRAM_MAX_PCT} * n_bigrams) AS ok_top_bigram,
+  (n_stop >= {WQ.MIN_STOPWORDS}) AS ok_stop,
+  ((n_words BETWEEN {WQ.MIN_WORDS} AND {WQ.MAX_WORDS})
+   AND ({WQ.MIN_MEAN_LEN} * n_words <= tok_chars AND tok_chars <= {WQ.MAX_MEAN_LEN} * n_words)
+   AND (100 * top_word <= {WQ.TOP_WORD_MAX_PCT} * n_words)
+   AND (n_bigrams = 0 OR 100 * top_bigram <= {WQ.TOP_BIGRAM_MAX_PCT} * n_bigrams)
+   AND (n_stop >= {WQ.MIN_STOPWORDS})) AS passes
+FROM s
+"""
+
+
 _BM25_EXPR = (
     f"idf * (tf * ({BM25_K1} + 1)) / "
     f"(tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / (SELECT avgdl FROM stats)))"
@@ -1472,6 +1549,27 @@ SELECT doc_id,
        round(CAST(coalesce(list_sum(list_transform(pieces, x -> length(x))), 0) AS DOUBLE)
              / greatest(len(pieces), 1), 6) AS mean_piece_len
 FROM p
+""",
+        "text_gopher_quality": _sql_gopher_quality(),
+        "sample_stratified": f"""
+SELECT doc_id, lang, source, bucket FROM (
+  SELECT doc_id, lang, source,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SAMPLE_SALT}'), 1, 8))::BIGINT
+          % 1000000) AS bucket
+  FROM documents)
+WHERE bucket < CASE {" ".join(
+    f"WHEN lang = '{s}' THEN {int(round(r * 1_000_000))}"
+    for s, r in sorted(SAMPLE_RATES.items())
+)} ELSE {int(round(SAMPLE_DEFAULT * 1_000_000))} END
+""",
+        "source_rollup": f"""
+WITH perdoc AS ({_sql_quality()})
+SELECT d.source, d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(p.quality), 4) AS avg_quality
+FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.source, d.lang
 """,
         "text_fingerprint": f"""
 WITH {_TOK_CTE}

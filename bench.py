@@ -122,6 +122,7 @@ def main() -> None:
         "ann_lsh_topk",
         "knn_join_first5",
         "text_quality",
+        "text_gopher_quality",
         "text_fingerprint",
         "multimodal_features",
         "entities_top5",

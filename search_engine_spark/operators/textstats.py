@@ -48,10 +48,13 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic quality score: length band + stop-word ratio +
     alpha ratio — the standard cheap pre-filter for web-text corpora
-    (cf. C4/Gopher-style rules), as one codegen'd expression."""
+    (cf. C4/Gopher-style rules), as one codegen'd expression.
+
+    ``keep`` passes extra input columns through (e.g. grouping keys
+    for a downstream rollup) so consumers never need a self-join."""
     toks = simple_tokens()
     n_tok = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_EN_STOPWORDS)))
@@ -67,6 +70,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *keep,
         n_tok.alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),

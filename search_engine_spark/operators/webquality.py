@@ -1,0 +1,171 @@
+"""Webtext corpus-quality operators for training-data pipelines:
+
+* Gopher-style per-document quality stats and rule flags (word-count
+  band, mean word length, top-word / top-bigram repetition, stop-word
+  containment — cf. Rae et al. 2021 "Scaling Language Models" App. A)
+* deterministic hash-bucket stratified sampling (per-language rates)
+* per-source corpus rollup (docs / tokens / mean quality by origin)
+
+Scale shape (100 TB):
+- ``gopher_stats`` is ONE map-only Arrow pass — the tokenizer runs
+  once per document inside the kernel and every metric (word counts,
+  top bigram, stop-word containment) is a per-doc reduction, so the
+  plan has ZERO shuffles and all downstream flags are codegen'd
+  integer comparisons.  The naive relational form (explode tokens →
+  groupBy(doc, token) → groupBy(doc) + a self-join for bigrams) is
+  what the DuckDB oracle runs — three shuffles the kernel avoids.
+- every metric is an INTEGER (counts, not fractions), and the rule
+  flags compare cross-multiplied integers (``100*top_word <=
+  pct*n_words``), so the exact-oracle claim never meets float
+  rounding at all.
+- ``sample_stratified`` is a pure codegen filter (portable md5
+  bucket), deterministic and reproducible across engines/runs — the
+  standard way to cut a training mix without materializing a shuffle.
+- ``source_rollup`` is a single map-side-combining groupBy over the
+  quality expressions.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..partitioning import balanced
+from .textstats import _EN_STOPWORDS, TOKEN_SPLIT_RE, quality_score
+
+GOPHER_STATS_SCHEMA = (
+    "doc_id long, n_words long, n_distinct long, top_word long, "
+    "n_bigrams long, top_bigram long, tok_chars long, n_stop long"
+)
+
+# rule thresholds (integer percents so flags stay float-free)
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MEAN_LEN, MAX_MEAN_LEN = 3, 10          # mean word length band
+TOP_WORD_MAX_PCT = 20                        # most-frequent word <= 20%
+TOP_BIGRAM_MAX_PCT = 18                      # most-frequent bigram <= 18%
+MIN_STOPWORDS = 2                            # >= 2 distinct stop words
+
+
+def gopher_stats(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document integer repetition/containment metrics in one
+    Arrow pass: total words, distinct words, the top word's count,
+    bigram total and top bigram's count, total token characters, and
+    the number of DISTINCT stop words present.
+
+    Tokenizer is the exact twin of ``textstats.simple_tokens`` (split
+    lower(text) on ``[^a-z0-9]+``, drop empties), same as
+    ``dedup.shingle_rows`` — asserted identical by the DuckDB oracle's
+    ``regexp_split_to_array`` CTE."""
+    pat = re.compile(TOKEN_SPLIT_RE)
+    stops = frozenset(_EN_STOPWORDS)
+    docs = balanced(docs)
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[col]):
+                toks = (
+                    [t for t in pat.split(text.lower()) if t]
+                    if text is not None else []
+                )
+                wc = Counter(toks)
+                bc = Counter(zip(toks, toks[1:]))
+                rows.append((
+                    doc_id,
+                    len(toks),
+                    len(wc),
+                    max(wc.values(), default=0),
+                    max(len(toks) - 1, 0),
+                    max(bc.values(), default=0),
+                    sum(len(t) for t in toks),
+                    len(stops.intersection(wc)),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_words", "n_distinct", "top_word",
+                         "n_bigrams", "top_bigram", "tok_chars", "n_stop"],
+            )
+
+    return docs.select("doc_id", col).mapInPandas(batch, schema=GOPHER_STATS_SCHEMA)
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-rule quality flags over :func:`gopher_stats` — every
+    flag an integer comparison (cross-multiplied percents), composed
+    declaratively so Catalyst codegens the whole thing on top of the
+    single Arrow stats pass."""
+    s = gopher_stats(docs)
+    ok_words = F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+    ok_mean_len = (
+        (F.lit(MIN_MEAN_LEN) * F.col("n_words") <= F.col("tok_chars"))
+        & (F.col("tok_chars") <= F.lit(MAX_MEAN_LEN) * F.col("n_words"))
+    )
+    ok_top_word = F.lit(100) * F.col("top_word") <= F.lit(TOP_WORD_MAX_PCT) * F.col("n_words")
+    ok_top_bigram = (F.col("n_bigrams") == 0) | (
+        F.lit(100) * F.col("top_bigram") <= F.lit(TOP_BIGRAM_MAX_PCT) * F.col("n_bigrams")
+    )
+    ok_stop = F.col("n_stop") >= MIN_STOPWORDS
+    return s.select(
+        "*",
+        ok_words.alias("ok_words"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_top_word.alias("ok_top_word"),
+        ok_top_bigram.alias("ok_top_bigram"),
+        ok_stop.alias("ok_stop"),
+        (ok_words & ok_mean_len & ok_top_word & ok_top_bigram & ok_stop).alias("passes"),
+    )
+
+
+def sample_bucket(salt: str) -> F.Column:
+    """Deterministic per-doc bucket in [0, 1e6): first 8 hex chars of
+    md5(doc_id ':' salt) as an int — the md5-prefix trick DuckDB
+    evaluates identically (``('0x'||substr(md5(..),1,8))::BIGINT``),
+    so sampling decisions are reproducible across engines."""
+    h = F.md5(F.to_binary(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(salt)),
+        F.lit("utf-8"),
+    ))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1_000_000).alias("bucket")
+
+
+def sample_stratified(docs: DataFrame, rates: dict[str, float],
+                      salt: str = "r3", default_rate: float = 0.0,
+                      strata_col: str = "lang") -> DataFrame:
+    """Deterministic stratified sample: keep a document iff its hash
+    bucket falls under its stratum's rate — how a training mix is cut
+    per language/source without a shuffle or an RNG state.  Pure
+    codegen filter; same doc set on every engine, run, and cluster
+    size."""
+    rate_micros = F.lit(int(round(default_rate * 1_000_000)))
+    for stratum, rate in sorted(rates.items()):
+        rate_micros = (
+            F.when(F.col(strata_col) == stratum, F.lit(int(round(rate * 1_000_000))))
+            .otherwise(rate_micros)
+        )
+    return (
+        docs.withColumn("bucket", sample_bucket(salt))
+        .filter(F.col("bucket") < rate_micros)
+    )
+
+
+def source_rollup(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang) corpus rollup — document count, total
+    tokens, mean quality — the aggregate view a domain-level filter
+    ranks origins by.  One map-side-combining groupBy; avg rounded at
+    4dp (per-row quality is on a 1e-6 grid, so summation-order noise
+    ~1e-12 can never reach the 4th decimal)."""
+    per_doc = quality_score(docs, keep=("source", "lang"))
+    return (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )

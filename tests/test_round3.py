@@ -172,3 +172,73 @@ def test_decode_media_real_image_histogram(spark):
     feats = row["features"]
     assert abs(sum(feats) - 1.0) < 1e-6
     assert feats[200 // 16] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# webquality: Gopher stats/flags, stratified sampling, source rollup
+
+def test_gopher_stats_handcrafted(spark):
+    from search_engine_spark.operators import webquality as WQ
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat the cat sat"),          # 5 words, top 'the'/'cat'=2, top bigram 'the cat'=2
+            (2, "one"),                           # single word -> no bigrams
+            (3, "a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in WQ.gopher_stats(docs).collect()}
+    assert got[1]["n_words"] == 5 and got[1]["n_distinct"] == 3
+    assert got[1]["top_word"] == 2 and got[1]["n_bigrams"] == 4
+    assert got[1]["top_bigram"] == 2            # 'the cat' twice
+    assert got[1]["tok_chars"] == 3 + 3 + 3 + 3 + 3
+    assert got[1]["n_stop"] == 1                 # only 'the' is a stop word
+    assert got[2] == {"doc_id": 2, "n_words": 1, "n_distinct": 1, "top_word": 1,
+                      "n_bigrams": 0, "top_bigram": 0, "tok_chars": 3, "n_stop": 0}
+    assert got[3]["n_stop"] == 1                 # 'a'
+
+
+def test_gopher_stats_plan_is_map_only(spark):
+    from search_engine_spark.operators import webquality as WQ
+
+    docs = spark.read.parquet(os.path.join(SF_001, "documents.parquet"))
+    plan = WQ.gopher_quality(docs)._jdf.queryExecution().executedPlan().toString()
+    # one Arrow pass, no shuffle: flags are codegen over the kernel output
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_gopher_flags_non_degenerate(spark):
+    from search_engine_spark.operators import webquality as WQ
+
+    docs = spark.read.parquet(os.path.join(SF_001, "documents.parquet"))
+    rows = WQ.gopher_quality(docs).collect()
+    n_pass = sum(r["ok_words"] for r in rows)
+    assert 0 < n_pass < len(rows)               # the word-count band splits the corpus
+
+
+def test_sample_stratified_deterministic_and_rated(spark):
+    from search_engine_spark.operators import webquality as WQ
+
+    docs = spark.read.parquet(os.path.join(SF_001, "documents.parquet")) \
+        .select("doc_id", "lang", "source")
+    rates = {"en": 0.5, "de": 0.0}
+    a = {r["doc_id"] for r in WQ.sample_stratified(docs, rates, salt="s").collect()}
+    b = {r["doc_id"] for r in WQ.sample_stratified(docs, rates, salt="s").collect()}
+    assert a == b and a                          # deterministic, non-empty
+    c = {r["doc_id"] for r in WQ.sample_stratified(docs, rates, salt="t").collect()}
+    assert a != c                                # salt changes the cut
+    kept = WQ.sample_stratified(docs, rates, salt="s")
+    assert kept.filter(F.col("lang") == "de").count() == 0       # rate 0 strata drop
+    n_en = docs.filter(F.col("lang") == "en").count()
+    k_en = kept.filter(F.col("lang") == "en").count()
+    assert abs(k_en / n_en - 0.5) < 0.25         # ~rate at small n
+
+
+def test_source_rollup_totals(spark):
+    from search_engine_spark.operators import webquality as WQ
+
+    docs = spark.read.parquet(os.path.join(SF_001, "documents.parquet"))
+    roll = WQ.source_rollup(docs).collect()
+    assert sum(r["n_docs"] for r in roll) == docs.count()
+    assert all(0.0 <= r["avg_quality"] <= 1.0 for r in roll)

@@ -37,6 +37,7 @@ def main() -> None:
 
     from search_engine_spark.operators import dedup as D
     from search_engine_spark.operators import textstats as TS
+    from search_engine_spark.operators import webquality as WQ
     from search_engine_spark.session import get_spark
 
     spark = get_spark(app="pipeline_bench", master=f"local[{args.cpus}]")
@@ -74,7 +75,12 @@ def main() -> None:
     run("dedup_clusters", lambda: D.dedup_clusters(
         D.near_dup_pairs(docs, threshold=0.5)))
     run("simhash_near_pairs_h1", lambda: D.simhash_near_pairs(docs, max_hamming=1))
+    # the driver-row default (h=3): round-2's fixed 4x16-bit banding
+    # measured 598s here (16-bit key space -> ~N^2/2^16 collisions);
+    # the block-combination layout keys on 40-bit subsets instead
+    run("simhash_near_pairs_h3", lambda: D.simhash_near_pairs(docs, max_hamming=3))
     run("winnow_fingerprint", lambda: TS.winnow_fingerprint(docs), sink="noop")
+    run("gopher_quality", lambda: WQ.gopher_quality(docs), sink="noop")
     run("quality_score", lambda: TS.quality_score(docs), sink="noop")
     run("token_count_bpe", lambda: TS.token_count_bpe(docs), sink="noop")
 
