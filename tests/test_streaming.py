@@ -173,3 +173,41 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_dir):
     # users 0-2 had sessions in BOTH bursts: their late-burst sessions
     # must be numbered after the flushed early ones (no restart at 1)
     assert any(s > 1 for (u, s) in want if u in (0, 1, 2))
+
+
+def test_streaming_dedup_equals_batch_keep_list(spark, tmp_dir):
+    """applyInPandasWithState streaming dedup == batch min-doc keep
+    list under ingest-ordered replay; duplicates spanning micro-batch
+    boundaries are dropped exactly once."""
+    from search_engine_spark.streaming.dedup import (
+        dedup_batch_twin,
+        dedup_stream,
+    )
+
+    ddl = "doc_id long, text string"
+    # 3 ingest chunks; content c{i%7} repeats within AND across chunks
+    chunks = [
+        [(b * 100 + i, f"content c{(b * 100 + i) % 7} body") for i in range(20)]
+        for b in range(3)
+    ]
+    src = os.path.join(tmp_dir, "docs_stream")
+    os.makedirs(src)
+    for b, rows in enumerate(chunks):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
+            os.path.join(src, f"c{b}"))
+
+    stream = (spark.readStream.schema(ddl)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "*")))
+    q = (dedup_stream(stream)
+         .writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r["text_hash"], r["doc_id"])
+           for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    allrows = [r for c in chunks for r in c]
+    want = {(r["text_hash"], r["doc_id"])
+            for r in dedup_batch_twin(spark.createDataFrame(allrows, ddl)).collect()}
+    assert got == want
+    assert len(got) == 7          # 7 distinct contents, 60 input rows

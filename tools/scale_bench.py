@@ -147,7 +147,17 @@ def main() -> None:
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%MZ")
     lo_q, hi_q = lo.get("query") or {}, hi.get("query") or {}
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as fh:
+    # keep hand-maintained sections (repeatability notes, scale
+    # invariance, pipeline-ops tables) across rewrites: everything at
+    # and below the marker survives verbatim
+    report_path = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    mark = "<!-- PRESERVED: sections below survive scale_bench rewrites -->"
+    tail = ""
+    if os.path.exists(report_path):
+        old = open(report_path).read()
+        if mark in old:
+            tail = "\n" + old[old.index(mark):]
+    with open(report_path, "w") as fh:
         fh.write(f"""# BENCH/BASELINE — measured numbers ({stamp})
 
 ## Index-build scaling, N -> {args.factor}N (BASELINE.md protocol)
@@ -220,6 +230,8 @@ python tools/scale_bench.py --docs {args.docs} --reps {args.reps}
 python bench.py
 ```
 """)
+        if tail:
+            fh.write(tail)
     print("wrote BENCH/BASELINE.md", file=sys.stderr)
 
 
