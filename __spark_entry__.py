@@ -418,6 +418,37 @@ def q_events_sessionize(spark, sf):
     )
 
 
+_STREAM_DEDUP_SEQ = [0]
+
+
+def q_streaming_dedup(spark, sf):
+    # REAL Structured Streaming path (not a batch twin): the
+    # applyInPandasWithState first-seen keep-list from
+    # streaming/dedup.py, run to completion with availableNow over the
+    # documents table and landed in a memory sink.  All files arrive
+    # before the trigger so the stream admits min(doc_id) per content
+    # hash — exactly the SQL oracle; the streamed-across-micro-batches
+    # semantics are covered by tests/test_streaming.py.
+    from search_engine_spark.streaming.dedup import dedup_stream
+
+    path = os.path.join(sf, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    _STREAM_DEDUP_SEQ[0] += 1
+    name = f"stream_dedup_{_STREAM_DEDUP_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="se_stream_dedup_ckpt_")
+    # FileStreamSource requires a directory basePath; the testdata tables
+    # are flat files, so stream the sf dir with a glob filter.
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf))
+    q = (dedup_stream(stream.select("doc_id", "text"))
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # queries — training-data-pipeline operators
 
@@ -799,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_langs": q_distinct_langs,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "streaming_dedup": q_streaming_dedup,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1430,6 +1462,10 @@ sess AS (
 SELECT user_id, session, CAST(count(*) AS BIGINT) AS n_events,
        CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us
 FROM sess GROUP BY user_id, session
+""",
+        "streaming_dedup": """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY md5(text)
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
