@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import sys
 import tempfile
 from collections.abc import Callable
@@ -41,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.config import EngineConfig
+from search_engine_spark.incremental import add_documents
 from search_engine_spark.indexer import build_index
 from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import multimodal as MM
@@ -64,6 +66,7 @@ SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8h session gap (median per-user gap ~7.
 _ENTRY_CFG = EngineConfig(n_doc_shards=8, n_term_buckets=8, n_bucket_groups=2,
                           keep_positions=True)
 _INDEX_CACHE: dict[str, str] = {}
+_INC_CACHE: dict[str, str] = {}
 _ANN_CACHE: dict[str, str] = {}
 
 
@@ -89,6 +92,33 @@ def _engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
         build_index(spark, pages, out, _ENTRY_CFG, resume=True)
         _INDEX_CACHE[key] = out
     return SearchEngine(spark, _INDEX_CACHE[key], _ENTRY_CFG)
+
+
+def _inc_engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Segmented twin of :func:`_engine_for`: the SAME corpus, but
+    built as build(1/3) + two ``add_documents`` deltas
+    (search_engine_spark/incremental.py), leaving multi-segment
+    (term, shard) rows and stale-but-rescaled WAND bounds.  Cached on
+    disk per sf_dir behind a _DONE marker; a half-built cache (killed
+    process) is wiped and rebuilt — unlike build_index's lineage
+    resume, a replayed add_documents would double-append doc_stats,
+    so partial incremental caches are not resumable."""
+    key = os.path.abspath(sf_dir)
+    if key not in _INC_CACHE:
+        tag = hashlib.md5(f"{key}|inc|{_ENTRY_CFG}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_incix_{tag}")
+        marker = os.path.join(out, "_SEGMENTS_DONE")
+        if not os.path.exists(marker):
+            shutil.rmtree(out, ignore_errors=True)
+            pages = load_documents_as_pages(spark, key)
+            part = F.pmod(F.xxhash64("url"), F.lit(3))
+            build_index(spark, pages.filter(part == 0), out, _ENTRY_CFG)
+            add_documents(spark, pages.filter(part == 1), out, _ENTRY_CFG)
+            add_documents(spark, pages.filter(part == 2), out, _ENTRY_CFG)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _INC_CACHE[key] = out
+    return SearchEngine(spark, _INC_CACHE[key], _ENTRY_CFG)
 
 
 def _ann_layouts_for(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -269,6 +299,35 @@ def q_search_batch(spark, sf):
         loop = one if loop is None else loop.unionByName(one)
     return TW.compare_topk(batch, loop, ["qid", "rank"],
                            exact_cols=["url"], approx_cols=["score"])
+
+
+def q_search_incremental(spark, sf):
+    """Segment-grown index ≡ one-shot full build, per rank.
+
+    The incremental engine indexed the SAME corpus as build(1/3) +
+    two add_documents segments (incremental.py): old packed rows were
+    never touched, the dictionary was merged additively, and a (term,
+    shard) may hold several segment rows.  Exhaustive BM25 top-20 must
+    be bit-for-rank identical to the one-shot build."""
+    return _rank_eq(
+        _inc_engine_for(spark, sf).search(ENGINE_QUERY, 20),
+        _engine_for(spark, sf).search(ENGINE_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
+
+
+def q_search_incremental_wand(spark, sf):
+    """Block-max WAND on the segment-grown index ≡ the one-shot
+    build's exhaustive scorer, per rank.  Exercises the stale-bound
+    path: old segments' baked block_max no longer bound fresh scores
+    (N/df/avgdl all moved), so WAND consumes the dictionary's
+    accumulated bound_scale (incremental.py module docstring) — a
+    too-tight bound would skip a true top-k doc and flip a rank."""
+    return _rank_eq(
+        wand_search(_inc_engine_for(spark, sf), ENGINE_QUERY, 20),
+        _engine_for(spark, sf).search(ENGINE_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
 
 
 def q_extract_text_roundtrip(spark, sf):
@@ -810,6 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk": q_search_bm25_topk,
         "search_wand_topk": q_search_wand_topk,
         "search_batch": q_search_batch,
+        "search_incremental": q_search_incremental,
+        "search_incremental_wand": q_search_incremental_wand,
         "search_city_filtered": q_search_city_filtered,
         "search_phrase": q_search_phrase,
         "extract_text_roundtrip": q_extract_text_roundtrip,
@@ -1623,6 +1684,14 @@ SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
 """,
         "search_wand_topk": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "search_incremental": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "search_incremental_wand": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
 """,

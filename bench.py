@@ -129,6 +129,28 @@ def main() -> None:
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir))
 
+    # -- incremental ingest: delta cost, not corpus cost ---------------------
+    # add a 5% delta (re-sampled docs under fresh urls) to the just-built
+    # index via segment append (incremental.py).  The headline claim is
+    # the RATIO to index_build: at 100 TB a daily crawl delta must cost
+    # O(delta) + fixed job overhead, never a repack of the corpus.  Runs
+    # last so it perturbs no other timing (it mutates ix_dir).
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.incremental import add_documents
+
+    delta = (
+        pages.filter(F.pmod(F.xxhash64("url"), F.lit(20)) == 0)
+        .withColumn("url", F.concat(F.lit("delta://"), F.col("url")))
+    )
+    n_delta = delta.count()
+    s0, j0 = _cpu_sample()
+    t0 = time.time()
+    add_documents(spark, delta, ix_dir, cfg)
+    timings["incremental_add_5pct"] = round(time.time() - t0, 3)
+    s1, j1 = _cpu_sample()
+    steal["incremental_add_5pct"] = round(100 * (s1 - s0) / max(1, j1 - j0), 2)
+
     total = round(time.time() - t_all, 3)
     n_docs = meta.get("n_docs", 0)
     out = {
@@ -140,6 +162,7 @@ def main() -> None:
         "sf": sf_dir,
         "n_docs_indexed": n_docs,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "incremental_delta_docs": n_delta,
         "cpus": int(cpus),
     }
     # end of campaign: release the persisted shingle frames the dedup

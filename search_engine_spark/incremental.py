@@ -1,0 +1,305 @@
+"""Segment-based incremental index ingest (delta cost, not corpus cost).
+
+The reference engine is batch-only: adding documents means re-running
+the whole build (SURVEY.md §3.1; ReadFile.java has no append path).
+``streaming.ingest.refresh_index`` already improves on that — tokenize
+never re-runs — but its derived stages (doc_stats / dictionary / pack)
+still rewrite the FULL index.  At 10^12 docs a daily crawl delta is
+~0.1% of the corpus; repacking 100% of it per refresh is the wrong
+cost model.  This module is the Lucene-style segment answer:
+
+``add_documents(spark, new_pages, index_dir)`` costs O(delta), not
+O(corpus):
+
+1. tokenize ONLY the new pages (same Arrow kernel as the build) and
+   publish their postings into ``postings_raw`` under unique
+   ``seg-<id>-*`` file names (so full rebuild / compaction sees one
+   raw store);
+2. append the new docs to ``doc_stats``, assigning per-shard local
+   ids ABOVE the shard's existing max — existing packed doc ids never
+   move;
+3. merge the dictionary ADDITIVELY (df/cf sums, capital-class AND,
+   display-form re-resolution, idf recomputed against the new corpus
+   size) — an exact reproduction of what stage C would compute over
+   the union, without scanning the old postings;
+4. pack ONLY the delta's postings (with the refreshed idf/avgdl) and
+   append the rows to the ``index`` table: a (term_key, shard) may now
+   hold several rows — segments.  A document appears in at most one
+   segment per term, so the searcher's per-posting unpack + sum
+   aggregation is segment-oblivious and stays exact.
+
+**Why stale block-max bounds stay sound.**  Packed rows bake
+``block_max`` (the per-block upper bound WAND prunes with) using the
+idf/avgdl AT PACK TIME.  New documents shift N, every df, and avgdl,
+so old segments' baked bounds no longer bound the *fresh* blended
+scores the scorer computes.  Exact scoring is unaffected (idf/avgdl
+enter at query time, searcher.py:111-138); only WAND's skip decisions
+consume baked bounds.  We keep them sound with a per-term
+``bound_scale`` column in the dictionary: for a posting with term
+contribution ``c = (k1+1)·tf·idf / (tf + k1(1-b+b·len/avgdl))``,
+
+    c_now / c_then  =  (idf_now/idf_then) · (norm_then/norm_now)
+                    <=  (idf_now/idf_then) · max(1, avgdl_now/avgdl_then)
+
+(the norm is ``tf + a + m/avgdl`` with a, m >= 0, so its ratio under
+an avgdl change is bounded by the avgdl ratio).  The blended score
+``0.8·c + 0.2·bonus`` has a constant bonus part, so multiplying a
+block's stored max by ``s = max(1, ratio)`` re-bounds every posting in
+it.  Each ``add_documents`` multiplies the accumulated scale by the
+step's ratio — a segment packed k merges ago is covered by the product
+of the k steps (each factor >= 1, telescoping bound).  ``idf_then = 0``
+(df == N at pack time) makes the ratio undefined; those terms get
+``inf`` — WAND simply never skips their blocks.  Bounds only ever
+*inflate*, so WAND stays rank-identical to the exhaustive scorer
+(asserted in tests/test_incremental.py), merely pruning less on old
+segments until the next compaction.
+
+``compact_index`` is the periodic repack: re-runs the derived stages
+over the accumulated raw store (tokenize never re-runs), collapsing
+segments back to one row per (term, shard) with fresh baked bounds and
+dropping ``bound_scale``.  On an Iceberg cluster, each step here is a
+transactional commit (append files / replace table); the local
+parquet dir-swap below is the sandbox stand-in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import DEFAULT, EngineConfig
+from .indexer import (
+    IndexPaths,
+    _lineage_append,
+    dictionary_core,
+    pack_plan,
+    read_lineage,
+    term_bucket,
+    with_doc_shard,
+)
+
+
+def _next_segment_id(paths: IndexPaths) -> int:
+    segs = [int(r["key"]) for r in read_lineage(paths)
+            if r["stage"] == "segment" and r.get("status") == "done"]
+    return (max(segs) + 1) if segs else 1
+
+
+def _publish_raw(tokenized: DataFrame, paths: IndexPaths, sid: int,
+                 partitioned: bool) -> None:
+    """Write the delta's postings into ``postings_raw`` under
+    ``seg-<sid>-*`` names (idempotent: a replay of the same segment id
+    overwrites its own files, never duplicates — the same publish
+    contract as streaming.ingest epochs)."""
+    scratch = os.path.join(paths.root, f"_seg_scratch_{sid}")
+    if partitioned:
+        tokenized.write.mode("overwrite").partitionBy("bucket").parquet(scratch)
+    else:
+        tokenized.write.mode("overwrite").parquet(scratch)
+    os.makedirs(paths.postings_raw, exist_ok=True)
+    for dirpath, _, files in os.walk(paths.postings_raw):
+        for fn in files:
+            if fn.startswith(f"seg-{sid}-"):
+                os.remove(os.path.join(dirpath, fn))
+    for dirpath, _, files in os.walk(scratch):
+        rel = os.path.relpath(dirpath, scratch)
+        dst_dir = paths.postings_raw if rel == "." else os.path.join(paths.postings_raw, rel)
+        os.makedirs(dst_dir, exist_ok=True)
+        for fn in sorted(files):
+            if fn.endswith(".parquet"):
+                os.replace(os.path.join(dirpath, fn),
+                           os.path.join(dst_dir, f"seg-{sid}-{fn}"))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _swap_dir(tmp: str, final: str) -> None:
+    """Replace ``final`` with ``tmp``.  Locally this is rmtree+rename
+    (a crash between the two is repaired by ``compact_index``, which
+    rebuilds every derived table from raw); on Iceberg it is an atomic
+    REPLACE TABLE commit."""
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+
+
+def _merge_dictionary(
+    old: DataFrame, delta_raw: DataFrame, cfg: EngineConfig,
+    n_docs_new: int, avgdl_old: float, avgdl_new: float,
+) -> DataFrame:
+    """Exact additive merge of stage C's output with a delta's stats.
+
+    df/cf are per-occurrence counts over disjoint doc sets — they add.
+    The corpus capital class is a bool_and — it ANDs.  The display
+    form is the min form matching the MERGED class; since a side whose
+    class disagrees with the merged class contributes no matching
+    forms (bool_and=true means every one of its forms is capital), the
+    merged display is decidable from the two sides' displays alone.
+    idf is recomputed against the merged corpus size.  ``bound_scale``
+    accumulates the WAND bound inflation documented in the module
+    docstring."""
+    d = dictionary_core(delta_raw).select(
+        F.col("term_key"), F.col("df").alias("n_df"), F.col("cf").alias("n_cf"),
+        F.col("capital").alias("n_cap"), F.col("display").alias("n_disp"),
+    )
+    o = old.select(
+        "term_key", F.col("df").alias("o_df"), F.col("cf").alias("o_cf"),
+        F.col("capital").alias("o_cap"), F.col("display").alias("o_disp"),
+        F.col("idf").alias("o_idf"),
+        (F.col("bound_scale") if "bound_scale" in old.columns else F.lit(1.0))
+        .alias("o_scale"),
+    )
+    m = o.join(d, "term_key", "full_outer")
+    in_old, in_new = F.col("o_df").isNotNull(), F.col("n_df").isNotNull()
+    merged_cap = F.when(in_old & in_new, F.col("o_cap") & F.col("n_cap")) \
+                  .when(in_old, F.col("o_cap")).otherwise(F.col("n_cap"))
+    # display: min over forms matching the merged class; a True-class
+    # side offers only capital forms, so when the merged class is
+    # False it contributes nothing
+    merged_disp = (
+        F.when(~in_old, F.col("n_disp"))
+        .when(~in_new, F.col("o_disp"))
+        .when(F.col("o_cap") == F.col("n_cap"), F.least("o_disp", "n_disp"))
+        .when(F.col("o_cap") & ~F.col("n_cap"), F.col("n_disp"))
+        .otherwise(F.col("o_disp"))
+    )
+    merged_df = F.coalesce("o_df", F.lit(0)) + F.coalesce("n_df", F.lit(0))
+    idf_new = F.log2(F.lit(float(n_docs_new)) / merged_df)
+    ratio = (idf_new / F.col("o_idf")) * F.greatest(
+        F.lit(1.0), F.lit(float(avgdl_new) / float(avgdl_old)))
+    step = F.when(F.col("o_idf") <= 0, F.lit(float("inf"))) \
+            .otherwise(F.greatest(ratio, F.lit(1.0)))
+    merged_scale = F.when(in_old, F.col("o_scale") * step).otherwise(F.lit(1.0))
+    return m.select(
+        "term_key",
+        merged_df.alias("df"),
+        (F.coalesce("o_cf", F.lit(0)) + F.coalesce("n_cf", F.lit(0))).alias("cf"),
+        merged_cap.alias("capital"),
+        F.coalesce(merged_disp, F.col("term_key")).alias("display"),
+        idf_new.alias("idf"),
+        term_bucket(cfg).alias("bucket"),
+        merged_scale.alias("bound_scale"),
+    )
+
+
+def add_documents(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    segment: int | None = None,
+) -> dict:
+    """Ingest ``new_pages`` (urls not yet indexed) into an existing
+    index as a new segment.  Returns the updated meta.  Cost is
+    O(delta): the old corpus is never re-tokenized, re-aggregated, or
+    re-packed.  Call :func:`compact_index` periodically to collapse
+    segments and re-tighten WAND bounds."""
+    paths = IndexPaths(index_dir)
+    with open(paths.meta) as fh:
+        meta = json.load(fh)
+    for field in ("n_doc_shards", "n_term_buckets", "stem", "block_size"):
+        if meta[field] != getattr(cfg, field):
+            raise ValueError(
+                f"cfg.{field}={getattr(cfg, field)} does not match the "
+                f"index layout ({meta[field]}); incremental segments must "
+                "share the build's layout")
+    sid = segment if segment is not None else _next_segment_id(paths)
+    t0 = time.time()
+
+    # 1. tokenize the delta once; publish raw under seg-<sid>-* names
+    tokenized = tokenize_delta(new_pages, cfg)
+    _publish_raw(tokenized, paths, sid, cfg.partition_raw)
+    delta_raw = (
+        spark.read.option("basePath", paths.postings_raw)
+        .option("pathGlobFilter", f"seg-{sid}-*")
+        .parquet(paths.postings_raw)
+    )
+
+    # 2. doc_stats: append, local ids above each shard's existing max
+    old_stats = spark.read.parquet(paths.doc_stats)
+    bases = old_stats.groupBy("shard").agg(F.max("local_id").alias("base"))
+    delta_stats = (
+        delta_raw.groupBy("url")
+        .agg(
+            F.sum("tf").alias("length"),
+            F.max("tf").alias("max_tf"),
+            F.count(F.lit(1)).alias("unique_terms"),
+        )
+    )
+    delta_stats = with_doc_shard(delta_stats, cfg)
+    w = Window.partitionBy("shard").orderBy("url")
+    delta_stats = (
+        delta_stats.join(bases, "shard", "left")
+        .withColumn(
+            "local_id",
+            (F.coalesce("base", F.lit(0)) + F.row_number().over(w)).cast("long"),
+        )
+        .select("url", "length", "max_tf", "unique_terms", "shard", "local_id")
+    )
+    delta_stats.write.mode("append").partitionBy("shard").parquet(paths.doc_stats)
+
+    merged_stats = spark.read.parquet(paths.doc_stats)
+    row = merged_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("length").alias("avgdl")
+    ).first()
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+
+    # 3. dictionary: exact additive merge (built to a side dir, then
+    # swapped — Spark cannot overwrite a path it is reading)
+    old_dict = spark.read.parquet(paths.dictionary)
+    merged = _merge_dictionary(
+        old_dict, delta_raw, cfg, n_docs, float(meta["avgdl"]), avgdl)
+    tmp_dict = paths.dictionary + "__new"
+    (merged.repartition(cfg.n_term_buckets, F.col("bucket"))
+     .sortWithinPartitions("term_key")
+     .write.mode("overwrite").partitionBy("bucket").parquet(tmp_dict))
+    _swap_dir(tmp_dict, paths.dictionary)
+
+    # 4. entities: append the delta's rows (per-doc projection)
+    from .operators.entities import doc_entities
+
+    ents = with_doc_shard(doc_entities(delta_raw), cfg)
+    (ents.repartition(min(cfg.n_doc_shards, 8), F.col("shard"))
+     .write.mode("append").partitionBy("shard").parquet(paths.entities))
+
+    # 5. pack ONLY the delta, with the refreshed idf/avgdl
+    dictionary = spark.read.parquet(paths.dictionary)
+    doc_map = merged_stats.select("url", "shard", "local_id", "length")
+    keep_positions = bool(meta.get("keep_positions")) and "positions" in delta_raw.columns
+    if bool(meta.get("keep_positions")) and "positions" not in delta_raw.columns:
+        raise ValueError("index keeps positions but cfg.keep_positions is off")
+    packed = pack_plan(delta_raw, doc_map, dictionary, cfg, avgdl, keep_positions)
+    packed.write.mode("append").partitionBy("bucket").parquet(paths.index)
+
+    # 6. refreshed meta (servable marker), then the segment lineage row
+    meta.update({"n_docs": n_docs, "avgdl": avgdl})
+    tmp = paths.meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, paths.meta)
+    _lineage_append(spark, paths, [{
+        "stage": "segment", "key": str(sid), "docs": n_docs,
+        "seconds": time.time() - t0,
+    }])
+    return meta
+
+
+def tokenize_delta(new_pages: DataFrame, cfg: EngineConfig) -> DataFrame:
+    from .plans.tokenize import tokenize_pages
+
+    return tokenize_pages(new_pages, cfg).withColumn("bucket", term_bucket(cfg))
+
+
+def compact_index(spark: SparkSession, index_dir: str,
+                  cfg: EngineConfig = DEFAULT) -> dict:
+    """Collapse segments: re-run the derived stages over the
+    accumulated raw postings (tokenize never re-runs), restoring one
+    row per (term, shard) with freshly baked WAND bounds and a
+    bound_scale-free dictionary.  This is exactly the streaming
+    refresh path — same lineage machinery, same resume safety."""
+    from .streaming.ingest import refresh_index
+
+    return refresh_index(spark, index_dir, cfg)

@@ -279,36 +279,8 @@ def build_index(
     # ---- stage C: dictionary (df, cf, idf, display case)
     if ("dictionary", "all") not in done:
         t0 = time.time()
-        # numeric/boolean agg buffers ONLY on the full postings: a
-        # min(string) aggregate here forces SortBasedAggregation
-        # (string buffers disable the codegen hash map) — measured
-        # ~70x slower on a 74M-posting corpus.  The display form is
-        # resolved on the DISTINCT (term_key, term) forms instead —
-        # vocab-sized, so its string min is negligible.
-        stats = raw.groupBy("term_key").agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sum("tf").alias("cf"),
-            F.bool_and("capital").alias("capital"),
-        )
-        # Q7 display: pick the form matching the corpus-level capital
-        # class (demoted keys take a non-capital form).  min() makes
-        # the choice deterministic when a class has several forms —
-        # the reference keeps first-seen order there, which is
-        # scan-order-dependent; the parser canonicalizes forms so the
-        # classes are single-membered in practice.
-        forms = raw.select("term_key", "term", "capital").distinct()
-        display = (
-            forms.join(
-                stats.select("term_key", F.col("capital").alias("corpus_capital")),
-                "term_key",
-            )
-            .filter(F.col("capital") == F.col("corpus_capital"))
-            .groupBy("term_key")
-            .agg(F.min("term").alias("display"))
-        )
         dictionary = (
-            stats.join(display, "term_key", "left")
-            .withColumn("display", F.coalesce(F.col("display"), F.col("term_key")))
+            dictionary_core(raw)
             .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
             .withColumn("bucket", term_bucket(cfg))
         )
@@ -350,10 +322,96 @@ def build_index(
     # ---- stage D: pack, one job per bucket group (resume granularity)
     dictionary = spark.read.parquet(paths.dictionary)
     doc_map = doc_stats.select("url", "shard", "local_id", "length")
+    keep_positions = cfg.keep_positions and "positions" in raw.columns
+
+    groups = _bucket_groups(cfg)
+    for gid, buckets in enumerate(groups):
+        if ("pack", str(gid)) in done:
+            continue
+        t0 = time.time()
+        # a killed job may have left partial files for this group's
+        # buckets — clear them so the re-run is idempotent
+        for bkt in buckets:
+            shutil.rmtree(os.path.join(paths.index, f"bucket={bkt}"), ignore_errors=True)
+        packed = pack_plan(
+            raw.filter(F.col("bucket").isin(buckets)), doc_map, dictionary,
+            cfg, float(avgdl), keep_positions,
+        )
+        packed.write.mode("append").partitionBy("bucket").parquet(paths.index)
+        _lineage_append(spark, paths, [{
+            "stage": "pack", "key": str(gid), "seconds": time.time() - t0,
+        }])
+
+    # meta.json is written ONLY once every stage (including pack) is
+    # complete: it doubles as the "index is servable" marker for
+    # readers, so a build killed mid-pack must not leave it behind —
+    # a stale marker over a partial packed index serves silently
+    # wrong results (the resume path repairs the index, then rewrites
+    # the marker atomically).
+    tmp = paths.meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, paths.meta)
+
+    _lineage_append(spark, paths, [{"stage": "build", "key": "all", "docs": n_docs}])
+    return meta
+
+
+def dictionary_core(raw: DataFrame) -> DataFrame:
+    """(term_key, df, cf, capital, display) over a postings frame —
+    the idf/bucket-free heart of stage C, shared with the incremental
+    segment merge (:mod:`incremental`).
+
+    Numeric/boolean agg buffers ONLY on the full postings: a
+    min(string) aggregate here forces SortBasedAggregation (string
+    buffers disable the codegen hash map) — measured ~70x slower on a
+    74M-posting corpus.  The display form is resolved on the DISTINCT
+    (term_key, term) forms instead — vocab-sized, so its string min is
+    negligible.
+
+    Q7 display: pick the form matching the corpus-level capital class
+    (demoted keys take a non-capital form).  min() makes the choice
+    deterministic when a class has several forms — the reference keeps
+    first-seen order there, which is scan-order-dependent; the parser
+    canonicalizes forms so the classes are single-membered in
+    practice."""
+    stats = raw.groupBy("term_key").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.bool_and("capital").alias("capital"),
+    )
+    forms = raw.select("term_key", "term", "capital").distinct()
+    display = (
+        forms.join(
+            stats.select("term_key", F.col("capital").alias("corpus_capital")),
+            "term_key",
+        )
+        .filter(F.col("capital") == F.col("corpus_capital"))
+        .groupBy("term_key")
+        .agg(F.min("term").alias("display"))
+    )
+    return (
+        stats.join(display, "term_key", "left")
+        .withColumn("display", F.coalesce(F.col("display"), F.col("term_key")))
+    )
+
+
+def pack_plan(
+    raw: DataFrame,
+    doc_map: DataFrame,
+    dictionary: DataFrame,
+    cfg: EngineConfig,
+    avgdl: float,
+    keep_positions: bool,
+) -> DataFrame:
+    """The pack stage as a reusable plan: raw postings ⋈ doc map ⋈
+    dictionary idf -> one packed index row per (term_key, bucket,
+    shard).  Shared by the full build (per bucket group) and the
+    incremental segment pack (:mod:`incremental`), which packs only a
+    delta's postings with the refreshed corpus stats."""
     k1, b, bs = cfg.k1, cfg.b, cfg.block_size
     blend_a, blend_b = cfg.blend_bm25, cfg.blend_bonus
     avgdl_f = float(avgdl)
-    keep_positions = cfg.keep_positions and "positions" in raw.columns
 
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         """Pack EVERY term of one (bucket, shard) slice in a single
@@ -392,46 +450,18 @@ def build_index(
             })
         return pd.DataFrame(rows)
 
-    groups = _bucket_groups(cfg)
-    for gid, buckets in enumerate(groups):
-        if ("pack", str(gid)) in done:
-            continue
-        t0 = time.time()
-        # a killed job may have left partial files for this group's
-        # buckets — clear them so the re-run is idempotent
-        for bkt in buckets:
-            shutil.rmtree(os.path.join(paths.index, f"bucket={bkt}"), ignore_errors=True)
-        cols = ["term_key", "bucket", "shard", "local_id", "tf", "length",
-                "important", "idf"]
-        if keep_positions:
-            cols.append("positions")
-        part = (
-            raw.filter(F.col("bucket").isin(buckets))
-            .join(doc_map, "url")
-            .join(dictionary.select("term_key", "idf"), "term_key")
-            .select(*cols)
-        )
-        # group by (bucket, shard) — parallelism = buckets x shards,
-        # bounded memory per group = the shard's slice of this bucket
-        packed = part.groupBy("bucket", "shard").applyInPandas(pack_group, schema=INDEX_SCHEMA)
-        packed.write.mode("append").partitionBy("bucket").parquet(paths.index)
-        _lineage_append(spark, paths, [{
-            "stage": "pack", "key": str(gid), "seconds": time.time() - t0,
-        }])
-
-    # meta.json is written ONLY once every stage (including pack) is
-    # complete: it doubles as the "index is servable" marker for
-    # readers, so a build killed mid-pack must not leave it behind —
-    # a stale marker over a partial packed index serves silently
-    # wrong results (the resume path repairs the index, then rewrites
-    # the marker atomically).
-    tmp = paths.meta + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, paths.meta)
-
-    _lineage_append(spark, paths, [{"stage": "build", "key": "all", "docs": n_docs}])
-    return meta
+    cols = ["term_key", "bucket", "shard", "local_id", "tf", "length",
+            "important", "idf"]
+    if keep_positions:
+        cols.append("positions")
+    part = (
+        raw.join(doc_map, "url")
+        .join(dictionary.select("term_key", "idf"), "term_key")
+        .select(*cols)
+    )
+    # group by (bucket, shard) — parallelism = buckets x shards,
+    # bounded memory per group = the shard's slice of this bucket
+    return part.groupBy("bucket", "shard").applyInPandas(pack_group, schema=INDEX_SCHEMA)
 
 
 def _bucket_groups(cfg: EngineConfig) -> list[list[int]]:

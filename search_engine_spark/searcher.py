@@ -92,12 +92,22 @@ class SearchEngine:
         pattern (SURVEY §4: the full dictionary is too big at 10^12
         docs; the query's rows are tiny)."""
         if not term_keys:
-            return pd.DataFrame(columns=["term_key", "df", "cf", "idf", "bucket"])
+            return pd.DataFrame(
+                columns=["term_key", "df", "cf", "idf", "bucket", "bound_scale"])
+        cols = ["term_key", "df", "cf", "idf", "bucket"]
+        # bound_scale exists once incremental segments were added: the
+        # accumulated WAND bound inflation per term (incremental.py).
+        # A freshly built dictionary lacks it — scale 1 (bounds exact).
+        has_scale = "bound_scale" in self._dictionary.columns
+        if has_scale:
+            cols.append("bound_scale")
         rows = (
             self._dictionary.filter(F.col("term_key").isin(term_keys))
-            .select("term_key", "df", "cf", "idf", "bucket")
+            .select(*cols)
             .toPandas()
         )
+        if not has_scale:
+            rows["bound_scale"] = 1.0
         return rows
 
     # -- scoring --------------------------------------------------------------

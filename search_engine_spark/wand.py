@@ -53,6 +53,7 @@ def _score_shard(
     avgdl: float,
     blend_a: float,
     blend_b: float,
+    scale_by_key: dict[str, float] | None = None,
 ) -> pd.DataFrame:
     terms = []
     for row in group.itertuples(index=False):
@@ -63,6 +64,16 @@ def _score_shard(
         imps = unpack_bits(bytes(row.imps), n)
         block_last = delta_decode(bytes(row.block_last)).astype(np.int64)
         block_max = np.frombuffer(bytes(row.block_max), dtype=np.float32).astype(np.float64)
+        # incremental segments: baked bounds are stale after later
+        # adds shift idf/avgdl; the dictionary's accumulated per-term
+        # bound_scale re-bounds them (incremental.py).  inf (the
+        # idf-was-zero case) means "never skip this term's blocks" —
+        # written directly to dodge 0*inf=nan.
+        scale = (scale_by_key or {}).get(row.term_key, 1.0)
+        if not np.isfinite(scale):
+            block_max = np.full_like(block_max, np.inf)
+        elif scale != 1.0:
+            block_max = block_max * scale
         contrib = bm25_contribution(tfs, lens, idf_by_key[row.term_key], k1, b, avgdl)
         blended = blend_a * contrib + blend_b * np.where(imps, 1.2, 1.0)
         terms.append({
@@ -88,6 +99,10 @@ def _score_shard(
     cand_parts = []
     for ti, t in enumerate(terms):
         others = total_upper - uppers[ti]
+        if np.isnan(others):
+            # inf - inf: this row's own upper is inf, so its block_max
+            # are inf too and every block survives regardless of others
+            others = np.inf
         keep = (t["block_max"] + others) >= theta
         if keep.all():
             cand_parts.append(t["ids"])
@@ -130,12 +145,14 @@ def wand_search(engine, query: str, k: int | None = None) -> DataFrame:
     if resolved.empty:
         return engine.spark.createDataFrame([], "url string, score double, rank int")
     idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+    scale_by_key = dict(zip(resolved["term_key"], resolved["bound_scale"].astype(float)))
     meta = engine.meta
     k1, b, avgdl = meta["k1"], meta["b"], meta["avgdl"]
     blend_a, blend_b = meta["blend_bm25"], meta["blend_bonus"]
 
     def shard_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_shard(pdf, idf_by_key, k, k1, b, avgdl, blend_a, blend_b)
+        return _score_shard(pdf, idf_by_key, k, k1, b, avgdl, blend_a, blend_b,
+                            scale_by_key)
 
     scan = engine._scan_index(resolved).select(
         "term_key", "shard", "n", "doc_ids", "tfs", "lens", "imps",
