@@ -330,6 +330,44 @@ def q_search_incremental_wand(spark, sf):
     )
 
 
+def _delete_case(spark, sf):
+    """Shared setup for the tombstone rows: delete every third doc of
+    the flagship query's top-20 via the in-memory overlay (no disk
+    mutation of the shared index cache), and derive the expected
+    post-delete top-10 from the pre-delete ranking — valid because
+    tombstone semantics keep surviving scores bit-identical (stats
+    stay as-packed until compaction, incremental.delete_documents)."""
+    full = _engine_for(spark, sf)
+    top = full.search(ENGINE_QUERY, 20).orderBy("rank").collect()
+    dead = {r["url"] for r in top if int(r["rank"]) % 3 == 0}
+    eng = SearchEngine(spark, full.paths.root, _ENTRY_CFG, deleted_urls=sorted(dead))
+    live = [(r["url"], float(r["score"])) for r in top if r["url"] not in dead][:10]
+    twin = spark.createDataFrame(
+        [(i + 1, u, s) for i, (u, s) in enumerate(live)],
+        "rank long, url string, score double",
+    )
+    return eng, twin
+
+
+def q_search_deletes(spark, sf):
+    """Tombstoned engine top-10 ≡ pre-delete ranking minus the deleted
+    urls, per rank.  A deleted url appearing, a survivor missing, or
+    any surviving score moving (stale-stats contract) flips a flag."""
+    eng, twin = _delete_case(spark, sf)
+    return _rank_eq(eng.search(ENGINE_QUERY, 10), twin,
+                    exact=["url"], approx=["score"])
+
+
+def q_search_deletes_wand(spark, sf):
+    """Block-max WAND on the tombstoned engine ≡ the same expected
+    frame: exercises the θ-soundness path (deleted postings are masked
+    before the bootstrap, shipped per shard via cogroup) — a dead high
+    scorer pruning a live doc's block would drop a rank."""
+    eng, twin = _delete_case(spark, sf)
+    return _rank_eq(wand_search(eng, ENGINE_QUERY, 10), twin,
+                    exact=["url"], approx=["score"])
+
+
 def q_extract_text_roundtrip(spark, sf):
     # S2 per-row invariant: extracted text byte-identical per url
     pages = load_documents_as_pages(spark, sf)
@@ -871,6 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_batch": q_search_batch,
         "search_incremental": q_search_incremental,
         "search_incremental_wand": q_search_incremental_wand,
+        "search_deletes": q_search_deletes,
+        "search_deletes_wand": q_search_deletes_wand,
         "search_city_filtered": q_search_city_filtered,
         "search_phrase": q_search_phrase,
         "extract_text_roundtrip": q_extract_text_roundtrip,
@@ -1694,6 +1734,14 @@ FROM range(1, 21)
         "search_incremental_wand": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
+""",
+        "search_deletes": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 11)
+""",
+        "search_deletes_wand": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 11)
 """,
         "search_city_filtered": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match

@@ -209,6 +209,21 @@ def add_documents(
     sid = segment if segment is not None else _next_segment_id(paths)
     t0 = time.time()
 
+    # guard BEFORE any publish: a url that is already indexed (live OR
+    # tombstoned) must not be re-added — it would get a second (shard,
+    # local_id) and surface twice in results (and a tombstone on the
+    # url would then kill both versions); raising after the raw
+    # publish would leave poisoned seg files for the next compaction.
+    # The supported update flow is delete_documents -> compact_index
+    # -> add_documents.
+    old_stats = spark.read.parquet(paths.doc_stats)
+    n_dup = (new_pages.select("url").distinct()
+             .join(old_stats.select("url"), "url", "left_semi").count())
+    if n_dup:
+        raise ValueError(
+            f"{n_dup} url(s) in the delta are already indexed; "
+            "re-adding a url requires delete_documents + compact_index first")
+
     # 1. tokenize the delta once; publish raw under seg-<sid>-* names
     tokenized = tokenize_delta(new_pages, cfg)
     _publish_raw(tokenized, paths, sid, cfg.partition_raw)
@@ -219,7 +234,6 @@ def add_documents(
     )
 
     # 2. doc_stats: append, local ids above each shard's existing max
-    old_stats = spark.read.parquet(paths.doc_stats)
     bases = old_stats.groupBy("shard").agg(F.max("local_id").alias("base"))
     delta_stats = (
         delta_raw.groupBy("url")
@@ -293,13 +307,79 @@ def tokenize_delta(new_pages: DataFrame, cfg: EngineConfig) -> DataFrame:
     return tokenize_pages(new_pages, cfg).withColumn("bucket", term_bucket(cfg))
 
 
+def delete_documents(
+    spark: SparkSession,
+    urls,
+    index_dir: str,
+) -> int:
+    """Tombstone deletes — Lucene visibility semantics, O(|urls|) now.
+
+    Deleted docs vanish from every query path immediately (searcher
+    anti-joins, WAND masks them before its θ bootstrap so a dead doc
+    can never prune a live one), but corpus stats — N, df, avgdl and
+    therefore every surviving doc's score — stay AS-PACKED until
+    :func:`compact_index` purges.  That is exactly Lucene's contract
+    (deleted docs still count in collection statistics until segments
+    merge), and it is what makes deletion O(delta): updating df would
+    require knowing the deleted docs' postings, i.e. a corpus-wide
+    raw scan, which belongs in compaction.
+
+    ``urls`` is a list of url strings or a DataFrame with a ``url``
+    column.  Appends to the index's ``tombstones`` parquet table
+    (duplicates are harmless — every reader takes DISTINCT) and
+    records a lineage row.  Returns the batch's url count."""
+    paths = IndexPaths(index_dir)
+    if isinstance(urls, DataFrame):
+        df = urls.select("url").distinct()
+    else:
+        df = spark.createDataFrame([(u,) for u in sorted(set(urls))], "url string")
+    n = df.count()
+    if n == 0:
+        return 0
+    df.coalesce(1).write.mode("append").parquet(paths.tombstones)
+    _lineage_append(spark, paths, [{
+        "stage": "tombstone", "key": str(time.time_ns()), "docs": n,
+    }])
+    return n
+
+
 def compact_index(spark: SparkSession, index_dir: str,
                   cfg: EngineConfig = DEFAULT) -> dict:
-    """Collapse segments: re-run the derived stages over the
-    accumulated raw postings (tokenize never re-runs), restoring one
-    row per (term, shard) with freshly baked WAND bounds and a
-    bound_scale-free dictionary.  This is exactly the streaming
-    refresh path — same lineage machinery, same resume safety."""
+    """Collapse segments and purge tombstones: re-run the derived
+    stages over the accumulated raw postings (tokenize never re-runs),
+    restoring one row per (term, shard) with freshly baked WAND bounds
+    and a bound_scale-free dictionary.  This is exactly the streaming
+    refresh path — same lineage machinery, same resume safety.
+
+    When a tombstone table exists, the raw postings store is first
+    rewritten WITHOUT the deleted urls (one anti-join scan — the
+    corpus-cost step deletion deferred here), the tombstones are
+    dropped, and the derived rebuild then computes fresh N/df/avgdl
+    over only the surviving docs — after compaction the index is
+    bit-identical to one built over the corpus minus the deletes."""
+    paths = IndexPaths(index_dir)
+    if os.path.isdir(paths.tombstones):
+        t0 = time.time()
+        dead = spark.read.parquet(paths.tombstones).select("url").distinct()
+        raw = spark.read.parquet(paths.postings_raw)
+        kept = raw.join(dead, "url", "left_anti")
+        tmp = paths.postings_raw + "__new"
+        if "bucket" in raw.columns and cfg.partition_raw:
+            kept.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        else:
+            kept.write.mode("overwrite").parquet(tmp)
+        # keep the old raw store until the new one is in place: raw is
+        # the source of truth, a crash must never leave zero copies.
+        # (On Iceberg this whole block is one REPLACE TABLE commit.)
+        old = paths.postings_raw + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(paths.postings_raw, old)
+        os.rename(tmp, paths.postings_raw)
+        shutil.rmtree(old)
+        shutil.rmtree(paths.tombstones)
+        _lineage_append(spark, paths, [{
+            "stage": "purge", "key": "all", "seconds": time.time() - t0,
+        }])
     from .streaming.ingest import refresh_index
 
     return refresh_index(spark, index_dir, cfg)

@@ -75,6 +75,10 @@ class IndexPaths:
         return os.path.join(self.root, "entities")
 
     @property
+    def tombstones(self) -> str:
+        return os.path.join(self.root, "tombstones")
+
+    @property
     def lineage(self) -> str:
         return os.path.join(self.root, "lineage")
 

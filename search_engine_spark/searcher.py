@@ -37,14 +37,22 @@ UNPACKED_SCHEMA = (
     "term_key string, shard int, local_id long, contrib double, bonus double"
 )
 
+_UNSET = object()  # lazy-cache sentinel (a DataFrame must not be truth-tested)
+
 
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFAULT,
-                 city_docs: DataFrame | None = None):
+                 city_docs: DataFrame | None = None,
+                 deleted_urls: list[str] | None = None):
         """``city_docs``: optional (city, url) dimension — the
         reference's ``<F P=104>`` doc tags (ReadFile.java:99-120);
         when present, a city filter unions these docs with posting
-        membership (Searcher.java:315-327)."""
+        membership (Searcher.java:315-327).
+
+        ``deleted_urls``: optional in-memory tombstone overlay,
+        unioned with the index's persisted tombstone table
+        (``incremental.delete_documents``) — lets a session preview
+        deletes without mutating a shared index dir."""
         self.spark = spark
         self.paths = IndexPaths(index_dir)
         self.cfg = cfg
@@ -52,6 +60,7 @@ class SearchEngine:
             self.meta = json.load(fh)
         self._stop = cfg.stop_set()
         self.city_docs = city_docs
+        self._overlay_deleted = sorted(set(deleted_urls)) if deleted_urls else []
         self.refresh()
 
     def refresh(self) -> None:
@@ -70,6 +79,54 @@ class SearchEngine:
         self._dictionary = self.spark.read.parquet(self.paths.dictionary)
         self._doc_stats = self.spark.read.parquet(self.paths.doc_stats)
         self._index = self.spark.read.parquet(self.paths.index)
+        self._deleted_plan: DataFrame | None | object = _UNSET
+
+    # -- tombstones ----------------------------------------------------------
+    def _tombstone_urls(self) -> DataFrame | None:
+        """Distinct deleted urls: the index's persisted tombstone
+        table (incremental.delete_documents) ∪ the constructor
+        overlay.  None when there are no deletes (the common case —
+        every query path then skips its anti-join entirely)."""
+        parts: list[DataFrame] = []
+        if os.path.isdir(self.paths.tombstones):
+            parts.append(self.spark.read.parquet(self.paths.tombstones).select("url"))
+        if self._overlay_deleted:
+            parts.append(self.spark.createDataFrame(
+                [(u,) for u in self._overlay_deleted], "url string"))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    def deleted_docs(self) -> DataFrame | None:
+        """(shard, local_id) of tombstoned docs as a lazy plan, or
+        None when no deletes exist.  Lucene visibility semantics:
+        deleted docs leave every result immediately, while corpus
+        stats (N, df, avgdl) stay as-packed until ``compact_index``
+        purges — so surviving docs' scores are bit-identical to their
+        pre-delete scores.  The tombstone table is delta-sized between
+        compactions; the joins below stay distributed (no driver
+        collect), so an unusually large delete batch degrades, never
+        OOMs."""
+        if self._deleted_plan is _UNSET:
+            urls = self._tombstone_urls()
+            self._deleted_plan = None if urls is None else (
+                urls.join(self._doc_stats.select("url", "shard", "local_id"), "url")
+                .select("shard", "local_id")
+            )
+        return self._deleted_plan
+
+    def _drop_deleted(self, df: DataFrame) -> DataFrame:
+        """Anti-join a (shard, local_id)-keyed frame against the
+        tombstones; no-op (no added plan nodes) when none exist.  No
+        forced broadcast — AQE broadcasts the delta-sized tombstone
+        side when it is actually small."""
+        dead = self.deleted_docs()
+        if dead is None:
+            return df
+        return df.join(dead, ["shard", "local_id"], "left_anti")
 
     # -- term resolution ----------------------------------------------------
     def parse_query(self, query: str) -> list[str]:
@@ -189,7 +246,8 @@ class SearchEngine:
         if resolved.empty:
             return self.spark.createDataFrame([], "url string, score double, rank int")
         idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
-        per_posting = self._unpack(self._scan_index(resolved), idf_by_key)
+        per_posting = self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key))
         if cities:
             allowed = self._city_doc_set(cities)
             if allowed is None:
@@ -303,8 +361,10 @@ class SearchEngine:
             base = part if base is None else base.join(
                 part, ["shard", "local_id", "base"]
             )
-        matches = base.groupBy("shard", "local_id").agg(
-            F.count(F.lit(1)).alias("phrase_tf")
+        matches = self._drop_deleted(
+            base.groupBy("shard", "local_id").agg(
+                F.count(F.lit(1)).alias("phrase_tf")
+            )
         )
         topk = (
             matches.join(self._doc_map(), ["shard", "local_id"])
@@ -321,6 +381,9 @@ class SearchEngine:
         from .operators.entities import top_entities
 
         ents = self.spark.read.parquet(self.paths.entities)
+        dead = self._tombstone_urls()
+        if dead is not None:
+            ents = ents.join(dead, "url", "left_anti")
         if urls is not None:
             ents = ents.filter(F.col("url").isin(urls))
         return top_entities(ents, self._dictionary, k)
@@ -347,7 +410,8 @@ class SearchEngine:
             [(qid, t) for qid, t in q_terms if t in matched],
             "qid string, term_key string",
         )
-        per_posting = self._unpack(self._scan_index(resolved), idf_by_key)
+        per_posting = self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key))
         blend_a, blend_b = self.meta["blend_bm25"], self.meta["blend_bonus"]
         scores = (
             per_posting.join(F.broadcast(qt), "term_key")

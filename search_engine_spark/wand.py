@@ -54,6 +54,7 @@ def _score_shard(
     blend_a: float,
     blend_b: float,
     scale_by_key: dict[str, float] | None = None,
+    deleted_ids: np.ndarray | None = None,
 ) -> pd.DataFrame:
     terms = []
     for row in group.itertuples(index=False):
@@ -64,6 +65,19 @@ def _score_shard(
         imps = unpack_bits(bytes(row.imps), n)
         block_last = delta_decode(bytes(row.block_last)).astype(np.int64)
         block_max = np.frombuffer(bytes(row.block_max), dtype=np.float32).astype(np.float64)
+        if deleted_ids is not None and deleted_ids.size:
+            # tombstones (incremental.delete_documents): mask deleted
+            # postings BEFORE the θ bootstrap — a deleted doc's score
+            # must never raise θ, or a live top-k doc whose blocks it
+            # shadows could be pruned.  Block boundaries (block_last)
+            # are doc-id ranges, so they still partition the filtered
+            # array via searchsorted; block_max stays a sound (looser)
+            # upper bound for the surviving postings.
+            live = np.isin(ids, deleted_ids, invert=True, assume_unique=False)
+            if not live.all():
+                ids, tfs, lens, imps = ids[live], tfs[live], lens[live], imps[live]
+                if ids.size == 0:
+                    continue
         # incremental segments: baked bounds are stale after later
         # adds shift idf/avgdl; the dictionary's accumulated per-term
         # bound_scale re-bounds them (incremental.py).  inf (the
@@ -158,7 +172,23 @@ def wand_search(engine, query: str, k: int | None = None) -> DataFrame:
         "term_key", "shard", "n", "doc_ids", "tfs", "lens", "imps",
         "block_last", "block_max",
     )
-    per_shard = scan.groupBy("shard").applyInPandas(shard_fn, schema=WAND_OUT_SCHEMA)
+    deleted = engine.deleted_docs()
+    if deleted is None:
+        per_shard = scan.groupBy("shard").applyInPandas(shard_fn, schema=WAND_OUT_SCHEMA)
+    else:
+        # tombstoned index: ship each shard's deleted local_ids to its
+        # scorer via cogroup — stays fully distributed (no driver-side
+        # collect of the tombstone set), co-partitioned on shard
+        def shard_fn_del(pdf: pd.DataFrame, dele: pd.DataFrame) -> pd.DataFrame:
+            return _score_shard(
+                pdf, idf_by_key, k, k1, b, avgdl, blend_a, blend_b, scale_by_key,
+                np.sort(dele["local_id"].to_numpy(dtype=np.int64)))
+
+        per_shard = (
+            scan.groupBy("shard")
+            .cogroup(deleted.groupBy("shard"))
+            .applyInPandas(shard_fn_del, schema=WAND_OUT_SCHEMA)
+        )
     topk = (
         per_shard.join(engine._doc_map(), ["shard", "local_id"])
         .orderBy(F.desc("score"), F.asc("url"))

@@ -129,6 +129,20 @@ def test_layout_mismatch_rejected(spark, fixture_pages_parquet, inc_index):
         add_documents(spark, pages, out, EngineConfig(n_doc_shards=4))
 
 
+def test_duplicate_url_rejected_before_publish(spark, fixture_pages_parquet, inc_index):
+    """Re-adding an indexed url must fail BEFORE any raw publish — a
+    second (shard, local_id) for the same url would double-count it."""
+    out, cfg = inc_index
+    pages = spark.read.parquet(fixture_pages_parquet)
+    seg_files_before = sorted(
+        fn for _, _, fs in os.walk(IndexPaths(out).postings_raw) for fn in fs)
+    with pytest.raises(ValueError, match="already indexed"):
+        add_documents(spark, pages.limit(3), out, cfg)
+    seg_files_after = sorted(
+        fn for _, _, fs in os.walk(IndexPaths(out).postings_raw) for fn in fs)
+    assert seg_files_before == seg_files_after
+
+
 # -- compaction (mutates inc_index: keep these LAST in the module) ----------
 
 def test_compact_collapses_segments_and_keeps_answers(
