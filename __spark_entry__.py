@@ -47,6 +47,7 @@ from search_engine_spark.indexer import build_index
 from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import similarity as SIM
+from search_engine_spark.operators import snippets as SN
 from search_engine_spark.operators import textstats as TS
 from search_engine_spark.operators import webquality as WQ
 from search_engine_spark import twin as TW
@@ -687,6 +688,27 @@ def q_text_gopher_quality(spark, sf):
     return WQ.gopher_quality(_tbl(spark, sf, "documents"))
 
 
+MISSPELLED = ("tabel", "joni", "quey", "filtr", "zzzzqqq")
+
+
+def q_text_snippets(spark, sf):
+    """Keyword-in-context excerpts: per doc containing any flagship
+    term, the earliest match position and its +-5-token window — one
+    map-only codegen pass (operators/snippets.py)."""
+    return SN.best_snippet(_tbl(spark, sf, "documents"), list(FT_QUERY_TERMS), 5)
+
+
+def q_text_suggest(spark, sf):
+    """'Did you mean': closest vocab term within 2 edits for a fixed
+    misspelling set (ties: higher df, then asc).  Broadcast query
+    terms x pruned vocab scan, codegen levenshtein.  zzzzqqq has no
+    candidate and must be absent."""
+    docs = _tbl(spark, sf, "documents")
+    vocab = _doc_tf(docs).groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return SN.suggest_terms(vocab, list(MISSPELLED), 2,
+                            term_col="tok", df_col="df")
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
 SAMPLE_SALT = "r3"
 SAMPLE_DEFAULT = 0.05
@@ -952,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprint": q_text_winnow_fingerprint,
         "text_bpe_stats": q_text_bpe_stats,
         "text_gopher_quality": q_text_gopher_quality,
+        "text_snippets": q_text_snippets,
+        "text_suggest": q_text_suggest,
         "sample_stratified": q_sample_stratified,
         "source_rollup": q_source_rollup,
         "multimodal_resize": q_multimodal_resize,
@@ -1688,6 +1712,31 @@ SELECT doc_id,
 FROM p
 """,
         "text_gopher_quality": _sql_gopher_quality(),
+        "text_snippets": f"""
+WITH {_TOK_CTE},
+p AS (SELECT doc_id, toks,
+             list_min(list_filter(
+               [{", ".join(f"list_position(toks, '{t}')" for t in FT_QUERY_TERMS)}],
+               x -> x > 0)) AS match_pos
+      FROM tok)
+SELECT doc_id, CAST(match_pos AS BIGINT) AS match_pos,
+       array_to_string(toks[greatest(match_pos - 5, 1) : match_pos + 5], ' ') AS snippet
+FROM p WHERE match_pos IS NOT NULL
+""",
+        "text_suggest": f"""
+WITH {_TF_CTE},
+vocab AS (SELECT tok AS suggestion, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY tok),
+q AS (SELECT unnest([{", ".join(f"'{t}'" for t in MISSPELLED)}]) AS term),
+cand AS (
+  SELECT term, suggestion, df, levenshtein(term, suggestion) AS dist
+  FROM vocab CROSS JOIN q
+  WHERE abs(length(suggestion) - length(term)) <= 2
+    AND levenshtein(term, suggestion) <= 2
+)
+SELECT DISTINCT ON (term) term, suggestion, CAST(dist AS BIGINT) AS dist, df
+FROM cand ORDER BY term, dist, df DESC, suggestion
+""",
         "sample_stratified": f"""
 SELECT doc_id, lang, source, bucket FROM (
   SELECT doc_id, lang, source,
