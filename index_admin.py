@@ -1,0 +1,111 @@
+"""CLI: mutate a built index without rebuilding it (incremental.py).
+
+Local (sandbox)::
+
+    python index_admin.py add     --index /tmp/ix --input new_pages.parquet
+    python index_admin.py delete  --index /tmp/ix --url http://a --url http://b
+    python index_admin.py delete  --index /tmp/ix --url-file dead_urls.txt
+    python index_admin.py compact --index /tmp/ix
+    python index_admin.py refresh --index /tmp/ix [--full]
+
+Cluster::
+
+    python tools/make_engine_zip.py engine.zip
+    spark-submit --master yarn --py-files engine.zip index_admin.py <verb> ...
+
+``add`` appends a segment in O(delta); ``delete`` tombstones urls in
+O(|deletes|) (visible immediately, stats stale until compact);
+``compact`` purges tombstones and collapses segments (corpus-cost, by
+design); ``refresh`` folds pending streamed epochs into one segment
+(``--full`` forces the complete derived rebuild instead).  The config
+flags must match the original build's layout — ``add``/``refresh``
+verify this against meta.json and refuse otherwise.
+
+Prints one JSON line per invocation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("verb", choices=["add", "delete", "compact", "refresh"])
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--input", help="pages parquet or testdata dir (add)")
+    ap.add_argument("--url", action="append", default=[],
+                    help="url to delete (repeatable)")
+    ap.add_argument("--url-file", help="file with one url per line (delete)")
+    ap.add_argument("--full", action="store_true",
+                    help="refresh: full derived rebuild instead of the "
+                         "incremental epoch fold")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--doc-shards", type=int, default=32)
+    ap.add_argument("--term-buckets", type=int, default=16)
+    ap.add_argument("--bucket-groups", type=int, default=2)
+    ap.add_argument("--no-stem", action="store_true")
+    args = ap.parse_args()
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.incremental import (
+        add_documents, compact_index, delete_documents)
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources.pages import load_documents_as_pages, load_pages
+
+    spark = get_spark(app=f"index_admin_{args.verb}", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    cfg = EngineConfig(
+        n_doc_shards=args.doc_shards,
+        n_term_buckets=args.term_buckets,
+        n_bucket_groups=args.bucket_groups,
+        stem=not args.no_stem,
+    )
+    t0 = time.time()
+    out: dict = {"verb": args.verb, "index": args.index}
+
+    if args.verb == "add":
+        if not args.input:
+            ap.error("add requires --input")
+        if os.path.isdir(args.input) and os.path.exists(
+            os.path.join(args.input, "documents.parquet")
+        ):
+            pages = load_documents_as_pages(spark, args.input)
+        else:
+            pages = load_pages(spark, args.input)
+        meta = add_documents(spark, pages, args.index, cfg)
+        out.update(n_docs=meta["n_docs"], avgdl=round(meta["avgdl"], 4))
+    elif args.verb == "delete":
+        urls = list(args.url)
+        if args.url_file:
+            with open(args.url_file) as fh:
+                urls += [ln.strip() for ln in fh if ln.strip()]
+        if not urls:
+            ap.error("delete requires --url or --url-file")
+        out["n_deleted"] = delete_documents(spark, urls, args.index)
+    elif args.verb == "compact":
+        meta = compact_index(spark, args.index, cfg)
+        out.update(n_docs=meta["n_docs"], avgdl=round(meta["avgdl"], 4))
+    else:  # refresh
+        from search_engine_spark.streaming.ingest import (
+            refresh_incremental, refresh_index)
+
+        fn = refresh_index if args.full else refresh_incremental
+        meta = fn(spark, args.index, cfg)
+        out.update(n_docs=meta["n_docs"], avgdl=round(meta["avgdl"], 4),
+                   mode="full" if args.full else "incremental")
+
+    out["seconds"] = round(time.time() - t0, 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -232,6 +232,25 @@ def add_documents(
         .option("pathGlobFilter", f"seg-{sid}-*")
         .parquet(paths.postings_raw)
     )
+    return _append_segment(spark, delta_raw, paths, cfg, meta, sid, t0)
+
+
+def _append_segment(
+    spark: SparkSession,
+    delta_raw: DataFrame,
+    paths: IndexPaths,
+    cfg: EngineConfig,
+    meta: dict,
+    sid: int,
+    t0: float,
+) -> dict:
+    """Steps 2-6 of the segment append, starting from an
+    already-materialized delta postings frame: doc_stats append,
+    additive dictionary merge, entities append, delta-only pack, meta
+    refresh.  Shared by :func:`add_documents` (which tokenizes pages
+    first) and :func:`streaming.ingest.refresh_incremental` (whose
+    stream epochs already tokenized into postings_raw)."""
+    old_stats = spark.read.parquet(paths.doc_stats)
 
     # 2. doc_stats: append, local ids above each shard's existing max
     bases = old_stats.groupBy("shard").agg(F.max("local_id").alias("base"))

@@ -22,6 +22,7 @@ is that story on Structured Streaming:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -100,14 +101,89 @@ def stream_ingest(
 
 def refresh_index(spark: SparkSession, index_dir: str,
                   cfg: EngineConfig = DEFAULT) -> dict:
-    """Rebuild the derived tables over all ingested raw postings.
+    """FULL derived rebuild over all ingested raw postings.
 
     Marks tokenize as done (the stream already materialized raw),
     drops the derived stages from lineage, and re-enters the batch
-    builder's resume path — stages B-D run, stage A never does."""
+    builder's resume path — stages B-D run, stage A never does.
+    Every streamed epoch present is packed by this rebuild, so each
+    gets an ``epoch_packed`` marker — a later
+    :func:`refresh_incremental` must not fold it in again."""
     paths = IndexPaths(index_dir)
-    rows = [r for r in read_lineage(paths) if r["stage"] not in DERIVED_STAGES]
+    all_rows = read_lineage(paths)
+    rows = [r for r in all_rows if r["stage"] not in DERIVED_STAGES]
     if not any(r["stage"] == "tokenize" for r in rows):
         rows.append({"stage": "tokenize", "key": "all"})
+    streamed = _epoch_keys(all_rows, "stream_batch")
+    packed = _epoch_keys(all_rows, "epoch_packed")
+    rows += [{"stage": "epoch_packed", "key": e} for e in sorted(streamed - packed)]
     write_lineage(paths, rows)
     return build_index(spark, None, index_dir, cfg, resume=True)
+
+
+def _epoch_keys(rows: list[dict], stage: str) -> set[str]:
+    return {r["key"] for r in rows
+            if r["stage"] == stage and r.get("status") == "done"}
+
+
+def refresh_incremental(spark: SparkSession, index_dir: str,
+                        cfg: EngineConfig = DEFAULT) -> dict:
+    """O(epochs-pending) derived refresh: fold every streamed epoch
+    not yet packed into the index as ONE new segment — additive
+    dictionary merge + delta-only pack (incremental._append_segment) —
+    instead of rebuilding all derived tables.
+
+    At 10^12 docs this is the difference between a per-refresh cost of
+    "shuffle the whole raw store" (:func:`refresh_index`) and "shuffle
+    the postings that arrived since the last refresh".  The trade is
+    the segment trade documented in :mod:`..incremental`: (term, shard)
+    rows accumulate per refresh and old WAND bounds stay sound but
+    loosen (``bound_scale``), until a periodic
+    :func:`..incremental.compact_index` collapses them.
+
+    Re-crawled urls (already in doc_stats) are REJECTED, exactly like
+    ``add_documents``: the raw store must hold one version per url or
+    a later full rebuild/compaction would double-count it (raw carries
+    no arrival provenance to break the tie).  Filter re-crawls
+    upstream with the ``streaming.dedup`` keep-list; a re-crawl UPDATE
+    is delete_documents -> compact_index -> re-ingest.
+
+    Requires a servable index (meta.json): the first refresh after a
+    cold-start stream must be the full :func:`refresh_index`."""
+    from ..incremental import _append_segment, _next_segment_id
+
+    paths = IndexPaths(index_dir)
+    if not os.path.exists(paths.meta):
+        raise ValueError(
+            "refresh_incremental needs a servable index (meta.json); "
+            "run the full refresh_index first after a cold-start stream")
+    with open(paths.meta) as fh:
+        meta = json.load(fh)
+    rows = read_lineage(paths)
+    pending = sorted(
+        _epoch_keys(rows, "stream_batch") - _epoch_keys(rows, "epoch_packed"),
+        key=int,
+    )
+    if not pending:
+        return meta
+    t0 = time.time()
+    glob = "{" + ",".join(f"epoch-{e}-*" for e in pending) + "}"
+    delta_raw = (
+        spark.read.option("basePath", paths.postings_raw)
+        .option("pathGlobFilter", glob)
+        .parquet(paths.postings_raw)
+    )
+    old_urls = spark.read.parquet(paths.doc_stats).select("url")
+    n_dup = (delta_raw.select("url").distinct()
+             .join(old_urls, "url", "left_semi").count())
+    if n_dup:
+        raise ValueError(
+            f"{n_dup} re-crawled url(s) in epochs {pending}; the raw store "
+            "must hold one version per url — filter re-crawls upstream "
+            "(streaming.dedup keep-list) or delete_documents + "
+            "compact_index before re-ingesting")
+    sid = _next_segment_id(paths)
+    meta = _append_segment(spark, delta_raw, paths, cfg, meta, sid, t0)
+    _lineage_append(spark, paths,
+                    [{"stage": "epoch_packed", "key": e} for e in pending])
+    return meta

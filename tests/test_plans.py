@@ -97,6 +97,25 @@ def test_ann_probe_filters_reach_scan(spark, tmp_dir):
     assert "PartitionFilters" in plan2 and "centroid_id" in plan2
 
 
+def test_tombstone_anti_join_broadcasts(spark, built_index):
+    """The delete filter must cost a broadcast, not a shuffle: the
+    tombstone side is delta-sized between compactions, so the
+    anti-join on (shard, local_id) should plan as a broadcast join of
+    the deleted set against the posting stream — a SortMergeJoin here
+    would shuffle the full per-posting frame on every query."""
+    from search_engine_spark.searcher import SearchEngine
+
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg,
+                       deleted_urls=["u1", "u2", "u3"])
+    plan = _plan(eng.search("world trade", 10))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # no-deletes engines must not pay ANY anti-join node
+    clean = SearchEngine(spark, out, cfg)
+    assert "LeftAnti" not in _plan(clean.search("world trade", 10))
+
+
 def test_index_scan_prunes(spark, built_index):
     """Query-path scan: bucket partition pruning + term_key pushdown
     (the Spark equivalent of the reference's bucket-file seek)."""

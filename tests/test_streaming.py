@@ -86,6 +86,80 @@ def test_streamed_ingest_matches_batch_build(spark, tmp_dir, cfg):
     assert stages.count("stream_batch") >= 2
 
 
+def test_incremental_refresh_matches_batch_build(spark, tmp_dir, cfg):
+    """refresh_incremental folds pending stream epochs into ONE
+    segment (O(epochs) cost, no derived rebuild) and must answer
+    exactly like the one-shot batch build; re-crawled urls are
+    rejected; an already-folded epoch is never folded twice."""
+    from search_engine_spark.searcher import SearchEngine
+    from search_engine_spark.streaming.ingest import refresh_incremental
+    from search_engine_spark.wand import wand_search
+
+    pages = make_pages(N_DOCS, seed=9)
+    stream_dir = os.path.join(tmp_dir, "pages_stream")
+    os.makedirs(stream_dir)
+    ix_stream = os.path.join(tmp_dir, "ix_stream")
+    ix_batch = os.path.join(tmp_dir, "ix_batch")
+
+    # initial crawl -> FULL refresh (cold start needs one)
+    _write_chunk(pages[:100], os.path.join(stream_dir, "chunk0.parquet"))
+    stream_ingest(spark, stream_dir, ix_stream, cfg)
+    refresh_index(spark, ix_stream, cfg)
+
+    # two later arrivals, two epochs, ONE incremental refresh
+    _write_chunk(pages[100:150], os.path.join(stream_dir, "chunk1.parquet"))
+    stream_ingest(spark, stream_dir, ix_stream, cfg)
+    _write_chunk(pages[150:], os.path.join(stream_dir, "chunk2.parquet"))
+    stream_ingest(spark, stream_dir, ix_stream, cfg)
+    meta = refresh_incremental(spark, ix_stream, cfg)
+    assert meta["n_docs"] == N_DOCS
+
+    # the fold created real segments (multi-row (term, shard) keys)
+    seg_rows = (
+        spark.read.parquet(f"{ix_stream}/index")
+        .groupBy("term_key", "shard").count().filter(F.col("count") > 1).count()
+    )
+    assert seg_rows > 0
+
+    # exact vs one-shot batch build: dictionary and top-10
+    sdf = spark.createDataFrame(
+        [(p["url"], p["warc_ts"], bytearray(p["html"]), p["text"], p["lang"])
+         for p in pages],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    build_index(spark, sdf, ix_batch, cfg, resume=False)
+    d_s = {(r["term_key"], r["df"], r["cf"])
+           for r in spark.read.parquet(f"{ix_stream}/dictionary").collect()}
+    d_b = {(r["term_key"], r["df"], r["cf"])
+           for r in spark.read.parquet(f"{ix_batch}/dictionary").collect()}
+    assert d_s == d_b
+    eng_s = SearchEngine(spark, ix_stream, cfg)
+    top_s = [(r["url"], round(r["score"], 9))
+             for r in eng_s.search("world trade", 10).collect()]
+    top_b = [(r["url"], round(r["score"], 9))
+             for r in SearchEngine(spark, ix_batch, cfg).search("world trade", 10).collect()]
+    assert top_s == top_b
+    # WAND stays exact on the stream-fed segmented index (bound_scale)
+    top_w = [(r["url"], round(r["score"], 9))
+             for r in wand_search(eng_s, "world trade", 10).collect()]
+    assert top_w == top_s
+
+    # idempotence: nothing pending -> no-op, no new segment row
+    segs_before = [r for r in read_lineage(IndexPaths(ix_stream))
+                   if r["stage"] == "segment"]
+    meta2 = refresh_incremental(spark, ix_stream, cfg)
+    assert meta2["n_docs"] == N_DOCS
+    segs_after = [r for r in read_lineage(IndexPaths(ix_stream))
+                  if r["stage"] == "segment"]
+    assert len(segs_after) == len(segs_before) == 1
+
+    # a re-crawled url (new epoch, existing url) is rejected
+    _write_chunk(pages[:5], os.path.join(stream_dir, "chunk3.parquet"))
+    stream_ingest(spark, stream_dir, ix_stream, cfg)
+    with pytest.raises(ValueError, match="re-crawled"):
+        refresh_incremental(spark, ix_stream, cfg)
+
+
 def test_windowed_counts_stream_equals_batch(spark, tmp_dir):
     events = spark.range(0, 500).select(
         F.col("id").alias("event_id"),
