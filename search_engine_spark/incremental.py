@@ -377,6 +377,14 @@ def compact_index(spark: SparkSession, index_dir: str,
     over only the surviving docs — after compaction the index is
     bit-identical to one built over the corpus minus the deletes."""
     paths = IndexPaths(index_dir)
+    # crash repair: a previous compact killed between the two renames
+    # below leaves raw at __old (source of truth intact, never
+    # deleted before the new copy is in place) — restore it and drop
+    # any half-written __new before doing anything else
+    old = paths.postings_raw + "__old"
+    if not os.path.isdir(paths.postings_raw) and os.path.isdir(old):
+        os.rename(old, paths.postings_raw)
+    shutil.rmtree(paths.postings_raw + "__new", ignore_errors=True)
     if os.path.isdir(paths.tombstones):
         t0 = time.time()
         dead = spark.read.parquet(paths.tombstones).select("url").distinct()

@@ -111,6 +111,29 @@ def test_overlay_deletes_without_disk_mutation(spark, built_index):
     assert not os.path.isdir(IndexPaths(full_out).tombstones)
 
 
+def test_compact_repairs_interrupted_raw_swap(spark, fixture_pages_parquet,
+                                              tmp_path_factory):
+    """A compact killed between the two raw-store renames leaves raw
+    at __old; the next compact must restore it and complete — the raw
+    store (source of truth) is never lost to a mid-swap crash."""
+    out = str(tmp_path_factory.mktemp("crash_index"))
+    pages = spark.read.parquet(fixture_pages_parquet).limit(60)
+    build_index(spark, pages, out, CFG)
+    victims = [r["url"] for r in pages.select("url").limit(5).collect()]
+    delete_documents(spark, victims, out)
+    paths = IndexPaths(out)
+    # simulate the crash window: raw renamed away, half-written __new
+    os.rename(paths.postings_raw, paths.postings_raw + "__old")
+    os.makedirs(paths.postings_raw + "__new")
+    meta = compact_index(spark, out, CFG)
+    assert meta["n_docs"] == 55
+    assert os.path.isdir(paths.postings_raw)
+    assert not os.path.isdir(paths.postings_raw + "__old")
+    assert not os.path.isdir(paths.postings_raw + "__new")
+    assert (spark.read.parquet(paths.postings_raw)
+            .filter(F.col("url").isin(victims)).count() == 0)
+
+
 # -- compaction (mutates del_index: keep LAST in the module) -----------------
 
 def test_compact_purges_and_matches_fresh_build(
