@@ -42,6 +42,8 @@ def main() -> None:
     ap.add_argument("--term-buckets", type=int, default=16)
     ap.add_argument("--bucket-groups", type=int, default=2)
     ap.add_argument("--no-stem", action="store_true")
+    ap.add_argument("--keep-positions", action="store_true",
+                    help="pack per-posting position lists (enables phrase search)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--repartition", type=int, default=0,
                     help="repartition the input before tokenize (0 = leave as read)")
@@ -65,6 +67,7 @@ def main() -> None:
         n_term_buckets=args.term_buckets,
         n_bucket_groups=args.bucket_groups,
         stem=not args.no_stem,
+        keep_positions=args.keep_positions,
     )
     if os.path.isdir(args.input) and os.path.exists(
         os.path.join(args.input, "documents.parquet")

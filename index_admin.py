@@ -52,6 +52,9 @@ def main() -> None:
     ap.add_argument("--term-buckets", type=int, default=16)
     ap.add_argument("--bucket-groups", type=int, default=2)
     ap.add_argument("--no-stem", action="store_true")
+    ap.add_argument("--keep-positions", action="store_true",
+                    help="must match the original build's setting (the "
+                         "layout check refuses a mismatch)")
     args = ap.parse_args()
 
     from search_engine_spark.config import EngineConfig
@@ -67,6 +70,7 @@ def main() -> None:
         n_term_buckets=args.term_buckets,
         n_bucket_groups=args.bucket_groups,
         stem=not args.no_stem,
+        keep_positions=args.keep_positions,
     )
     t0 = time.time()
     out: dict = {"verb": args.verb, "index": args.index}

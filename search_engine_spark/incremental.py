@@ -84,6 +84,26 @@ from .indexer import (
 )
 
 
+def check_layout(meta: dict, cfg: EngineConfig) -> None:
+    """Refuse a mutation whose cfg disagrees with the index's baked
+    physical layout.  A mismatch corrupts SILENTLY, not loudly: a
+    different n_term_buckets rewrites the dictionary with bucket
+    values the packed index doesn't use (terms vanish from pruned
+    scans); a keep_positions mismatch packs docs without the positions
+    the index serves (or strands docs with no postings at all)."""
+    for field in ("n_doc_shards", "n_term_buckets", "stem", "block_size"):
+        if meta[field] != getattr(cfg, field):
+            raise ValueError(
+                f"cfg.{field}={getattr(cfg, field)} does not match the "
+                f"index layout ({meta[field]}); index mutations must "
+                "share the build's layout")
+    if bool(meta.get("keep_positions")) != bool(cfg.keep_positions):
+        raise ValueError(
+            f"cfg.keep_positions={bool(cfg.keep_positions)} does not match "
+            f"the index layout ({bool(meta.get('keep_positions'))}); index "
+            "mutations must share the build's layout")
+
+
 def _next_segment_id(paths: IndexPaths) -> int:
     segs = [int(r["key"]) for r in read_lineage(paths)
             if r["stage"] == "segment" and r.get("status") == "done"]
@@ -200,22 +220,27 @@ def add_documents(
     paths = IndexPaths(index_dir)
     with open(paths.meta) as fh:
         meta = json.load(fh)
-    for field in ("n_doc_shards", "n_term_buckets", "stem", "block_size"):
-        if meta[field] != getattr(cfg, field):
-            raise ValueError(
-                f"cfg.{field}={getattr(cfg, field)} does not match the "
-                f"index layout ({meta[field]}); incremental segments must "
-                "share the build's layout")
+    check_layout(meta, cfg)
     sid = segment if segment is not None else _next_segment_id(paths)
     t0 = time.time()
 
-    # guard BEFORE any publish: a url that is already indexed (live OR
-    # tombstoned) must not be re-added — it would get a second (shard,
-    # local_id) and surface twice in results (and a tombstone on the
-    # url would then kill both versions); raising after the raw
-    # publish would leave poisoned seg files for the next compaction.
-    # The supported update flow is delete_documents -> compact_index
-    # -> add_documents.
+    # guards BEFORE any publish — raising after the raw publish would
+    # leave poisoned seg files for the next compaction.
+    # (a) a url duplicated WITHIN the delta would collapse to one
+    # (shard, local_id) in doc_stats while its postings and df count
+    # twice — permanent double-scoring;
+    # (b) a url already indexed (live OR tombstoned) would get a
+    # second (shard, local_id) and surface twice in results (and a
+    # tombstone on the url would then kill both versions).  The
+    # supported update flow is delete_documents -> compact_index ->
+    # add_documents.
+    row = new_pages.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("url").alias("d")
+    ).first()
+    if row["n"] != row["d"]:
+        raise ValueError(
+            f"{row['n'] - row['d']} duplicate url row(s) WITHIN the delta; "
+            "dedupe upstream first (e.g. dropDuplicates(['url']))")
     old_stats = spark.read.parquet(paths.doc_stats)
     n_dup = (new_pages.select("url").distinct()
              .join(old_stats.select("url"), "url", "left_semi").count())
@@ -348,6 +373,10 @@ def delete_documents(
     (duplicates are harmless — every reader takes DISTINCT) and
     records a lineage row.  Returns the batch's url count."""
     paths = IndexPaths(index_dir)
+    if isinstance(urls, str):
+        # a bare string would iterate as characters and silently
+        # tombstone 'h','t','t','p',… instead of the url
+        urls = [urls]
     if isinstance(urls, DataFrame):
         df = urls.select("url").distinct()
     else:
@@ -377,6 +406,9 @@ def compact_index(spark: SparkSession, index_dir: str,
     over only the surviving docs — after compaction the index is
     bit-identical to one built over the corpus minus the deletes."""
     paths = IndexPaths(index_dir)
+    if os.path.exists(paths.meta):
+        with open(paths.meta) as fh:
+            check_layout(json.load(fh), cfg)
     # crash repair: a previous compact killed between the two renames
     # below leaves raw at __old (source of truth intact, never
     # deleted before the new copy is in place) — restore it and drop

@@ -26,14 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def simple_tokens(col: str = "text"):
-    """lowercased [a-z0-9]+ tokens — the ML-pipeline tokenization the
-    documents-table operators share (textstats.simple_tokens twin,
-    re-declared here to avoid a circular import)."""
-    return F.filter(
-        F.split(F.lower(F.col(col)), "[^a-z0-9]+"), lambda x: x != ""
-    )
+# the ONE ML-pipeline tokenization every documents-table operator
+# shares — a local copy could drift from the oracles
+from .textstats import simple_tokens
 
 
 def best_snippet(docs: DataFrame, terms: list[str], window: int = 5,

@@ -109,16 +109,31 @@ def refresh_index(spark: SparkSession, index_dir: str,
     Every streamed epoch present is packed by this rebuild, so each
     gets an ``epoch_packed`` marker — a later
     :func:`refresh_incremental` must not fold it in again."""
+    from ..incremental import check_layout
+
     paths = IndexPaths(index_dir)
+    if os.path.exists(paths.meta):
+        # the raw store's bucket column is baked with the build cfg's
+        # n_term_buckets; a rebuild under a narrower layout would
+        # silently drop the out-of-range buckets from the pack groups
+        with open(paths.meta) as fh:
+            check_layout(json.load(fh), cfg)
     all_rows = read_lineage(paths)
     rows = [r for r in all_rows if r["stage"] not in DERIVED_STAGES]
     if not any(r["stage"] == "tokenize" for r in rows):
         rows.append({"stage": "tokenize", "key": "all"})
+    write_lineage(paths, rows)
+    meta = build_index(spark, None, index_dir, cfg, resume=True)
+    # the markers go in only AFTER the rebuild that actually packed
+    # these epochs completes — marking first would let a killed
+    # rebuild convince refresh_incremental there is nothing pending
     streamed = _epoch_keys(all_rows, "stream_batch")
     packed = _epoch_keys(all_rows, "epoch_packed")
-    rows += [{"stage": "epoch_packed", "key": e} for e in sorted(streamed - packed)]
-    write_lineage(paths, rows)
-    return build_index(spark, None, index_dir, cfg, resume=True)
+    fresh = sorted(streamed - packed)
+    if fresh:
+        _lineage_append(spark, paths,
+                        [{"stage": "epoch_packed", "key": e} for e in fresh])
+    return meta
 
 
 def _epoch_keys(rows: list[dict], stage: str) -> set[str]:
@@ -150,7 +165,7 @@ def refresh_incremental(spark: SparkSession, index_dir: str,
 
     Requires a servable index (meta.json): the first refresh after a
     cold-start stream must be the full :func:`refresh_index`."""
-    from ..incremental import _append_segment, _next_segment_id
+    from ..incremental import _append_segment, _next_segment_id, check_layout
 
     paths = IndexPaths(index_dir)
     if not os.path.exists(paths.meta):
@@ -159,6 +174,7 @@ def refresh_incremental(spark: SparkSession, index_dir: str,
             "run the full refresh_index first after a cold-start stream")
     with open(paths.meta) as fh:
         meta = json.load(fh)
+    check_layout(meta, cfg)
     rows = read_lineage(paths)
     pending = sorted(
         _epoch_keys(rows, "stream_batch") - _epoch_keys(rows, "epoch_packed"),
@@ -173,6 +189,18 @@ def refresh_incremental(spark: SparkSession, index_dir: str,
         .option("pathGlobFilter", glob)
         .parquet(paths.postings_raw)
     )
+    # a url ingested twice WITHIN/ACROSS the pending epochs shows up
+    # as duplicate (url, term_key) posting rows (tokenize emits one
+    # row per doc-term) — it would collapse to one doc in doc_stats
+    # while scoring and df count it twice, permanently
+    pair_row = delta_raw.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("url", "term_key").alias("d"),
+    ).first()
+    if pair_row["n"] != pair_row["d"]:
+        raise ValueError(
+            f"duplicate url(s) within epochs {pending}; dedupe the stream "
+            "upstream (streaming.dedup keep-list) before refreshing")
     old_urls = spark.read.parquet(paths.doc_stats).select("url")
     n_dup = (delta_raw.select("url").distinct()
              .join(old_urls, "url", "left_semi").count())

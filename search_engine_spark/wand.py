@@ -19,10 +19,12 @@ Algorithm (conservative block-max WAND, exact w.r.t. the full scorer):
    blocks can beat θ.
 4. Exactly score the union of docs in surviving blocks (vectorized
    searchsorted joins into the full arrays) and take the per-shard
-   top-k by (score desc, local_id asc == url asc within a shard).
+   top-k by score, keeping every candidate TIED with the k-th score
+   (the global merge tie-breaks by url asc, which a shard cannot see:
+   with incremental segments local_id order is not url order).
 
-Per-shard top-k under a total order contains the global top-k's
-members in that shard, so merging per-shard results is exact.
+Per-shard top-k-with-ties under score order contains the global
+top-k's members in that shard, so merging per-shard results is exact.
 The shard fan-out/merge is the standard web-search architecture: at
 10^12 docs each shard holds a bounded slice of every posting list,
 and only k rows per shard leave the executor — no per-posting shuffle.
@@ -140,10 +142,17 @@ def _score_shard(
         scores[hit] += t["blended"][pos_c[hit]]
 
     if cands.size > k:
-        # top-k by (score desc, local_id asc): lexsort on (-score, id)
-        order = np.lexsort((cands, -scores))[:k]
-    else:
-        order = np.lexsort((cands, -scores))
+        # keep EVERY candidate tied with the k-th best score, not
+        # exactly k rows: the global merge breaks score ties by url
+        # asc, and once incremental segments exist local_id order is
+        # NOT url order (appended docs take ids above the shard max) —
+        # truncating at k could keep the wrong tied doc and break
+        # rank-identity with the exhaustive scorer.  The overshoot is
+        # bounded by the number of docs sharing one float score.
+        kth = np.partition(scores, -k)[-k]
+        keep = scores >= kth
+        cands, scores = cands[keep], scores[keep]
+    order = np.lexsort((cands, -scores))
     return pd.DataFrame({
         "shard": np.full(order.size, shard, dtype=np.int32),
         "local_id": cands[order],

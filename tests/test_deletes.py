@@ -120,7 +120,12 @@ def test_compact_repairs_interrupted_raw_swap(spark, fixture_pages_parquet,
     pages = spark.read.parquet(fixture_pages_parquet).limit(60)
     build_index(spark, pages, out, CFG)
     victims = [r["url"] for r in pages.select("url").limit(5).collect()]
-    delete_documents(spark, victims, out)
+    delete_documents(spark, victims[:4], out)
+    # a bare string must delete THE url, not its characters
+    assert delete_documents(spark, victims[4], out) == 1
+    stones = {r["url"] for r in
+              spark.read.parquet(IndexPaths(out).tombstones).collect()}
+    assert stones == set(victims)
     paths = IndexPaths(out)
     # simulate the crash window: raw renamed away, half-written __new
     os.rename(paths.postings_raw, paths.postings_raw + "__old")

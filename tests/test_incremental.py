@@ -143,6 +143,30 @@ def test_duplicate_url_rejected_before_publish(spark, fixture_pages_parquet, inc
     assert seg_files_before == seg_files_after
 
 
+def test_duplicate_url_within_delta_rejected(spark, fixture_pages_parquet, inc_index):
+    """A url appearing twice INSIDE one delta would collapse to one
+    doc_stats row while its postings/df count twice — rejected before
+    any publish."""
+    out, cfg = inc_index
+    one = (spark.read.parquet(fixture_pages_parquet).limit(1)
+           .withColumn("url", F.lit("dup://same")))
+    with pytest.raises(ValueError, match="WITHIN the delta"):
+        add_documents(spark, one.unionByName(one), out, cfg)
+
+
+def test_keep_positions_mismatch_rejected(spark, fixture_pages_parquet, inc_index):
+    """A keep_positions mismatch must fail the UP-FRONT layout check —
+    failing later (at pack) would leave doc_stats/dictionary already
+    mutated with no postings behind them."""
+    out, _ = inc_index
+    pages = (spark.read.parquet(fixture_pages_parquet).limit(1)
+             .withColumn("url", F.lit("new://kp")))
+    with pytest.raises(ValueError, match="keep_positions.*layout"):
+        add_documents(spark, pages, out,
+                      EngineConfig(n_doc_shards=8, n_term_buckets=8,
+                                   n_bucket_groups=4, keep_positions=True))
+
+
 # -- compaction (mutates inc_index: keep these LAST in the module) ----------
 
 def test_compact_collapses_segments_and_keeps_answers(

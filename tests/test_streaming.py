@@ -153,6 +153,10 @@ def test_incremental_refresh_matches_batch_build(spark, tmp_dir, cfg):
                   if r["stage"] == "segment"]
     assert len(segs_after) == len(segs_before) == 1
 
+    # a layout mismatch is refused before touching anything
+    with pytest.raises(ValueError, match="layout"):
+        refresh_incremental(spark, ix_stream, EngineConfig(n_term_buckets=3))
+
     # a re-crawled url (new epoch, existing url) is rejected
     _write_chunk(pages[:5], os.path.join(stream_dir, "chunk3.parquet"))
     stream_ingest(spark, stream_dir, ix_stream, cfg)
