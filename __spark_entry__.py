@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.incremental import add_documents
 from search_engine_spark.indexer import build_index
+from search_engine_spark.operators import curation as CU
 from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import similarity as SIM
@@ -713,6 +714,42 @@ SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
 SAMPLE_SALT = "r3"
 SAMPLE_DEFAULT = 0.05
 
+# contamination row: eval set = grams of docs 0..4; n=3 because the
+# synthetic corpus is short docs over a tiny vocabulary (real eval
+# sets use the operator default n=8+, but at n>=5 this corpus has ~0
+# cross-doc collisions — an empty row certifies nothing)
+CONTAM_EVAL_DOCS = 5
+CONTAM_NGRAM = 3
+
+
+def q_text_contamination(spark, sf):
+    """Eval-set decontamination: docs (outside the eval set) sharing
+    any n-gram with the eval docs, with per-doc hit counts — the
+    n-gram-overlap check run before training on any crawled corpus."""
+    docs = _tbl(spark, sf, "documents")
+    ev = CU.eval_grams_from_docs(
+        docs.filter(F.col("doc_id") < CONTAM_EVAL_DOCS), n=CONTAM_NGRAM
+    )
+    return CU.contamination_hits(
+        docs.filter(F.col("doc_id") >= CONTAM_EVAL_DOCS), ev, n=CONTAM_NGRAM
+    )
+
+
+def q_dedup_crossdoc_grams(spark, sf):
+    """Cross-document duplicated-gram fraction per doc — the
+    corpus-level paragraph-dedup signal (two gram-keyed shuffles,
+    shared shingle kernel)."""
+    return CU.crossdoc_dup_grams(_tbl(spark, sf, "documents"))
+
+
+def q_training_mix(spark, sf):
+    """The end-to-end curation cut: Gopher quality pass ∧ near-dup
+    keep-list survivor ∧ stratified hash sample -> training manifest."""
+    return CU.training_mix(
+        _tbl(spark, sf, "documents"),
+        rates=SAMPLE_RATES, salt=SAMPLE_SALT, default_rate=SAMPLE_DEFAULT,
+    )
+
 
 def q_sample_stratified(spark, sf):
     # deterministic training-mix cut: per-language keep rates via a
@@ -974,6 +1011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprint": q_text_winnow_fingerprint,
         "text_bpe_stats": q_text_bpe_stats,
         "text_gopher_quality": q_text_gopher_quality,
+        "text_contamination": q_text_contamination,
+        "dedup_crossdoc_grams": q_dedup_crossdoc_grams,
+        "training_mix": q_training_mix,
         "text_snippets": q_text_snippets,
         "text_suggest": q_text_suggest,
         "sample_stratified": q_sample_stratified,
@@ -986,12 +1026,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 
-def _sql_shingles_cte() -> str:
-    n = D.DEFAULT_SHINGLE
+def _sql_shingles_cte(n: int = D.DEFAULT_SHINGLE) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
     return (
         _TOK_CTE + ", sh AS (SELECT doc_id, list_distinct(list_transform("
         f"range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM tok)"
+        f"i -> {gram})) AS shingles FROM tok)"
     )
 
 
@@ -1402,6 +1442,23 @@ FROM s
 """
 
 
+def _sql_sample_stratified() -> str:
+    """DuckDB twin of webquality.sample_stratified at the driver row's
+    rates/salt (shared by the sample_stratified and training_mix
+    oracles)."""
+    return f"""
+SELECT doc_id, lang, source, bucket FROM (
+  SELECT doc_id, lang, source,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SAMPLE_SALT}'), 1, 8))::BIGINT
+          % 1000000) AS bucket
+  FROM documents)
+WHERE bucket < CASE {" ".join(
+    f"WHEN lang = '{s}' THEN {int(round(r * 1_000_000))}"
+    for s, r in sorted(SAMPLE_RATES.items())
+)} ELSE {int(round(SAMPLE_DEFAULT * 1_000_000))} END
+"""
+
+
 _BM25_EXPR = (
     f"idf * (tf * ({BM25_K1} + 1)) / "
     f"(tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / (SELECT avgdl FROM stats)))"
@@ -1712,6 +1769,47 @@ SELECT doc_id,
 FROM p
 """,
         "text_gopher_quality": _sql_gopher_quality(),
+        "text_contamination": f"""
+WITH {_sql_shingles_cte(CONTAM_NGRAM)},
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ev AS (SELECT DISTINCT s FROM shx WHERE doc_id < {CONTAM_EVAL_DOCS}),
+base AS (SELECT * FROM shx WHERE doc_id >= {CONTAM_EVAL_DOCS}),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM base GROUP BY doc_id),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         FROM base JOIN ev USING (s) GROUP BY doc_id)
+SELECT h.doc_id, t.n_grams, h.n_hit,
+       round(h.n_hit / t.n_grams, 6) AS hit_frac
+FROM hits h JOIN totals t USING (doc_id)
+""",
+        "dedup_crossdoc_grams": f"""
+WITH {_sql_shingles_cte()},
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+gdf AS (SELECT s, count(*) AS gram_df FROM shx GROUP BY s)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       round(sum(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
+FROM shx JOIN gdf USING (s) GROUP BY doc_id
+""",
+        "training_mix": f"""
+WITH RECURSIVE np AS ({_sql_near_dup_pairs(0.5)}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM np
+          UNION SELECT doc_b, doc_a FROM np),
+reach AS (
+  SELECT src AS doc_id, dst AS other FROM edges
+  UNION
+  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON r.other = e.src
+),
+dropped AS (SELECT doc_id FROM (
+              SELECT doc_id, least(doc_id, min(other)) AS cid
+              FROM reach GROUP BY doc_id)
+            WHERE doc_id <> cid),
+gq AS ({_sql_gopher_quality()}),
+smp AS ({_sql_sample_stratified()})
+SELECT s.doc_id, s.lang, s.source, s.bucket
+FROM smp s
+JOIN gq ON gq.doc_id = s.doc_id AND gq.passes
+WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+""",
         "text_snippets": f"""
 WITH {_TOK_CTE},
 p AS (SELECT doc_id, toks,
@@ -1737,17 +1835,7 @@ cand AS (
 SELECT DISTINCT ON (term) term, suggestion, CAST(dist AS BIGINT) AS dist, df
 FROM cand ORDER BY term, dist, df DESC, suggestion
 """,
-        "sample_stratified": f"""
-SELECT doc_id, lang, source, bucket FROM (
-  SELECT doc_id, lang, source,
-         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SAMPLE_SALT}'), 1, 8))::BIGINT
-          % 1000000) AS bucket
-  FROM documents)
-WHERE bucket < CASE {" ".join(
-    f"WHEN lang = '{s}' THEN {int(round(r * 1_000_000))}"
-    for s, r in sorted(SAMPLE_RATES.items())
-)} ELSE {int(round(SAMPLE_DEFAULT * 1_000_000))} END
-""",
+        "sample_stratified": _sql_sample_stratified(),
         "source_rollup": f"""
 WITH perdoc AS ({_sql_quality()})
 SELECT d.source, d.lang,

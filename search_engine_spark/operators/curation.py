@@ -1,0 +1,144 @@
+"""Corpus-curation operators — the steps between "crawled pages" and
+"training mix" that a 100 TB data pipeline runs after quality scoring
+and dedup:
+
+* eval-set decontamination (``contamination_hits``): which documents
+  contain an n-gram from a held-out benchmark/eval set — the standard
+  n-gram-overlap decontamination check (cf. GPT-3 App. C / PaLM:
+  13-gram collision against eval sets).
+* cross-document duplicated-gram fraction (``crossdoc_dup_grams``):
+  per doc, what share of its n-grams also occur in OTHER documents —
+  the corpus-level twin of paragraph/line dedup for corpora whose
+  documents carry no line structure.
+* training-mix manifest (``training_mix``): the end-to-end
+  composition quality-filter ∧ dedup-keep-list ∧ deterministic
+  stratified sample — the final "which docs go in the run" cut.
+
+Scale shape (100 TB):
+- every operator starts from the shared ZERO-shuffle shingle kernel
+  (``dedup.shingle_rows``) — tokenize runs once per doc in Arrow.
+- ``contamination_hits`` joins the corpus grams against the eval-gram
+  set; eval sets are tiny next to the corpus (1e5-1e7 grams), so the
+  join side is broadcast and the whole check is one map-side pass +
+  one per-doc groupBy.  No corpus self-join anywhere.
+- ``crossdoc_dup_grams`` is two shuffles on the gram key (df count +
+  join back), both with map-side partial aggregation; the shingle
+  frame is persisted once per campaign (``dedup._shared_shingles``)
+  so multi-branch plans never re-tokenize.
+- ``training_mix`` is filters all the way down: the quality flags are
+  one Arrow pass, the keep-list anti-join keys on doc_id (near-dup
+  clusters are vanishingly small next to the corpus, so the join side
+  broadcasts), and the sample is a pure codegen hash filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (
+    DEFAULT_SHINGLE,
+    _shared_shingles,
+    dedup_clusters,
+    near_dup_pairs,
+    shingle_rows,
+)
+from .webquality import gopher_quality, sample_stratified
+
+DEFAULT_CONTAM_NGRAM = 8    # realistic eval-set gram width (GPT-3 uses 13)
+
+
+def contamination_hits(docs: DataFrame, eval_grams: DataFrame,
+                       n: int = DEFAULT_CONTAM_NGRAM,
+                       gram_col: str = "gram",
+                       broadcast_eval: bool = True) -> DataFrame:
+    """Per-document eval-set n-gram overlap: for every doc sharing at
+    least one n-gram with ``eval_grams``, emit
+    ``(doc_id, n_grams, n_hit, hit_frac)``.
+
+    ``eval_grams`` is any frame with a column of token-normalized
+    grams (space-joined lowercase tokens — the exact shingle form of
+    ``dedup.shingle_rows``).  Clean docs are not emitted: at corpus
+    scale the output must be |contaminated|, not |corpus|.
+
+    ``broadcast_eval=True`` (default) broadcasts the eval grams —
+    right whenever the eval set fits an executor (every real eval
+    set); pass False for a pathologically large eval side and let AQE
+    pick the join."""
+    sh = shingle_rows(docs, n=n)
+    ev = eval_grams.select(F.col(gram_col).alias("s")).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    # shingle_rows emits DISTINCT (doc_id, s), so count(*) == count of
+    # distinct grams on both branches
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = sh.join(ev, "s").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        hits.join(totals, "doc_id")
+        .select(
+            "doc_id", "n_grams", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("hit_frac"),
+        )
+    )
+
+
+def eval_grams_from_docs(docs: DataFrame, n: int = DEFAULT_CONTAM_NGRAM) -> DataFrame:
+    """Distinct gram set of a (small) doc frame in the shingle form
+    ``contamination_hits`` consumes — how a benchmark's question/answer
+    texts become the eval-gram table."""
+    return shingle_rows(docs, n=n).select(F.col("s").alias("gram")).distinct()
+
+
+def crossdoc_dup_grams(docs: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """Per-document cross-corpus duplication: ``(doc_id, n_grams,
+    n_dup_grams, dup_frac)`` where a gram is "dup" iff it appears in
+    more than one document.  The corpus-level signal line/paragraph
+    dedup thresholds on (a doc that is mostly other documents' text is
+    boilerplate or a template farm)."""
+    sh = _shared_shingles(docs, n)
+    gdf = sh.groupBy("s").agg(F.count(F.lit(1)).alias("gram_df"))
+    return (
+        sh.join(gdf, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("gram_df") > 1, 1).otherwise(0)).cast("long").alias("n_dup_grams"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_dup_grams") / F.col("n_grams"), 6))
+    )
+
+
+def training_mix(docs: DataFrame, rates: dict[str, float], salt: str,
+                 default_rate: float = 0.0,
+                 near_dup_threshold: float = 0.5) -> DataFrame:
+    """The final curation cut, composed from the real operators:
+
+    keep a document iff it
+      1. passes the Gopher quality rules (one Arrow pass + codegen
+         flags, ``webquality.gopher_quality``),
+      2. is not a DISCARDED member of a near-dup cluster (MinHash+LSH
+         candidates -> Jaccard verify -> connected-components
+         keep-list, ``dedup.dedup_clusters`` — the cluster minimum
+         survives), and
+      3. falls under its language's deterministic hash-sample rate
+         (``webquality.sample_stratified``).
+
+    Output: the manifest ``(doc_id, lang, source, bucket)``.  Every
+    stage is a filter — the corpus is scanned, never self-joined, and
+    the drop-list join side (cluster members with keep=false) is tiny
+    next to the corpus, so it broadcasts."""
+    quality_pass = gopher_quality(docs).filter(F.col("passes")).select("doc_id")
+    drop = (
+        dedup_clusters(near_dup_pairs(docs, threshold=near_dup_threshold))
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    sampled = sample_stratified(
+        docs.select("doc_id", "lang", "source"),
+        rates=rates, salt=salt, default_rate=default_rate,
+    )
+    return (
+        sampled.join(quality_pass, "doc_id")
+        .join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", F.col("bucket").cast("long").alias("bucket"))
+    )

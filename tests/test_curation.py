@@ -1,0 +1,97 @@
+"""Curation operators: eval-set decontamination, cross-document
+duplicated-gram fraction, and the training-mix composition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import curation as CU
+from search_engine_spark.operators import dedup as D
+from search_engine_spark.operators.webquality import gopher_quality, sample_stratified
+
+SF_001 = "/root/testdata/sf0.001"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_hits_handcrafted(spark):
+    docs = _df(spark, [
+        (0, "alpha beta gamma delta"),              # eval doc
+        (10, "x y alpha beta gamma z"),             # shares "alpha beta gamma"
+        (11, "nothing shared here at all really"),  # clean -> absent
+        (12, "ab"),                                 # < n tokens -> absent
+    ])
+    ev = CU.eval_grams_from_docs(docs.filter(F.col("doc_id") < 10), n=3)
+    out = CU.contamination_hits(docs.filter(F.col("doc_id") >= 10), ev, n=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {10}
+    assert rows[10]["n_grams"] == 4 and rows[10]["n_hit"] == 1
+    assert rows[10]["hit_frac"] == 0.25
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    docs = _df(spark, [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)])
+    ev = CU.eval_grams_from_docs(docs.filter(F.col("doc_id") < 2), n=3)
+    out = CU.contamination_hits(docs.filter(F.col("doc_id") >= 2), ev, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan     # eval grams never shuffle the corpus
+    assert "CartesianProduct" not in plan
+
+
+def test_crossdoc_dup_grams_handcrafted(spark):
+    docs = _df(spark, [
+        (1, "a b c d"),      # grams: "a b c", "b c d"
+        (2, "b c d e"),      # grams: "b c d", "c d e"
+        (3, "q r s"),        # gram "q r s" unique
+    ])
+    out = {r["doc_id"]: r for r in CU.crossdoc_dup_grams(docs, n=3).collect()}
+    D.clear_shingle_cache()
+    assert out[1]["n_grams"] == 2 and out[1]["n_dup_grams"] == 1
+    assert out[1]["dup_frac"] == 0.5
+    assert out[2]["n_grams"] == 2 and out[2]["n_dup_grams"] == 1
+    assert out[3]["n_grams"] == 1 and out[3]["n_dup_grams"] == 0
+    assert out[3]["dup_frac"] == 0.0
+
+
+def test_crossdoc_dup_frac_counts_other_docs_only_via_df(spark):
+    # a gram repeated WITHIN one doc is distinct-deduped by the
+    # shingle kernel, so it must not count as duplicated
+    docs = _df(spark, [(1, "a b c a b c"), (2, "z z z z")])
+    out = {r["doc_id"]: r for r in CU.crossdoc_dup_grams(docs, n=3).collect()}
+    D.clear_shingle_cache()
+    assert out[1]["n_dup_grams"] == 0
+    assert out[2]["n_grams"] == 1 and out[2]["n_dup_grams"] == 0
+
+
+def test_training_mix_composition(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet")
+    rates = {"en": 1.0}
+    out = CU.training_mix(docs, rates=rates, salt="t", default_rate=1.0)
+    got = {r["doc_id"] for r in out.collect()}
+
+    passes = {r["doc_id"] for r in
+              gopher_quality(docs).filter(F.col("passes")).select("doc_id").collect()}
+    dropped = {r["doc_id"] for r in
+               D.dedup_clusters(D.near_dup_pairs(docs, threshold=0.5))
+               .filter(~F.col("keep")).collect()}
+    D.clear_shingle_cache()
+    assert got == (passes - dropped)
+    assert got, "mix must be non-empty on the fixture corpus"
+    # manifest carries the sampling bucket for reproducibility audits
+    assert set(out.columns) == {"doc_id", "lang", "source", "bucket"}
+
+
+def test_training_mix_sampling_is_subset(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet")
+    full = CU.training_mix(docs, rates={}, salt="t", default_rate=1.0)
+    half = CU.training_mix(docs, rates={}, salt="t", default_rate=0.5)
+    D.clear_shingle_cache()
+    f = {r["doc_id"] for r in full.collect()}
+    h = {r["doc_id"] for r in half.collect()}
+    assert h < f   # deterministic hash sample: strict subset at a lower rate
+    # and it matches the standalone sampler's decisions
+    s = {r["doc_id"] for r in
+         sample_stratified(docs.select("doc_id", "lang", "source"),
+                           rates={}, salt="t", default_rate=0.5).collect()}
+    assert h == f & s
