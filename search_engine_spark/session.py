@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark import SparkConf
 from pyspark.sql import SparkSession
 
 
@@ -20,14 +21,27 @@ def get_spark(
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
-    if shuffle_partitions is None:
-        n = master[master.index("[") + 1 : -1] if "[" in master else cpus
+    # an explicit ``master`` argument wins; otherwise respect a master
+    # already set by spark-submit (--master yarn / k8s / local[N] lands
+    # in SparkConf via system properties) — overriding it here would
+    # silently turn every cluster submit into a local run; only when
+    # neither exists (plain ``python script.py``) default to local[N]
+    submit_conf = SparkConf()
+    submit_master = submit_conf.get("spark.master", None)
+    effective = master or submit_master or f"local[{cpus}]"
+    if shuffle_partitions is None and "local[" in effective:
+        n = effective[effective.index("[") + 1 : -1]
         shuffle_partitions = 32 if n == "*" else max(8, int(n))
+    # (non-local with no explicit value: leave shuffle partitions to
+    # spark-submit --conf / cluster defaults rather than clobbering)
+    builder = SparkSession.builder.appName(app)
+    if master or submit_master is None:
+        builder = builder.master(effective)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
