@@ -46,6 +46,8 @@ from search_engine_spark.incremental import add_documents
 from search_engine_spark.indexer import build_index
 from search_engine_spark.operators import curation as CU
 from search_engine_spark.operators import dedup as D
+from search_engine_spark.operators import ireval as IR
+from search_engine_spark.operators import mlt as MLT
 from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import similarity as SIM
 from search_engine_spark.operators import snippets as SN
@@ -689,6 +691,44 @@ def q_text_gopher_quality(spark, sf):
     return WQ.gopher_quality(_tbl(spark, sf, "documents"))
 
 
+def q_text_more_like_this(spark, sf):
+    """Related documents for doc 0 by tf-idf cosine over shared terms
+    (the inverted-index "more like this"; candidates = posting union
+    of the query doc's terms, top-k = TakeOrdered)."""
+    topk = MLT.more_like_this(_tbl(spark, sf, "documents"), query_doc_id=0, k=10)
+    return (
+        ranked(topk, [("cosine", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "cosine", "rank")
+    )
+
+
+def q_ir_eval(spark, sf):
+    """trec_eval-style per-query metrics (P@10 / AP / NDCG@10) closing
+    the TREC loop: a deterministic term-frequency run over the three
+    flagship terms, qrels = docs containing the term with a portable
+    md5 coin flip (rel iff first hex of md5(qid:doc) in 0..7)."""
+    tf = _doc_tf(_tbl(spark, sf, "documents"))
+    qtf = tf.filter(F.col("tok").isin(*FT_QUERY_TERMS)).withColumn(
+        "qid", F.col("tok")
+    ).withColumn("url", F.col("doc_id").cast("string"))
+    w = Window.partitionBy("qid").orderBy(F.desc("tf"), F.asc("doc_id"))
+    run = (
+        qtf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "rank", "url")
+    )
+    coin = F.substring(
+        F.md5(F.to_binary(F.concat_ws(":", F.col("qid"), F.col("url")), F.lit("utf-8"))),
+        1, 1,
+    )
+    qrels = qtf.select(
+        "qid", "url",
+        F.when(coin.isin(*"01234567"), 1).otherwise(0).alias("rel"),
+    )
+    return IR.ir_metrics(run, qrels, k=10)
+
+
 MISSPELLED = ("tabel", "joni", "quey", "filtr", "zzzzqqq")
 
 
@@ -1016,6 +1056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "text_snippets": q_text_snippets,
         "text_suggest": q_text_suggest,
+        "text_more_like_this": q_text_more_like_this,
+        "ir_eval": q_ir_eval,
         "sample_stratified": q_sample_stratified,
         "source_rollup": q_source_rollup,
         "multimodal_resize": q_multimodal_resize,
@@ -1442,6 +1484,54 @@ FROM s
 """
 
 
+def _sql_ir_eval(k: int = 10) -> str:
+    """DuckDB twin of operators.ireval.ir_metrics over the same
+    deterministic term-frequency run + md5-coin qrels; the IDCG
+    lookup is the identical Python-float literal list."""
+    import math
+
+    qt = ", ".join(f"'{t}'" for t in FT_QUERY_TERMS)
+    idcg_vals, acc = [], 0.0
+    for i in range(1, k + 1):
+        acc += 1.0 / math.log2(i + 1)
+        idcg_vals.append(acc)
+    idcg_arr = "[" + ", ".join(repr(v) for v in idcg_vals) + "]"
+    return f"""
+WITH {_TF_CTE},
+qtf AS (SELECT doc_id, tok AS qid, CAST(doc_id AS VARCHAR) AS url, tf
+        FROM tf WHERE tok IN ({qt})),
+run AS (SELECT qid, url, rank FROM (
+          SELECT qid, url,
+                 CAST(row_number() OVER (PARTITION BY qid
+                      ORDER BY tf DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM qtf)
+        WHERE rank <= {k}),
+rel AS (SELECT DISTINCT qid, url FROM qtf
+        WHERE substr(md5(qid || ':' || url), 1, 1)
+              IN ('0','1','2','3','4','5','6','7')),
+totals AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
+j AS (SELECT r.qid, r.rank,
+             CASE WHEN rel.url IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+      FROM run r LEFT JOIN rel ON rel.qid = r.qid AND rel.url = r.url),
+wj AS (SELECT qid, rank, is_rel,
+              sum(is_rel) OVER (PARTITION BY qid ORDER BY rank) AS cum_rel
+       FROM j),
+per AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_ret,
+               CAST(sum(is_rel) AS BIGINT) AS n_rel_ret,
+               sum(is_rel * (cum_rel / rank)) AS ap_num,
+               sum(is_rel / log2(rank + 1)) AS dcg
+        FROM wj GROUP BY qid)
+SELECT p.qid, p.n_ret, CAST(coalesce(t.n_rel, 0) AS BIGINT) AS n_rel, p.n_rel_ret,
+       round(p.n_rel_ret / {k}, 6) AS p_at_k,
+       CASE WHEN coalesce(t.n_rel, 0) > 0
+            THEN round(p.ap_num / least(t.n_rel, {k}), 6) ELSE 0.0 END AS ap,
+       CASE WHEN coalesce(t.n_rel, 0) > 0
+            THEN round(p.dcg / ({idcg_arr})[CAST(least(t.n_rel, {k}) AS INT)], 6)
+            ELSE 0.0 END AS ndcg
+FROM per p LEFT JOIN totals t USING (qid)
+"""
+
+
 def _sql_sample_stratified() -> str:
     """DuckDB twin of webquality.sample_stratified at the driver row's
     rates/salt (shared by the sample_stratified and training_mix
@@ -1835,6 +1925,26 @@ cand AS (
 SELECT DISTINCT ON (term) term, suggestion, CAST(dist AS BIGINT) AS dist, df
 FROM cand ORDER BY term, dist, df DESC, suggestion
 """,
+        "text_more_like_this": f"""
+WITH {_TF_CTE},
+dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+w AS (SELECT tf.doc_id, tf.tok,
+             tf.tf * log2((SELECT CAST(count(*) AS DOUBLE) FROM documents) / dfx.df) AS w
+      FROM tf JOIN dfx USING (tok)),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+q AS (SELECT tok, w AS qw FROM w WHERE doc_id = 0),
+qn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = 0),
+dots AS (SELECT w.doc_id, sum(w.w * q.qw) AS dot
+         FROM w JOIN q USING (tok) WHERE w.doc_id <> 0 GROUP BY w.doc_id),
+scored AS (SELECT d.doc_id, round(d.dot / (n.nrm * qn.qnrm), 6) AS cosine
+           FROM dots d JOIN norms n USING (doc_id), qn
+           WHERE n.nrm > 0 AND qn.qnrm > 0),
+rk AS (SELECT doc_id, cosine,
+              CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank
+       FROM scored)
+SELECT doc_id, cosine, rank FROM rk WHERE rank <= 10
+""",
+        "ir_eval": _sql_ir_eval(),
         "sample_stratified": _sql_sample_stratified(),
         "source_rollup": f"""
 WITH perdoc AS ({_sql_quality()})

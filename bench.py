@@ -117,12 +117,15 @@ def main() -> None:
         "events_sessionize",
         "dedup_minhash_lsh",
         "dedup_near_pairs",
+        "dedup_crossdoc_grams",
         "dedup_simhash",
         "ann_dup_pairs",
         "ann_lsh_topk",
         "knn_join_first5",
         "text_quality",
         "text_gopher_quality",
+        "text_contamination",
+        "training_mix",
         "text_fingerprint",
         "multimodal_features",
         "entities_top5",

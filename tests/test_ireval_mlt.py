@@ -1,0 +1,98 @@
+"""IR evaluation metrics (trec_eval twin) and more-like-this."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import ireval as IR
+from search_engine_spark.operators import mlt as MLT
+
+
+def test_ir_metrics_handcrafted(spark):
+    run = spark.createDataFrame(
+        [("q1", 1, "a"), ("q1", 2, "b"), ("q1", 3, "c"),
+         ("q2", 1, "x"), ("q2", 2, "y")],
+        "qid string, rank long, url string",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "c", 1), ("q1", "d", 1),   # d never retrieved
+         ("q1", "b", 0),                                    # graded 0 = irrelevant
+         ("q2", "zz", 0)],                                  # q2: nothing relevant
+        "qid string, url string, rel long",
+    )
+    out = {r["qid"]: r for r in IR.ir_metrics(run, qrels, k=3).collect()}
+
+    q1 = out["q1"]
+    assert q1["n_ret"] == 3 and q1["n_rel"] == 3 and q1["n_rel_ret"] == 2
+    assert q1["p_at_k"] == round(2 / 3, 6)
+    assert q1["ap"] == round((1 / 1 + 2 / 3) / 3, 6)
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert q1["ndcg"] == round(dcg / idcg, 6)
+
+    q2 = out["q2"]
+    assert q2["n_rel"] == 0 and q2["n_rel_ret"] == 0
+    assert q2["ap"] == 0.0 and q2["ndcg"] == 0.0 and q2["p_at_k"] == 0.0
+
+
+def test_ir_metrics_perfect_run(spark):
+    run = spark.createDataFrame(
+        [("q", i, f"u{i}") for i in range(1, 6)], "qid string, rank long, url string"
+    )
+    qrels = spark.createDataFrame(
+        [("q", f"u{i}", 1) for i in range(1, 6)], "qid string, url string, rel long"
+    )
+    r = IR.ir_metrics(run, qrels, k=5).first()
+    assert r["p_at_k"] == 1.0 and r["ap"] == 1.0 and r["ndcg"] == 1.0
+
+
+def test_mean_metrics(spark):
+    run = spark.createDataFrame(
+        [("q1", 1, "a"), ("q2", 1, "b")], "qid string, rank long, url string"
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a", 1)], "qid string, url string, rel long"
+    )
+    m = IR.mean_metrics(IR.ir_metrics(run, qrels, k=1)).first()
+    assert m["n_queries"] == 2
+    assert m["map"] == 0.5 and m["mean_ndcg"] == 0.5 and m["mean_p_at_k"] == 0.5
+
+
+def _mlt_docs(spark):
+    return spark.createDataFrame(
+        [(0, "apple banana cherry"),
+         (1, "apple banana dog"),
+         (2, "unrelated words only"),
+         (3, "apple apple apple")],
+        "doc_id long, text string",
+    )
+
+
+def test_more_like_this_handcrafted(spark):
+    out = MLT.more_like_this(_mlt_docs(spark), query_doc_id=0, k=10).collect()
+    ids = [r["doc_id"] for r in sorted(out, key=lambda r: -r["cosine"])]
+    # doc2 shares no term -> absent; doc1 (2 shared terms) beats doc3
+    assert ids == [1, 3]
+    ia, ib = math.log2(4 / 3), math.log2(4 / 2)   # idf(apple), idf(banana)
+    ic = math.log2(4 / 1)
+    n0 = math.sqrt(ia * ia + ib * ib + ic * ic)
+    n1 = n0                                        # symmetric weights
+    got = {r["doc_id"]: r["cosine"] for r in out}
+    assert got[1] == round((ia * ia + ib * ib) / (n0 * n1), 6)
+    n3 = 3 * ia
+    assert got[3] == round((3 * ia * ia) / (n0 * n3), 6)
+
+
+def test_more_like_this_plan_shape(spark):
+    out = MLT.more_like_this(_mlt_docs(spark), query_doc_id=0, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan          # top-k, not a global window
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", "")              # 1-row qnorm cross join is broadcast
+    assert "BroadcastHashJoin" in plan              # query-term side broadcast
+
+
+def test_more_like_this_excludes_self(spark):
+    out = MLT.more_like_this(_mlt_docs(spark), query_doc_id=0, k=10).collect()
+    assert 0 not in {r["doc_id"] for r in out}
