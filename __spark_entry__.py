@@ -519,7 +519,37 @@ def q_events_sessionize(spark, sf):
     )
 
 
-_STREAM_DEDUP_SEQ = [0]
+_STREAM_SEQ = {"dedup": 0, "hourly": 0}
+
+
+def q_streaming_events_hourly(spark, sf):
+    """REAL Structured Streaming windowed aggregation: the watermarked
+    tumbling-hour counts of streaming/aggregates.py driven availableNow
+    over the events table into a memory sink.  Complete output mode so
+    the final table holds EVERY window (append would withhold windows
+    younger than the watermark at stream end); the append-mode
+    late-data semantics are covered by tests/test_streaming.py."""
+    from search_engine_spark.streaming.aggregates import windowed_event_counts
+
+    path = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    _STREAM_SEQ["hourly"] += 1
+    name = f"stream_hourly_{_STREAM_SEQ['hourly']}"
+    ckpt = tempfile.mkdtemp(prefix="se_stream_hourly_ckpt_")
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf))
+    q = (windowed_event_counts(stream.withColumn("ts", F.col("ts").cast("timestamp")))
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00:00").alias("hour"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )
 
 
 def q_streaming_dedup(spark, sf):
@@ -534,8 +564,8 @@ def q_streaming_dedup(spark, sf):
 
     path = os.path.join(sf, "documents.parquet")
     schema = spark.read.parquet(path).schema
-    _STREAM_DEDUP_SEQ[0] += 1
-    name = f"stream_dedup_{_STREAM_DEDUP_SEQ[0]}"
+    _STREAM_SEQ["dedup"] += 1
+    name = f"stream_dedup_{_STREAM_SEQ['dedup']}"
     ckpt = tempfile.mkdtemp(prefix="se_stream_dedup_ckpt_")
     # FileStreamSource requires a directory basePath; the testdata tables
     # are flat files, so stream the sf dir with a glob filter.
@@ -1031,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_events_hourly": q_streaming_events_hourly,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1738,6 +1769,12 @@ FROM sess GROUP BY user_id, session
         "streaming_dedup": """
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
 FROM documents GROUP BY md5(text)
+""",
+        "streaming_events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY hour, event_type
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
