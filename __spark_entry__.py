@@ -759,6 +759,12 @@ def q_ir_eval(spark, sf):
     return IR.ir_metrics(run, qrels, k=10)
 
 
+def q_ir_eval_summary(spark, sf):
+    """Run-level MAP / mean-NDCG / mean-P@10 rollup of the per-query
+    metrics — the leaderboard row."""
+    return IR.mean_metrics(q_ir_eval(spark, sf))
+
+
 MISSPELLED = ("tabel", "joni", "quey", "filtr", "zzzzqqq")
 
 
@@ -1089,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_suggest": q_text_suggest,
         "text_more_like_this": q_text_more_like_this,
         "ir_eval": q_ir_eval,
+        "ir_eval_summary": q_ir_eval_summary,
         "sample_stratified": q_sample_stratified,
         "source_rollup": q_source_rollup,
         "multimodal_resize": q_multimodal_resize,
@@ -1982,6 +1989,14 @@ rk AS (SELECT doc_id, cosine,
 SELECT doc_id, cosine, rank FROM rk WHERE rank <= 10
 """,
         "ir_eval": _sql_ir_eval(),
+        "ir_eval_summary": f"""
+WITH per AS ({_sql_ir_eval()})
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(p_at_k), 6) AS mean_p_at_k,
+       round(avg(ap), 6) AS map,
+       round(avg(ndcg), 6) AS mean_ndcg
+FROM per
+""",
         "sample_stratified": _sql_sample_stratified(),
         "source_rollup": f"""
 WITH perdoc AS ({_sql_quality()})

@@ -168,6 +168,20 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count under ``path`` from parquet FOOTERS — driver-side
+    metadata reads, no Spark job (the lineage metrics must not cost a
+    corpus scan)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+    return total
+
+
 def with_doc_shard(df: DataFrame, cfg: EngineConfig, col: str = "url") -> DataFrame:
     return df.withColumn("shard", F.pmod(F.xxhash64(F.col(col)), F.lit(cfg.n_doc_shards)).cast("int"))
 
@@ -342,8 +356,17 @@ def build_index(
             cfg, float(avgdl), keep_positions,
         )
         packed.write.mode("append").partitionBy("bucket").parquet(paths.index)
+        # per-partition metrics (north-rule lineage: posting-shard rows
+        # + bytes per completed unit), from footers — no extra job
+        g_rows = g_bytes = 0
+        for bkt in buckets:
+            d = os.path.join(paths.index, f"bucket={bkt}")
+            g_rows += _parquet_rows(d)
+            g_bytes += _dir_bytes(d)
         _lineage_append(spark, paths, [{
             "stage": "pack", "key": str(gid), "seconds": time.time() - t0,
+            "terms": g_rows,   # packed (term, shard) posting rows in this group
+            "bytes": g_bytes,
         }])
 
     # meta.json is written ONLY once every stage (including pack) is
