@@ -9,7 +9,7 @@ import datetime
 from pyspark.sql import functions as F
 
 from search_engine_spark.config import EngineConfig
-from search_engine_spark.indexer import IndexPaths, build_index
+from search_engine_spark.indexer import IndexPaths, build_index, read_lineage
 
 
 def test_hot_term_salted_across_files(spark, tmp_dir):
@@ -39,3 +39,9 @@ def test_hot_term_salted_across_files(spark, tmp_dir):
     # hot term's rows must land in >= 2 files, none holding everything
     assert len(hot) >= 2
     assert max(r["count"] for r in hot) / total <= 0.8
+
+    # lineage metrics: every pack row records its posting-row count
+    # and byte size (the per-partition metrics resume/ops reports use)
+    packs = [r for r in read_lineage(IndexPaths(tmp_dir)) if r["stage"] == "pack"]
+    assert packs
+    assert all(r.get("terms", 0) > 0 and r.get("bytes", 0) > 0 for r in packs)

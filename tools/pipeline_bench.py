@@ -35,6 +35,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    from search_engine_spark.operators import curation as CU
     from search_engine_spark.operators import dedup as D
     from search_engine_spark.operators import textstats as TS
     from search_engine_spark.operators import webquality as WQ
@@ -47,7 +48,7 @@ def main() -> None:
         spark.read.parquet(corpus)
         .select(
             F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
-            "text",
+            "text", "lang", F.lit("crawl").alias("source"),
         )
     )
 
@@ -79,6 +80,12 @@ def main() -> None:
     # measured 598s here (16-bit key space -> ~N^2/2^16 collisions);
     # the block-combination layout keys on 40-bit subsets instead
     run("simhash_near_pairs_h3", lambda: D.simhash_near_pairs(docs, max_hamming=3))
+    run("crossdoc_dup_grams", lambda: CU.crossdoc_dup_grams(docs))
+    run("contamination_hits", lambda: CU.contamination_hits(
+        docs.filter(F.col("doc_id") >= 50),
+        CU.eval_grams_from_docs(docs.filter(F.col("doc_id") < 50), n=3), n=3))
+    run("training_mix", lambda: CU.training_mix(
+        docs, rates={"en": 0.5, "de": 0.25}, salt="pb", default_rate=0.1))
     run("winnow_fingerprint", lambda: TS.winnow_fingerprint(docs), sink="noop")
     run("gopher_quality", lambda: WQ.gopher_quality(docs), sink="noop")
     run("quality_score", lambda: TS.quality_score(docs), sink="noop")
