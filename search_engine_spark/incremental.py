@@ -75,6 +75,7 @@ from pyspark.sql import functions as F
 from .config import DEFAULT, EngineConfig
 from .indexer import (
     IndexPaths,
+    _dir_bytes,
     _lineage_append,
     dictionary_core,
     pack_plan,
@@ -330,6 +331,7 @@ def _append_segment(
     if bool(meta.get("keep_positions")) and "positions" not in delta_raw.columns:
         raise ValueError("index keeps positions but cfg.keep_positions is off")
     packed = pack_plan(delta_raw, doc_map, dictionary, cfg, avgdl, keep_positions)
+    bytes_before = _dir_bytes(paths.index)
     packed.write.mode("append").partitionBy("bucket").parquet(paths.index)
 
     # 6. refreshed meta (servable marker), then the segment lineage row
@@ -340,6 +342,9 @@ def _append_segment(
     os.replace(tmp, paths.meta)
     _lineage_append(spark, paths, [{
         "stage": "segment", "key": str(sid), "docs": n_docs,
+        # bytes = THIS segment's packed delta (before/after diff of the
+        # append — the O(delta) cost-model evidence in the lineage)
+        "bytes": _dir_bytes(paths.index) - bytes_before,
         "seconds": time.time() - t0,
     }])
     return meta
