@@ -721,6 +721,13 @@ def q_text_gopher_quality(spark, sf):
     return WQ.gopher_quality(_tbl(spark, sf, "documents"))
 
 
+def q_text_surprisal(spark, sf):
+    """CCNet-style perplexity-filter stand-in: per-doc mean surprisal
+    under the corpus's own unigram LM, bucketed head/middle/tail
+    against the corpus mean on an exact integer micro-grid."""
+    return WQ.surprisal_buckets(_tbl(spark, sf, "documents"))
+
+
 def q_text_more_like_this(spark, sf):
     """Related documents for doc 0 by tf-idf cosine over shared terms
     (the inverted-index "more like this"; candidates = posting union
@@ -1093,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "text_snippets": q_text_snippets,
         "text_suggest": q_text_suggest,
+        "text_surprisal": q_text_surprisal,
         "text_more_like_this": q_text_more_like_this,
         "ir_eval": q_ir_eval,
         "ir_eval_summary": q_ir_eval_summary,
@@ -1968,6 +1976,22 @@ cand AS (
 )
 SELECT DISTINCT ON (term) term, suggestion, CAST(dist AS BIGINT) AS dist, df
 FROM cand ORDER BY term, dist, df DESC, suggestion
+""",
+        "text_surprisal": f"""
+WITH {_TF_CTE},
+cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY tok),
+tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM cf),
+per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               sum(tf * -log2(cf / (SELECT total FROM tot))) / sum(tf) AS s_raw
+        FROM tf JOIN cf USING (tok) GROUP BY doc_id),
+m AS (SELECT doc_id, n_tokens,
+             CAST(floor(s_raw * 1000000 + 0.5) AS BIGINT) AS s_micro FROM per),
+mm AS (SELECT CAST(floor(avg(s_micro) + 0.5) AS BIGINT) AS mean_micro FROM m)
+SELECT doc_id, n_tokens, s_micro / 1000000 AS surprisal,
+       CASE WHEN 100 * s_micro < {WQ.SURPRISAL_HEAD_PCT} * (SELECT mean_micro FROM mm) THEN 'head'
+            WHEN 100 * s_micro > {WQ.SURPRISAL_TAIL_PCT} * (SELECT mean_micro FROM mm) THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM m
 """,
         "text_more_like_this": f"""
 WITH {_TF_CTE},

@@ -124,6 +124,7 @@ def main() -> None:
         "knn_join_first5",
         "text_quality",
         "text_gopher_quality",
+        "text_surprisal",
         "text_contamination",
         "training_mix",
         "text_fingerprint",

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..partitioning import balanced
-from .textstats import _EN_STOPWORDS, TOKEN_SPLIT_RE, quality_score
+from .textstats import _EN_STOPWORDS, TOKEN_SPLIT_RE, quality_score, simple_tokens
 
 GOPHER_STATS_SCHEMA = (
     "doc_id long, n_words long, n_distinct long, top_word long, "
@@ -151,6 +151,65 @@ def sample_stratified(docs: DataFrame, rates: dict[str, float],
     return (
         docs.withColumn("bucket", sample_bucket(salt))
         .filter(F.col("bucket") < rate_micros)
+    )
+
+
+SURPRISAL_HEAD_PCT = 95     # bucket boundaries as integer percents of
+SURPRISAL_TAIL_PCT = 105    # the corpus-mean surprisal
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-doc mean surprisal under the corpus's OWN unigram LM —
+    the self-contained stand-in for CCNet-style LM-perplexity quality
+    scoring: p(tok) = cf(tok)/total_tokens over the corpus,
+    surprisal = -mean log2 p over the doc's tokens.
+
+    Shape: one explode + (doc, tok) agg, a corpus-level cf agg, and
+    the tf ⋈ cf join — the exact shape of the BM25 idf join, so at
+    production scale the cf table IS the index dictionary (no extra
+    corpus pass).  Low surprisal = repetitive/templated text, high =
+    OOV-ish noise; both tails are what a perplexity filter cuts."""
+    tf = (
+        docs.select("doc_id", F.explode(simple_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = tf.groupBy("tok").agg(F.sum("tf").alias("cf"))
+    total = int(cf.agg(F.sum("cf")).first()[0] or 0)
+    return (
+        tf.join(cf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (F.sum(F.col("tf") * -F.log2(F.col("cf") / F.lit(float(total))))
+             / F.sum("tf")).alias("s_raw"),
+        )
+    )
+
+
+def surprisal_buckets(docs: DataFrame) -> DataFrame:
+    """Head/middle/tail bucketing of :func:`unigram_surprisal`
+    relative to the CORPUS MEAN surprisal — the distributed form of
+    perplexity-bucket filtering without a global sort (a quantile
+    ntile would be a single-partition window; a mean threshold is one
+    scalar agg).
+
+    Exactness: surprisal and the mean are half-up-rounded to a 1e-6
+    integer grid (micro-units) BEFORE the integer cross-multiplied
+    comparisons, so the bucket decision is bit-identical across
+    engines — no float boundary can flip it."""
+    s = unigram_surprisal(docs)
+    micro = F.floor(F.col("s_raw") * 1_000_000 + 0.5).cast("long")
+    s = s.withColumn("s_micro", micro)
+    mean_micro = int(s.agg(
+        F.floor(F.avg("s_micro") + 0.5).cast("long")
+    ).first()[0] or 0)
+    head = F.lit(100) * F.col("s_micro") < F.lit(SURPRISAL_HEAD_PCT * mean_micro)
+    tail = F.lit(100) * F.col("s_micro") > F.lit(SURPRISAL_TAIL_PCT * mean_micro)
+    return s.select(
+        "doc_id", "n_tokens",
+        (F.col("s_micro") / 1_000_000).alias("surprisal"),
+        F.when(head, "head").when(tail, "tail").otherwise("middle").alias("bucket"),
     )
 
 

@@ -235,6 +235,36 @@ def test_sample_stratified_deterministic_and_rated(spark):
     assert abs(k_en / n_en - 0.5) < 0.25         # ~rate at small n
 
 
+def test_unigram_surprisal_handcrafted(spark):
+    import math
+
+    from search_engine_spark.operators import webquality as WQ
+
+    # corpus LM: cf(a)=3, cf(b)=2, cf(c)=1, total=6
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in WQ.unigram_surprisal(docs).collect()}
+    s1 = (2 * -math.log2(3 / 6) + 1 * -math.log2(2 / 6)) / 3
+    s2 = (-math.log2(3 / 6) - math.log2(2 / 6) - math.log2(1 / 6)) / 3
+    assert abs(out[1]["s_raw"] - s1) < 1e-12 and out[1]["n_tokens"] == 3
+    assert abs(out[2]["s_raw"] - s2) < 1e-12
+    assert out[1]["s_raw"] < out[2]["s_raw"]    # rarer tokens -> higher surprisal
+
+
+def test_surprisal_buckets_non_degenerate_and_exact_grid(spark):
+    from search_engine_spark.operators import webquality as WQ
+
+    docs = spark.read.parquet(os.path.join(SF_001, "documents.parquet"))
+    rows = WQ.surprisal_buckets(docs).collect()
+    assert len(rows) == docs.count()
+    buckets = {r["bucket"] for r in rows}
+    assert "middle" in buckets and buckets <= {"head", "middle", "tail"}
+    # surprisal sits exactly on the 1e-6 micro grid (integer division)
+    for r in rows[:20]:
+        assert abs(r["surprisal"] * 1_000_000 - round(r["surprisal"] * 1_000_000)) < 1e-6
+
+
 def test_source_rollup_totals(spark):
     from search_engine_spark.operators import webquality as WQ
 
