@@ -1,0 +1,59 @@
+"""End-to-end ops lifecycle through the CLIs: build -> add -> delete
+-> compact -> query, each a fresh process (the shape a production
+runbook drives)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_spark.fixtures import make_pages, pages_schema_arrow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LAYOUT = ["--doc-shards", "4", "--term-buckets", "4", "--bucket-groups", "1"]
+
+
+def _run(args, timeout=300):
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    r = subprocess.run([sys.executable] + args, capture_output=True,
+                       text=True, cwd=REPO, env=env, timeout=timeout)
+    assert r.returncode == 0, r.stderr[-4000:]
+    return json.loads([ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
+
+
+def test_admin_cli_lifecycle(tmp_path):
+    pages = make_pages(240, seed=13)
+    schema = pages_schema_arrow()
+    base = str(tmp_path / "base.parquet")
+    delta = str(tmp_path / "delta.parquet")
+    pq.write_table(pa.Table.from_pylist(pages[:200], schema=schema), base)
+    pq.write_table(pa.Table.from_pylist(pages[200:], schema=schema), delta)
+    ix = str(tmp_path / "ix")
+
+    out = _run(["build_index.py", "--input", base, "--out", ix] + LAYOUT)
+    assert out["docs"] == 200
+
+    out = _run(["index_admin.py", "add", "--index", ix, "--input", delta] + LAYOUT)
+    assert out.get("n_docs") == 240 or out.get("docs") == 240
+
+    dead = [p["url"] for p in pages[:3]]
+    out = _run(["index_admin.py", "delete", "--index", ix]
+               + [a for u in dead for a in ("--url", u)] + LAYOUT)
+
+    out = _run(["index_admin.py", "compact", "--index", ix] + LAYOUT)
+    assert out.get("n_docs") == 237 or out.get("docs") == 237
+
+    # query the mutated index from yet another process
+    r = subprocess.run(
+        [sys.executable, "query.py", "--index", ix, "--k", "5", "world trade"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"}, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("q1 ")]
+    assert lines, "query over the compacted index must return results"
+    assert not any(u in ln for ln in lines for u in dead)
