@@ -9,7 +9,6 @@ import sys
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-import pytest
 
 from search_engine_spark.fixtures import make_pages, pages_schema_arrow
 

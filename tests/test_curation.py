@@ -64,6 +64,25 @@ def test_crossdoc_dup_frac_counts_other_docs_only_via_df(spark):
     assert out[2]["n_grams"] == 1 and out[2]["n_dup_grams"] == 0
 
 
+def test_curation_null_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab"), (4, "a b c d"), (5, "a b c e")],
+        "doc_id long, text string",
+    )
+    # null/empty/too-short docs have no grams: absent, never a crash
+    out = CU.crossdoc_dup_grams(docs, n=3)
+    ids = {r["doc_id"] for r in out.collect()}
+    D.clear_shingle_cache()
+    assert ids == {4, 5}
+    # eval = doc4's grams {'a b c', 'b c d'}; among the rest only doc5
+    # ('a b c', 'b c e') shares one — null/empty/short docs stay silent
+    ev = CU.eval_grams_from_docs(docs.filter(F.col("doc_id") == 4), n=3)
+    hits = {r["doc_id"]: r for r in
+            CU.contamination_hits(docs.filter(F.col("doc_id") != 4), ev, n=3).collect()}
+    assert set(hits) == {5}
+    assert hits[5]["n_hit"] == 1 and hits[5]["n_grams"] == 2
+
+
 def test_training_mix_composition(spark):
     docs = spark.read.parquet(f"{SF_001}/documents.parquet")
     rates = {"en": 1.0}

@@ -96,3 +96,22 @@ def test_more_like_this_plan_shape(spark):
 def test_more_like_this_excludes_self(spark):
     out = MLT.more_like_this(_mlt_docs(spark), query_doc_id=0, k=10).collect()
     assert 0 not in {r["doc_id"] for r in out}
+
+
+def test_more_like_this_missing_or_empty_query_doc(spark):
+    docs = _mlt_docs(spark)
+    assert MLT.more_like_this(docs, query_doc_id=999, k=5).count() == 0
+    with_empty = docs.union(
+        spark.createDataFrame([(7, "")], "doc_id long, text string")
+    )
+    assert MLT.more_like_this(with_empty, query_doc_id=7, k=5).count() == 0
+
+
+def test_surprisal_skips_tokenless_docs(spark):
+    from search_engine_spark.operators import webquality as WQ
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    out = WQ.surprisal_buckets(docs)
+    assert {r["doc_id"] for r in out.collect()} == {1}
