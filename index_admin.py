@@ -7,6 +7,7 @@ Local (sandbox)::
     python index_admin.py delete  --index /tmp/ix --url-file dead_urls.txt
     python index_admin.py compact --index /tmp/ix
     python index_admin.py refresh --index /tmp/ix [--full]
+    python index_admin.py stats   --index /tmp/ix   # no Spark: meta+footers
 
 Cluster::
 
@@ -37,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("verb", choices=["add", "delete", "compact", "refresh"])
+    ap.add_argument("verb", choices=["add", "delete", "compact", "refresh", "stats"])
     ap.add_argument("--index", required=True)
     ap.add_argument("--input", help="pages parquet or testdata dir (add)")
     ap.add_argument("--url", action="append", default=[],
@@ -56,6 +57,44 @@ def main() -> None:
                     help="must match the original build's setting (the "
                          "layout check refuses a mismatch)")
     args = ap.parse_args()
+
+    if args.verb == "stats":
+        # pure driver-side metadata walk (meta.json + lineage + parquet
+        # footers) — no SparkSession, safe to run beside a live job
+        from search_engine_spark.indexer import (
+            IndexPaths, _dir_bytes, _parquet_rows, read_lineage)
+
+        paths = IndexPaths(args.index)
+        with open(paths.meta) as fh:
+            meta = json.load(fh)
+        buckets = {}
+        if os.path.isdir(paths.index):
+            for d in sorted(os.listdir(paths.index)):
+                full = os.path.join(paths.index, d)
+                if d.startswith("bucket=") and os.path.isdir(full):
+                    buckets[d] = {"rows": _parquet_rows(full),
+                                  "bytes": _dir_bytes(full)}
+        lineage = read_lineage(paths)
+        raw_bytes = _dir_bytes(paths.postings_raw)
+        packed_bytes = sum(b["bytes"] for b in buckets.values())
+        out = {
+            "verb": "stats", "index": args.index,
+            "n_docs": meta.get("n_docs"), "avgdl": round(meta.get("avgdl", 0.0), 4),
+            "keep_positions": meta.get("keep_positions", False),
+            "dictionary_terms": _parquet_rows(paths.dictionary),
+            "packed_posting_rows": sum(b["rows"] for b in buckets.values()),
+            "packed_bytes": packed_bytes,
+            "raw_bytes": raw_bytes,
+            "packed_to_raw": round(packed_bytes / raw_bytes, 4) if raw_bytes else None,
+            "buckets": buckets,
+            "segments": sorted(int(r["key"]) for r in lineage
+                               if r["stage"] == "segment"),
+            "tombstoned_urls": (_parquet_rows(paths.tombstones)
+                                if os.path.isdir(paths.tombstones) else 0),
+            "lineage_rows": len(lineage),
+        }
+        print(json.dumps(out))
+        return
 
     from search_engine_spark.config import EngineConfig
     from search_engine_spark.incremental import (

@@ -46,6 +46,14 @@ def test_admin_cli_lifecycle(tmp_path):
     out = _run(["index_admin.py", "compact", "--index", ix] + LAYOUT)
     assert out.get("n_docs") == 237 or out.get("docs") == 237
 
+    # stats is a pure metadata walk (no Spark) and must reflect the
+    # compacted state: docs, zero tombstones, per-bucket rows/bytes
+    stats = _run(["index_admin.py", "stats", "--index", ix])
+    assert stats["n_docs"] == 237 and stats["tombstoned_urls"] == 0
+    assert stats["dictionary_terms"] > 0 and stats["packed_posting_rows"] > 0
+    assert len(stats["buckets"]) == 4
+    assert stats["packed_bytes"] == sum(b["bytes"] for b in stats["buckets"].values())
+
     # query the mutated index from yet another process
     r = subprocess.run(
         [sys.executable, "query.py", "--index", ix, "--k", "5", "world trade"],
