@@ -305,6 +305,20 @@ def q_search_batch(spark, sf):
                            exact_cols=["url"], approx_cols=["score"])
 
 
+def q_search_wand_batch(spark, sf):
+    """Batched block-max WAND (one job, shared block decode across the
+    batch) ≡ the exhaustive batch scorer, per (qid, rank)."""
+    from search_engine_spark.wand import wand_search_batch
+
+    eng = _engine_for(spark, sf)
+    qs = [("q1", ENGINE_QUERY), ("q2", "query plan join")]
+    batch = wand_search_batch(eng, qs, 10).withColumn(
+        "rank", F.col("rank").cast("long"))
+    full = eng.search_batch(qs, 10).withColumn("rank", F.col("rank").cast("long"))
+    return TW.compare_topk(batch, full, ["qid", "rank"],
+                           exact_cols=["url"], approx_cols=["score"])
+
+
 def q_search_incremental(spark, sf):
     """Segment-grown index ≡ one-shot full build, per rank.
 
@@ -1049,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk": q_search_bm25_topk,
         "search_wand_topk": q_search_wand_topk,
         "search_batch": q_search_batch,
+        "search_wand_batch": q_search_wand_batch,
         "search_incremental": q_search_incremental,
         "search_incremental_wand": q_search_incremental_wand,
         "search_deletes": q_search_deletes,
@@ -2075,6 +2090,11 @@ SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS phrase_tf_match
 FROM range(1, 21)
 """,
         "search_batch": """
+SELECT qid, CAST(r.range AS BIGINT) AS rank,
+       true AS url_match, true AS score_match
+FROM (VALUES ('q1'), ('q2')) AS t(qid) CROSS JOIN range(1, 11) AS r
+""",
+        "search_wand_batch": """
 SELECT qid, CAST(r.range AS BIGINT) AS rank,
        true AS url_match, true AS score_match
 FROM (VALUES ('q1'), ('q2')) AS t(qid) CROSS JOIN range(1, 11) AS r

@@ -57,7 +57,7 @@ def main() -> None:
     from search_engine_spark.searcher import SearchEngine
     from search_engine_spark.session import get_spark
     from search_engine_spark.sources.pages import load_documents_as_pages
-    from search_engine_spark.wand import wand_search
+    from search_engine_spark.wand import wand_search, wand_search_batch
 
     spark = get_spark(app="bench", master=f"local[{cpus}]")
 
@@ -107,6 +107,7 @@ def main() -> None:
     batch = [(qid, t + ("@" + d if d else "")) for qid, t, d in REFERENCE_QUERIES]
     timed("bm25_batch_top10", lambda: eng.search_batch(batch, 10))
     timed("wand_top10", lambda: wand_search(eng, "world trade market", 10))
+    timed("wand_batch_top10", lambda: wand_search_batch(eng, batch, 10))
 
     # -- relational / pipeline operators (driver-contract queries) -----------
     qs = entry.queries()

@@ -46,19 +46,22 @@ from .codec import bm25_contribution, delta_decode, unpack_bits, varint_decode
 WAND_OUT_SCHEMA = "shard int, local_id long, score double"
 
 
-def _score_shard(
+def _decode_rows(
     group: pd.DataFrame,
     idf_by_key: dict[str, float],
-    k: int,
     k1: float,
     b: float,
     avgdl: float,
     blend_a: float,
     blend_b: float,
-    scale_by_key: dict[str, float] | None = None,
-    deleted_ids: np.ndarray | None = None,
-) -> pd.DataFrame:
-    terms = []
+    scale_by_key: dict[str, float] | None,
+    deleted_ids: np.ndarray | None,
+) -> list[tuple[str, dict]]:
+    """Decode every (term, segment) posting row of a shard group into
+    the WAND term entries, ONCE — the expensive part (varint/delta
+    decode + BM25 contribution) is query-independent, so the batched
+    scorer shares these entries across every query touching the term."""
+    out: list[tuple[str, dict]] = []
     for row in group.itertuples(index=False):
         n = int(row.n)
         ids = delta_decode(bytes(row.doc_ids)).astype(np.int64)
@@ -92,15 +95,21 @@ def _score_shard(
             block_max = block_max * scale
         contrib = bm25_contribution(tfs, lens, idf_by_key[row.term_key], k1, b, avgdl)
         blended = blend_a * contrib + blend_b * np.where(imps, 1.2, 1.0)
-        terms.append({
+        out.append((row.term_key, {
             "ids": ids, "blended": blended,
             "block_last": block_last, "block_max": block_max,
             "upper": float(block_max.max()) if block_max.size else 0.0,
-        })
+        }))
+    return out
+
+
+def _wand_topk(terms: list[dict], k: int, shard: int) -> pd.DataFrame:
+    """Steps 2-4 of the module docstring over pre-decoded term entries:
+    θ bootstrap, block pruning, exact candidate scoring, per-shard
+    top-k with score ties kept."""
     if not terms:
         return pd.DataFrame({"shard": [], "local_id": [], "score": []})
 
-    shard = int(group["shard"].iloc[0])
     uppers = np.array([t["upper"] for t in terms])
     total_upper = uppers.sum()
 
@@ -160,6 +169,63 @@ def _score_shard(
     })
 
 
+def _score_shard(
+    group: pd.DataFrame,
+    idf_by_key: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    blend_a: float,
+    blend_b: float,
+    scale_by_key: dict[str, float] | None = None,
+    deleted_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    decoded = _decode_rows(group, idf_by_key, k1, b, avgdl, blend_a, blend_b,
+                           scale_by_key, deleted_ids)
+    if not decoded:
+        return pd.DataFrame({"shard": [], "local_id": [], "score": []})
+    shard = int(group["shard"].iloc[0])
+    return _wand_topk([t for _, t in decoded], k, shard)
+
+
+def _score_shard_batch(
+    group: pd.DataFrame,
+    qid_terms: dict[str, list[str]],
+    idf_by_key: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    blend_a: float,
+    blend_b: float,
+    scale_by_key: dict[str, float] | None = None,
+    deleted_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Batched per-shard WAND: decode each (term, segment) row of the
+    UNION of all queries' terms once, then run θ/prune/score per query
+    over its subset — the decode + BM25-contribution cost (dominant)
+    is paid once no matter how many queries share a term."""
+    decoded = _decode_rows(group, idf_by_key, k1, b, avgdl, blend_a, blend_b,
+                           scale_by_key, deleted_ids)
+    if not decoded:
+        return pd.DataFrame({"qid": [], "shard": [], "local_id": [], "score": []})
+    shard = int(group["shard"].iloc[0])
+    by_key: dict[str, list[dict]] = {}
+    for key, t in decoded:
+        by_key.setdefault(key, []).append(t)
+    parts = []
+    for qid, keys in qid_terms.items():
+        terms = [t for key in keys for t in by_key.get(key, [])]
+        res = _wand_topk(terms, k, shard)
+        if len(res):
+            res.insert(0, "qid", qid)
+            parts.append(res)
+    if not parts:
+        return pd.DataFrame({"qid": [], "shard": [], "local_id": [], "score": []})
+    return pd.concat(parts, ignore_index=True)
+
+
 def wand_search(engine, query: str, k: int | None = None) -> DataFrame:
     """Block-max WAND top-k; rank-identical to ``SearchEngine.search``
     (asserted in tests)."""
@@ -206,4 +272,77 @@ def wand_search(engine, query: str, k: int | None = None) -> DataFrame:
     return (
         ranked(topk.select("url", "score"), [("score", "desc"), ("url", "asc")])
         .select("url", "score", "rank")
+    )
+
+
+WAND_BATCH_OUT_SCHEMA = "qid string, shard int, local_id long, score double"
+
+
+def wand_search_batch(engine, queries: list[tuple[str, str]],
+                      k: int | None = None) -> DataFrame:
+    """All queries through block-max WAND in ONE job — rank-identical
+    to ``SearchEngine.search_batch`` (asserted in tests).
+
+    One pruned index scan over the union of the queries' terms; inside
+    each shard group the posting rows are decoded and BM25-weighted
+    once (``_decode_rows``), then θ-bootstrap/prune/score runs per
+    query over its term subset — so at production query rates the
+    dominant cost (block decode + contribution) amortizes across the
+    batch instead of being paid per query.  Only ≤ ~k rows per (query,
+    shard) leave the executors; the final per-query top-k is a window
+    partitioned BY QID (never a global sort)."""
+    k = k or engine.cfg.top_k
+    raw = {qid: engine.parse_query(q) for qid, q in queries}
+    all_keys = sorted({t for ts in raw.values() for t in ts})
+    empty = engine.spark.createDataFrame(
+        [], "qid string, rank int, url string, score double")
+    if not all_keys:
+        return empty
+    resolved = engine.resolve_terms(all_keys)
+    if resolved.empty:
+        return empty
+    matched = set(resolved["term_key"])
+    qid_terms = {qid: sorted({t for t in ts if t in matched})
+                 for qid, ts in raw.items()}
+    qid_terms = {qid: ts for qid, ts in qid_terms.items() if ts}
+    if not qid_terms:
+        return empty
+    idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+    scale_by_key = dict(zip(resolved["term_key"], resolved["bound_scale"].astype(float)))
+    meta = engine.meta
+    k1, b, avgdl = meta["k1"], meta["b"], meta["avgdl"]
+    blend_a, blend_b = meta["blend_bm25"], meta["blend_bonus"]
+
+    scan = engine._scan_index(resolved).select(
+        "term_key", "shard", "n", "doc_ids", "tfs", "lens", "imps",
+        "block_last", "block_max",
+    )
+    deleted = engine.deleted_docs()
+    if deleted is None:
+        def shard_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_shard_batch(pdf, qid_terms, idf_by_key, k, k1, b,
+                                      avgdl, blend_a, blend_b, scale_by_key)
+
+        per_shard = scan.groupBy("shard").applyInPandas(
+            shard_fn, schema=WAND_BATCH_OUT_SCHEMA)
+    else:
+        def shard_fn_del(pdf: pd.DataFrame, dele: pd.DataFrame) -> pd.DataFrame:
+            return _score_shard_batch(
+                pdf, qid_terms, idf_by_key, k, k1, b, avgdl, blend_a, blend_b,
+                scale_by_key,
+                np.sort(dele["local_id"].to_numpy(dtype=np.int64)))
+
+        per_shard = (
+            scan.groupBy("shard")
+            .cogroup(deleted.groupBy("shard"))
+            .applyInPandas(shard_fn_del, schema=WAND_BATCH_OUT_SCHEMA)
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
+    return (
+        per_shard.join(engine._doc_map(), ["shard", "local_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "url", "score")
     )

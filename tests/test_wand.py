@@ -3,7 +3,7 @@
 
 from search_engine_spark.fixtures import REFERENCE_QUERIES
 from search_engine_spark.searcher import SearchEngine
-from search_engine_spark.wand import wand_search
+from search_engine_spark.wand import wand_search, wand_search_batch
 
 
 def test_wand_rank_identical_to_full_scorer(spark, built_index):
@@ -20,3 +20,34 @@ def test_wand_empty_query(spark, built_index):
     out, cfg, meta = built_index
     eng = SearchEngine(spark, out, cfg)
     assert wand_search(eng, "the of and", 10).count() == 0
+
+
+def test_wand_batch_rank_identical_to_exhaustive_batch(spark, built_index):
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg)
+    batch = [(qid, t + ("@" + d if d else "")) for qid, t, d in REFERENCE_QUERIES[:8]]
+    # one stop-word-only query must simply produce no rows for its qid
+    batch.append(("qz", "the of and"))
+    full = {(r["qid"], r["rank"]): (r["url"], round(r["score"], 9))
+            for r in eng.search_batch(batch, 12).collect()}
+    wand = {(r["qid"], r["rank"]): (r["url"], round(r["score"], 9))
+            for r in wand_search_batch(eng, batch, 12).collect()}
+    assert wand == full
+    assert not any(qid == "qz" for qid, _ in wand)
+    assert len({qid for qid, _ in wand}) == 8
+
+
+def test_wand_batch_with_tombstones(spark, built_index):
+    out, cfg, meta = built_index
+    full_eng = SearchEngine(spark, out, cfg)
+    q = REFERENCE_QUERIES[0][1]
+    top = full_eng.search(q, 10).orderBy("rank").collect()
+    dead = sorted({r["url"] for r in top if int(r["rank"]) % 2 == 0})
+    eng = SearchEngine(spark, out, cfg, deleted_urls=dead)
+    batch = [("q1", q), ("q2", REFERENCE_QUERIES[1][1])]
+    full = {(r["qid"], r["rank"]): (r["url"], round(r["score"], 9))
+            for r in eng.search_batch(batch, 10).collect()}
+    wand = {(r["qid"], r["rank"]): (r["url"], round(r["score"], 9))
+            for r in wand_search_batch(eng, batch, 10).collect()}
+    assert wand == full
+    assert not any(u in dead for u, _ in wand.values())
