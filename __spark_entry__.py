@@ -1585,7 +1585,7 @@ per AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_ret,
 SELECT p.qid, p.n_ret, CAST(coalesce(t.n_rel, 0) AS BIGINT) AS n_rel, p.n_rel_ret,
        round(p.n_rel_ret / {k}, 6) AS p_at_k,
        CASE WHEN coalesce(t.n_rel, 0) > 0
-            THEN round(p.ap_num / least(t.n_rel, {k}), 6) ELSE 0.0 END AS ap,
+            THEN round(p.ap_num / t.n_rel, 6) ELSE 0.0 END AS ap,
        CASE WHEN coalesce(t.n_rel, 0) > 0
             THEN round(p.dcg / ({idcg_arr})[CAST(least(t.n_rel, {k}) AS INT)], 6)
             ELSE 0.0 END AS ndcg

@@ -170,11 +170,13 @@ def main() -> None:
         "incremental_delta_docs": n_delta,
         "cpus": int(cpus),
     }
-    # end of campaign: release the persisted shingle frames the dedup
-    # rows created (scoped persist — see dedup.clear_shingle_cache)
+    # end of campaign: release the persisted shared frames the dedup /
+    # term-frequency rows created (scoped persists)
     from search_engine_spark.operators.dedup import clear_shingle_cache
+    from search_engine_spark.operators.textstats import clear_doc_tf_cache
 
     clear_shingle_cache()
+    clear_doc_tf_cache()
     shutil.rmtree(ix_dir, ignore_errors=True)
     spark.stop()
     print(json.dumps(out))

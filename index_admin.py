@@ -75,6 +75,17 @@ def main() -> None:
                     buckets[d] = {"rows": _parquet_rows(full),
                                   "bytes": _dir_bytes(full)}
         lineage = read_lineage(paths)
+        # LIVE segments only: lineage is chronological, every derived
+        # rebuild (build / compact / refresh --full) appends fresh
+        # 'pack' rows that collapse all prior segments into the base,
+        # so live = segment rows after the last pack row.  Historical
+        # segment rows are kept in lineage on purpose (monotonic ids).
+        live_segments: list[int] = []
+        for r in lineage:
+            if r["stage"] == "pack":
+                live_segments = []
+            elif r["stage"] == "segment":
+                live_segments.append(int(r["key"]))
         raw_bytes = _dir_bytes(paths.postings_raw)
         packed_bytes = sum(b["bytes"] for b in buckets.values())
         out = {
@@ -87,8 +98,7 @@ def main() -> None:
             "raw_bytes": raw_bytes,
             "packed_to_raw": round(packed_bytes / raw_bytes, 4) if raw_bytes else None,
             "buckets": buckets,
-            "segments": sorted(int(r["key"]) for r in lineage
-                               if r["stage"] == "segment"),
+            "segments": sorted(live_segments),
             "tombstoned_urls": (_parquet_rows(paths.tombstones)
                                 if os.path.isdir(paths.tombstones) else 0),
             "lineage_rows": len(lineage),

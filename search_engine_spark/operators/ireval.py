@@ -10,9 +10,11 @@ partitions by qid so there is no global sort.
 
 Metric definitions (binary relevance, standard trec_eval forms):
 - P@k        = (# relevant in top-k) / k
-- AP@k       = (1/R_k) * sum_{r<=k, rel(r)=1} P(r),  R_k = min(R, k)
-               where R = total relevant for the query IN THE QRELS
-               (0 relevant -> AP = 0)
+- AP         = (1/R) * sum_{r<=k, rel(r)=1} P(r), with R = TOTAL
+               relevant for the query in the qrels — trec_eval's MAP
+               normalization (unretrieved relevant docs contribute 0,
+               so a shallow run over a deep qrels scores low, as it
+               should; 0 relevant -> AP = 0)
 - NDCG@k     = DCG@k / IDCG@k, DCG = sum rel(r) / log2(r + 1),
                IDCG over the first min(R, k) ranks (0 relevant -> 0)
 
@@ -86,7 +88,7 @@ def ir_metrics(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
         "n_rel_ret",
         F.round(F.col("n_rel_ret") / F.lit(k), 6).alias("p_at_k"),
         F.when(F.col("n_rel") > 0,
-               F.round(F.col("ap_num") / F.least(F.col("n_rel"), F.lit(k)), 6))
+               F.round(F.col("ap_num") / F.col("n_rel"), 6))
         .otherwise(F.lit(0.0)).alias("ap"),
         F.when(F.col("n_rel") > 0, F.round(F.col("dcg") / idcg, 6))
         .otherwise(F.lit(0.0)).alias("ndcg"),

@@ -18,20 +18,20 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import simple_tokens
+from .textstats import shared_doc_tf
 
 
 def doc_term_weights(docs: DataFrame) -> DataFrame:
     """(doc_id, tok, w) tf-idf weights over the simple tokenizer:
-    w = tf * log2(N / df).  One explode + two hash aggs."""
-    tf = (
-        docs.select("doc_id", F.explode(simple_tokens()).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    w = tf * log2(N / df), built on the PERSISTED shared doc-tf frame
+    (textstats.shared_doc_tf) — a multi-branch consumer re-runs only
+    the df agg + join, never the corpus tokenize."""
+    tf = shared_doc_tf(docs)
     n_docs = docs.count()
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -48,17 +48,23 @@ def more_like_this(docs: DataFrame, query_doc_id: int, k: int = 10) -> DataFrame
     cosine; the query doc itself is excluded.  Deterministic ties:
     (cosine desc, doc_id asc); cosine rounded at 6dp.
 
+    The query document's vector is ONE doc's terms — collected to the
+    driver (bounded by a single doc's vocabulary) and re-broadcast as
+    a literal frame, so the plan has exactly two consumers of the
+    shared tf frame (norms, dots) instead of four.
+
     Docs with zero-norm vectors (every term in every doc -> idf 0)
     cannot score and drop out, matching the SQL twin."""
     w = doc_term_weights(docs)
+    q_rows = w.filter(F.col("doc_id") == query_doc_id).select("tok", "w").collect()
+    qnrm = math.sqrt(sum(r["w"] * r["w"] for r in q_rows))
+    if not q_rows or qnrm <= 0:
+        return docs.sparkSession.createDataFrame([], "doc_id long, cosine double")
+    q = docs.sparkSession.createDataFrame(
+        [(r["tok"], float(r["w"])) for r in q_rows], "tok string, qw double"
+    )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
-    )
-    q = w.filter(F.col("doc_id") == query_doc_id).select(
-        F.col("tok"), F.col("w").alias("qw")
-    )
-    qnorm = norms.filter(F.col("doc_id") == query_doc_id).select(
-        F.col("nrm").alias("qnrm")
     )
     dots = (
         w.filter(F.col("doc_id") != query_doc_id)
@@ -68,11 +74,10 @@ def more_like_this(docs: DataFrame, query_doc_id: int, k: int = 10) -> DataFrame
     )
     scored = (
         dots.join(norms, "doc_id")
-        .crossJoin(F.broadcast(qnorm))
-        .filter((F.col("nrm") > 0) & (F.col("qnrm") > 0))
+        .filter(F.col("nrm") > 0)
         .select(
             "doc_id",
-            F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6).alias("cosine"),
+            F.round(F.col("dot") / (F.col("nrm") * F.lit(qnrm)), 6).alias("cosine"),
         )
     )
     return scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k)

@@ -32,6 +32,53 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 _EN_STOPWORDS = LANG_MARKERS["en"] + ("a", "it", "as", "on", "be", "are", "this", "by")
 
 
+# scoped registry for the persisted (doc_id, tok, tf) frame — same
+# contract as dedup._SHINGLE_CACHE: repeated calls over the same
+# corpus return the SAME persisted DataFrame (the tokenize+explode+
+# first-groupBy pass, the expensive part of every term-frequency
+# consumer, runs once per campaign instead of once per plan branch),
+# and a new corpus evicts+unpersists the previous entry.
+_TF_CACHE: dict[tuple[int, int], DataFrame] = {}
+_TF_CACHE_MAX = 2
+
+
+def clear_doc_tf_cache() -> None:
+    """Release every persisted doc-tf frame (end of a campaign)."""
+    for df in _TF_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _TF_CACHE.clear()
+
+
+def shared_doc_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok, tf) under ``simple_tokens``, persisted per corpus
+    — the shared base of mlt.doc_term_weights and
+    webquality.unigram_surprisal, whose plans consume it from several
+    branches (Catalyst does not CSE the repeated explode+agg)."""
+    from pyspark import StorageLevel
+
+    key = (id(docs.sparkSession), docs.semanticHash())
+    hit = _TF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    while len(_TF_CACHE) >= _TF_CACHE_MAX:
+        oldest = next(iter(_TF_CACHE))
+        try:
+            _TF_CACHE.pop(oldest).unpersist()
+        except Exception:
+            pass
+    tf = (
+        docs.select("doc_id", F.explode(simple_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _TF_CACHE[key] = tf
+    return tf
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: total tokens, distinct tokens, mean token
     length per document (whitespace+punct tokenization)."""

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..partitioning import balanced
-from .textstats import _EN_STOPWORDS, TOKEN_SPLIT_RE, quality_score, simple_tokens
+from .textstats import _EN_STOPWORDS, TOKEN_SPLIT_RE, quality_score, shared_doc_tf
 
 GOPHER_STATS_SCHEMA = (
     "doc_id long, n_words long, n_distinct long, top_word long, "
@@ -167,13 +167,12 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
     Shape: one explode + (doc, tok) agg, a corpus-level cf agg, and
     the tf ⋈ cf join — the exact shape of the BM25 idf join, so at
     production scale the cf table IS the index dictionary (no extra
-    corpus pass).  Low surprisal = repetitive/templated text, high =
+    corpus pass).  The tf frame is the PERSISTED shared one
+    (textstats.shared_doc_tf): the total/mean scalar aggs and the
+    final consumer all reuse it instead of re-tokenizing the corpus
+    per action.  Low surprisal = repetitive/templated text, high =
     OOV-ish noise; both tails are what a perplexity filter cuts."""
-    tf = (
-        docs.select("doc_id", F.explode(simple_tokens()).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = shared_doc_tf(docs)
     cf = tf.groupBy("tok").agg(F.sum("tf").alias("cf"))
     total = int(cf.agg(F.sum("cf")).first()[0] or 0)
     return (

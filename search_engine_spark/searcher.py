@@ -406,8 +406,11 @@ class SearchEngine:
             return self.spark.createDataFrame([], "qid string, rank int, url string, score double")
         idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
         matched = set(resolved["term_key"])
+        # distinct (qid, term): a qid repeated across batch entries is
+        # scored over the UNION of its queries' terms — duplicate rows
+        # here would double-count a shared term's contribution
         qt = self.spark.createDataFrame(
-            [(qid, t) for qid, t in q_terms if t in matched],
+            sorted({(qid, t) for qid, t in q_terms if t in matched}),
             "qid string, term_key string",
         )
         per_posting = self._drop_deleted(

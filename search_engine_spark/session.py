@@ -29,8 +29,11 @@ def get_spark(
     submit_conf = SparkConf()
     submit_master = submit_conf.get("spark.master", None)
     effective = master or submit_master or f"local[{cpus}]"
-    if shuffle_partitions is None and "local[" in effective:
-        n = effective[effective.index("[") + 1 : -1]
+    if shuffle_partitions is None and effective.startswith("local"):
+        # legal local masters: local, local[N], local[*], local[N,F]
+        # (F = task retries — not a thread count)
+        inside = effective[effective.index("[") + 1 : -1] if "[" in effective else "1"
+        n = inside.split(",")[0].strip() or "1"
         shuffle_partitions = 32 if n == "*" else max(8, int(n))
     # (non-local with no explicit value: leave shuffle partitions to
     # spark-submit --conf / cluster defaults rather than clobbering)

@@ -292,7 +292,12 @@ def wand_search_batch(engine, queries: list[tuple[str, str]],
     shard) leave the executors; the final per-query top-k is a window
     partitioned BY QID (never a global sort)."""
     k = k or engine.cfg.top_k
-    raw = {qid: engine.parse_query(q) for qid, q in queries}
+    # accumulate (not overwrite) per qid: search_batch scores a
+    # repeated qid over the UNION of its queries' terms, and
+    # rank-identity requires the same here
+    raw: dict[str, list[str]] = {}
+    for qid, q in queries:
+        raw.setdefault(qid, []).extend(engine.parse_query(q))
     all_keys = sorted({t for ts in raw.values() for t in ts})
     empty = engine.spark.createDataFrame(
         [], "qid string, rank int, url string, score double")

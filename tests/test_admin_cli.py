@@ -38,6 +38,7 @@ def test_admin_cli_lifecycle(tmp_path):
 
     out = _run(["index_admin.py", "add", "--index", ix, "--input", delta] + LAYOUT)
     assert out.get("n_docs") == 240 or out.get("docs") == 240
+    assert _run(["index_admin.py", "stats", "--index", ix])["segments"] == [1]
 
     dead = [p["url"] for p in pages[:3]]
     out = _run(["index_admin.py", "delete", "--index", ix]
@@ -50,6 +51,7 @@ def test_admin_cli_lifecycle(tmp_path):
     # compacted state: docs, zero tombstones, per-bucket rows/bytes
     stats = _run(["index_admin.py", "stats", "--index", ix])
     assert stats["n_docs"] == 237 and stats["tombstoned_urls"] == 0
+    assert stats["segments"] == []          # compaction collapsed segment 1
     assert stats["dictionary_terms"] > 0 and stats["packed_posting_rows"] > 0
     assert len(stats["buckets"]) == 4
     assert stats["packed_bytes"] == sum(b["bytes"] for b in stats["buckets"].values())

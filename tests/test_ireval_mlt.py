@@ -36,6 +36,20 @@ def test_ir_metrics_handcrafted(spark):
     assert q2["ap"] == 0.0 and q2["ndcg"] == 0.0 and q2["p_at_k"] == 0.0
 
 
+def test_ir_metrics_ap_divides_by_total_relevant(spark):
+    # trec_eval MAP: R=5 relevant but only 2 retrieved at k=2 ->
+    # AP = (P(1)*1 + P(2)*1) / 5, NOT / min(R, k)
+    run = spark.createDataFrame(
+        [("q", 1, "u1"), ("q", 2, "u2")], "qid string, rank long, url string"
+    )
+    qrels = spark.createDataFrame(
+        [("q", f"u{i}", 1) for i in range(1, 6)], "qid string, url string, rel long"
+    )
+    r = IR.ir_metrics(run, qrels, k=2).first()
+    assert r["n_rel"] == 5 and r["n_rel_ret"] == 2
+    assert r["ap"] == round((1.0 + 1.0) / 5, 6)
+
+
 def test_ir_metrics_perfect_run(spark):
     run = spark.createDataFrame(
         [("q", i, f"u{i}") for i in range(1, 6)], "qid string, rank long, url string"

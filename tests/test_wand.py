@@ -37,6 +37,23 @@ def test_wand_batch_rank_identical_to_exhaustive_batch(spark, built_index):
     assert len({qid for qid, _ in wand}) == 8
 
 
+def test_wand_batch_duplicate_qid_unions_terms(spark, built_index):
+    # a qid appearing twice is scored over the UNION of its queries'
+    # terms in BOTH the exhaustive and the WAND batch path
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg)
+    t1, t2 = REFERENCE_QUERIES[0][1], REFERENCE_QUERIES[1][1]
+    dup = [("q1", t1), ("q1", t2)]
+    merged = [("q1", t1 + " " + t2)]
+    full_dup = {(r["qid"], r["rank"]): (r["url"], round(r["score"], 9))
+                for r in eng.search_batch(dup, 10).collect()}
+    full_one = {(r["qid"], r["rank"]): (r["url"], round(r["score"], 9))
+                for r in eng.search_batch(merged, 10).collect()}
+    wand_dup = {(r["qid"], r["rank"]): (r["url"], round(r["score"], 9))
+                for r in wand_search_batch(eng, dup, 10).collect()}
+    assert full_dup == full_one == wand_dup
+
+
 def test_wand_batch_with_tombstones(spark, built_index):
     out, cfg, meta = built_index
     full_eng = SearchEngine(spark, out, cfg)

@@ -57,8 +57,10 @@ def main() -> None:
               + (f"  {hits}" if hits else ""), file=sys.stderr, flush=True)
 
     from search_engine_spark.operators.dedup import clear_shingle_cache
+    from search_engine_spark.operators.textstats import clear_doc_tf_cache
 
     clear_shingle_cache()
+    clear_doc_tf_cache()
     n = len([q for q in entry.queries() if q not in SKIP])
     print(json.dumps({
         "metric": "plan-hygiene sweep (hard: CartesianProduct, row-at-a-time PythonUDF)",
