@@ -46,6 +46,7 @@ from search_engine_spark.incremental import add_documents
 from search_engine_spark.indexer import build_index
 from search_engine_spark.operators import curation as CU
 from search_engine_spark.operators import dedup as D
+from search_engine_spark.operators import embed as EM
 from search_engine_spark.operators import ireval as IR
 from search_engine_spark.operators import mlt as MLT
 from search_engine_spark.operators import multimodal as MM
@@ -735,6 +736,13 @@ def q_text_gopher_quality(spark, sf):
     return WQ.gopher_quality(_tbl(spark, sf, "documents"))
 
 
+def q_embed_docs(spark, sf):
+    """Feature-hash document embeddings (the docs→vectors link of the
+    ANN pipeline), compared through hash-exact scalar projections
+    (nnz / integer checksum / rounded l2)."""
+    return EM.embed_summary(_tbl(spark, sf, "documents"))
+
+
 def q_text_surprisal(spark, sf):
     """CCNet-style perplexity-filter stand-in: per-doc mean surprisal
     under the corpus's own unigram LM, bucketed head/middle/tail
@@ -1115,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "text_snippets": q_text_snippets,
         "text_suggest": q_text_suggest,
+        "embed_docs": q_embed_docs,
         "text_surprisal": q_text_surprisal,
         "text_more_like_this": q_text_more_like_this,
         "ir_eval": q_ir_eval,
@@ -1991,6 +2000,20 @@ cand AS (
 )
 SELECT DISTINCT ON (term) term, suggestion, CAST(dist AS BIGINT) AS dist, df
 FROM cand ORDER BY term, dist, df DESC, suggestion
+""",
+        "embed_docs": f"""
+WITH {_TF_CTE},
+cells AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5('d:' || tok), 1, 8))::BIGINT % {EM.DEFAULT_DIMS} AS INT) AS dim,
+                 CAST(sum(CASE WHEN substr(md5('r:' || tok), 1, 1)
+                               IN ('0','1','2','3','4','5','6','7')
+                          THEN tf ELSE -tf END) AS BIGINT) AS v
+          FROM tf GROUP BY doc_id, dim)
+SELECT doc_id,
+       CAST(count(*) FILTER (v <> 0) AS BIGINT) AS nnz,
+       CAST(sum((dim + 1) * v) AS BIGINT) AS checksum,
+       round(sqrt(sum(CAST(v * v AS DOUBLE))), 6) AS l2
+FROM cells GROUP BY doc_id
 """,
         "text_surprisal": f"""
 WITH {_TF_CTE},
