@@ -83,6 +83,41 @@ def test_curation_null_and_short_docs(spark):
     assert hits[5]["n_hit"] == 1 and hits[5]["n_grams"] == 2
 
 
+def test_contamination_exact_vs_bruteforce_random(spark):
+    """Seeded random corpora: contamination_hits must report EXACTLY
+    the docs sharing >= 1 n-gram with the eval set, with exact
+    counts (brute-force recomputed in Python)."""
+    import random
+
+    for seed in (3, 17, 91):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+                for i in range(40)]
+        n = 3
+
+        def grams(text):
+            t = text.split()
+            return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+        ev_grams = set().union(*(grams(t) for i, t in rows if i < 4)) if rows else set()
+        want = {}
+        for i, t in rows:
+            if i < 4:
+                continue
+            g = grams(t)
+            hit = len(g & ev_grams)
+            if hit:
+                want[i] = (len(g), hit)
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = CU.eval_grams_from_docs(docs.filter(F.col("doc_id") < 4), n=n)
+        got = {r["doc_id"]: (r["n_grams"], r["n_hit"]) for r in
+               CU.contamination_hits(docs.filter(F.col("doc_id") >= 4), ev, n=n).collect()}
+        assert got == want, f"seed {seed}"
+    D.clear_shingle_cache()
+
+
 def test_training_mix_composition(spark):
     docs = spark.read.parquet(f"{SF_001}/documents.parquet")
     rates = {"en": 1.0}
