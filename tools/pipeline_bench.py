@@ -86,6 +86,9 @@ def main() -> None:
         CU.eval_grams_from_docs(docs.filter(F.col("doc_id") < 50), n=3), n=3))
     run("training_mix", lambda: CU.training_mix(
         docs, rates={"en": 0.5, "de": 0.25}, salt="pb", default_rate=0.1))
+    from search_engine_spark.operators import embed as EM
+
+    run("hash_embed", lambda: EM.embed_summary(docs))
     run("winnow_fingerprint", lambda: TS.winnow_fingerprint(docs), sink="noop")
     run("gopher_quality", lambda: WQ.gopher_quality(docs), sink="noop")
     run("quality_score", lambda: TS.quality_score(docs), sink="noop")
