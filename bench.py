@@ -39,11 +39,13 @@ def _force(df) -> None:
 
 
 def _cpu_sample() -> tuple[int, int]:
-    """(steal_jiffies, total_jiffies) from /proc/stat — same probe as
-    tools/scale_bench.py; lets a reader tell a real regression from a
-    stolen window without re-litigating every number."""
-    f = open("/proc/stat").readline().split()
-    return int(f[8]), sum(int(x) for x in f[1:])
+    """(steal_jiffies, total_jiffies) — THE shared probe from
+    tools/scale_bench.py (one implementation, so the steal%% columns
+    of every harness stay comparable); lets a reader tell a real
+    regression from a stolen window without re-litigating numbers."""
+    from tools.scale_bench import _cpu_sample as probe
+
+    return probe()
 
 
 def main() -> None:

@@ -103,6 +103,17 @@ def check_layout(meta: dict, cfg: EngineConfig) -> None:
             f"cfg.keep_positions={bool(cfg.keep_positions)} does not match "
             f"the index layout ({bool(meta.get('keep_positions'))}); index "
             "mutations must share the build's layout")
+    # partition_raw is baked into the raw store's directory layout
+    # (bucket=N/ hive dirs vs flat files): appending a segment under
+    # the other mode mixes leaf depths and wedges the next
+    # spark.read.parquet(postings_raw) with 'Conflicting directory
+    # structures'.  Older metas lack the key — skip then (flat was the
+    # only mode that existed).
+    if "partition_raw" in meta and bool(meta["partition_raw"]) != bool(cfg.partition_raw):
+        raise ValueError(
+            f"cfg.partition_raw={bool(cfg.partition_raw)} does not match "
+            f"the index layout ({bool(meta['partition_raw'])}); index "
+            "mutations must share the build's raw-store layout")
 
 
 def _next_segment_id(paths: IndexPaths) -> int:
@@ -206,6 +217,24 @@ def _merge_dictionary(
     )
 
 
+def pending_segment_marker(paths: IndexPaths) -> str:
+    """Marker file present while a segment append is mutating the
+    derived tables.  A crashed append leaves it behind; readers and
+    further appends refuse until :func:`compact_index` /
+    ``refresh_index`` (which rebuild every derived table from the
+    intact raw store) clear it."""
+    return os.path.join(paths.root, "pending_segment")
+
+
+def _check_no_pending(paths: IndexPaths) -> None:
+    if os.path.exists(pending_segment_marker(paths)):
+        raise RuntimeError(
+            "a previous segment append did not complete (pending_segment "
+            "marker present) — the derived tables may be torn; run "
+            "compact_index / index_admin.py compact (or refresh --full) "
+            "to rebuild them from the raw store before further use")
+
+
 def add_documents(
     spark: SparkSession,
     new_pages: DataFrame,
@@ -222,6 +251,7 @@ def add_documents(
     with open(paths.meta) as fh:
         meta = json.load(fh)
     check_layout(meta, cfg)
+    _check_no_pending(paths)   # before the raw publish, like the guards below
     sid = segment if segment is not None else _next_segment_id(paths)
     t0 = time.time()
 
@@ -276,6 +306,15 @@ def _append_segment(
     refresh.  Shared by :func:`add_documents` (which tokenizes pages
     first) and :func:`streaming.ingest.refresh_incremental` (whose
     stream epochs already tokenized into postings_raw)."""
+    # the raw store already holds the delta (published by the caller)
+    # and is never touched below — it stays the intact source of
+    # truth.  Everything from here to the meta rewrite mutates derived
+    # tables non-atomically, so the window is bracketed by a marker: a
+    # crash leaves it behind and readers/appends refuse until a
+    # rebuild-from-raw (compact / refresh --full) restores consistency.
+    _check_no_pending(paths)
+    with open(pending_segment_marker(paths), "w") as fh:
+        fh.write(str(sid))
     old_stats = spark.read.parquet(paths.doc_stats)
 
     # 2. doc_stats: append, local ids above each shard's existing max
@@ -347,6 +386,7 @@ def _append_segment(
         "bytes": _dir_bytes(paths.index) - bytes_before,
         "seconds": time.time() - t0,
     }])
+    os.remove(pending_segment_marker(paths))
     return meta
 
 
@@ -440,10 +480,18 @@ def compact_index(spark: SparkSession, index_dir: str,
         os.rename(paths.postings_raw, old)
         os.rename(tmp, paths.postings_raw)
         shutil.rmtree(old)
-        shutil.rmtree(paths.tombstones)
         _lineage_append(spark, paths, [{
             "stage": "purge", "key": "all", "seconds": time.time() - t0,
         }])
     from .streaming.ingest import refresh_index
 
-    return refresh_index(spark, index_dir, cfg)
+    meta = refresh_index(spark, index_dir, cfg)
+    # drop tombstones ONLY after the derived rebuild is fully
+    # servable: deleting them before refresh_index would let a crash
+    # mid-rebuild resurrect the deleted docs (old meta still marks the
+    # stale doc_stats/index servable, and the masking tombstones are
+    # gone).  Until here they keep masking — docs already purged from
+    # raw, so the query-time anti-join is a harmless no-op; a resumed
+    # compact re-runs the purge as an empty anti-join.
+    shutil.rmtree(paths.tombstones, ignore_errors=True)
+    return meta

@@ -335,6 +335,7 @@ def build_index(
         "n_term_buckets": cfg.n_term_buckets,
         "block_size": cfg.block_size,
         "keep_positions": bool(cfg.keep_positions and "positions" in raw.columns),
+        "partition_raw": bool(cfg.partition_raw),
     }
 
     # ---- stage D: pack, one job per bucket group (resume granularity)

@@ -64,8 +64,13 @@ def contamination_hits(docs: DataFrame, eval_grams: DataFrame,
     ``broadcast_eval=True`` (default) broadcasts the eval grams —
     right whenever the eval set fits an executor (every real eval
     set); pass False for a pathologically large eval side and let AQE
-    pick the join."""
-    sh = shingle_rows(docs, n=n)
+    pick the join.
+
+    The corpus shingles feed TWO branches (totals + hits); the shared
+    persisted frame (``dedup._shared_shingles``, keyed by corpus and
+    gram width) computes the tokenize kernel once — unpersisted, each
+    branch would re-run the full-corpus pass."""
+    sh = _shared_shingles(docs, n)
     ev = eval_grams.select(F.col(gram_col).alias("s")).distinct()
     if broadcast_eval:
         ev = F.broadcast(ev)

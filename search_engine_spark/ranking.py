@@ -39,8 +39,17 @@ def ranked(df: DataFrame, order: list[tuple[str, str]],
     The input must be small (post ``limit(k)``) and the order total —
     duplicate full sort keys would receive equal ranks AND the
     groupBy would merge equal rows, so the last order column must be
-    unique (it is the deterministic tie-break in every caller)."""
+    unique (it is the deterministic tie-break in every caller).
+
+    The frame is localCheckpoint'ed (lazily) before the self-join:
+    the two join sides must see ONE materialization of the input.
+    Without it each side re-executes the upstream plan independently,
+    and float scores summed in shuffle-fetch order can differ in the
+    last ulp between executions on a cluster — an exact-equality
+    self-comparison would then inflate or skip ranks.  (Also halves
+    the cost: the scoring plan runs once, not once per join side.)"""
     cols = df.columns
+    df = df.localCheckpoint(eager=False)
     a, b = df.alias("_ra"), df.alias("_rb")
 
     def before() -> Column:

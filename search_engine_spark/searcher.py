@@ -56,6 +56,17 @@ class SearchEngine:
         self.spark = spark
         self.paths = IndexPaths(index_dir)
         self.cfg = cfg
+        # refuse an index whose segment append died mid-mutation: the
+        # derived tables may disagree (grown doc_stats, old meta, or a
+        # swapped dictionary with unpacked postings) and would score
+        # silently wrong.  compact/refresh rebuilds from raw and clears
+        # the marker (incremental.pending_segment_marker).
+        pending = os.path.join(index_dir, "pending_segment")
+        if os.path.exists(pending):
+            raise RuntimeError(
+                "index has an unfinished segment append (pending_segment "
+                "marker) — run compact_index / index_admin.py compact to "
+                "rebuild the derived tables before serving queries")
         with open(self.paths.meta) as fh:
             self.meta = json.load(fh)
         self._stop = cfg.stop_set()

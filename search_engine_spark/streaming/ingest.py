@@ -124,6 +124,14 @@ def refresh_index(spark: SparkSession, index_dir: str,
         rows.append({"stage": "tokenize", "key": "all"})
     write_lineage(paths, rows)
     meta = build_index(spark, None, index_dir, cfg, resume=True)
+    # the rebuild recreated every derived table from the intact raw
+    # store, so a crashed append's pending marker (if any) is repaired
+    from ..incremental import pending_segment_marker
+
+    try:
+        os.remove(pending_segment_marker(paths))
+    except FileNotFoundError:
+        pass
     # the markers go in only AFTER the rebuild that actually packed
     # these epochs completes — marking first would let a killed
     # rebuild convince refresh_incremental there is nothing pending

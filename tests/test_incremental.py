@@ -167,6 +167,32 @@ def test_keep_positions_mismatch_rejected(spark, fixture_pages_parquet, inc_inde
                                    n_bucket_groups=4, keep_positions=True))
 
 
+def test_pending_marker_blocks_readers_and_appends(spark, fixture_pages_parquet, inc_index):
+    """A crashed append leaves the pending_segment marker: readers and
+    further appends must refuse (the derived tables may be torn), and
+    the guard fires before any raw publish."""
+    from search_engine_spark.incremental import pending_segment_marker
+
+    out, cfg = inc_index
+    marker = pending_segment_marker(IndexPaths(out))
+    with open(marker, "w") as fh:
+        fh.write("99")
+    try:
+        with pytest.raises(RuntimeError, match="pending_segment"):
+            SearchEngine(spark, out, cfg)
+        pages = (spark.read.parquet(fixture_pages_parquet).limit(1)
+                 .withColumn("url", F.lit("new://pending")))
+        seg_before = sorted(
+            fn for _, _, fs in os.walk(IndexPaths(out).postings_raw) for fn in fs)
+        with pytest.raises(RuntimeError, match="pending_segment"):
+            add_documents(spark, pages, out, cfg)
+        assert seg_before == sorted(
+            fn for _, _, fs in os.walk(IndexPaths(out).postings_raw) for fn in fs)
+    finally:
+        os.remove(marker)
+    SearchEngine(spark, out, cfg)   # clean again
+
+
 # -- compaction (mutates inc_index: keep these LAST in the module) ----------
 
 def test_compact_collapses_segments_and_keeps_answers(

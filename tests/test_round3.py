@@ -24,10 +24,15 @@ def test_ranked_matches_reference_and_has_no_window(spark):
         (F.col("id") % 83).alias("v"), F.col("id").alias("k")
     )
     topk = df.orderBy(F.desc("v"), F.asc("k")).limit(12)
+    # the top-k itself plans as TakeOrderedAndProject...
+    topk_plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in topk_plan
     out = ranked(topk, [("v", "desc"), ("k", "asc")])
+    # ...and the rank attachment adds no window (the checkpoint in
+    # ranked() truncates the lineage, so the TakeOrdered node now
+    # lives behind the materialized RDD scan)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec" not in plan and "Window" not in plan
-    assert "TakeOrderedAndProject" in plan
     rows = sorted((r["rank"], r["v"], r["k"]) for r in out.collect())
     want = sorted(
         ((i % 83), i) for i in range(500)

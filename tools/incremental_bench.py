@@ -30,8 +30,9 @@ sys.path.insert(0, ROOT)
 
 
 def _cpu_sample() -> tuple[int, int]:
-    f = open("/proc/stat").readline().split()
-    return int(f[8]), sum(int(x) for x in f[1:])
+    from tools.scale_bench import _cpu_sample as probe  # one shared probe
+
+    return probe()
 
 
 def main() -> None:
