@@ -106,14 +106,24 @@ def test_tombstone_anti_join_broadcasts(spark, built_index):
     from search_engine_spark.searcher import SearchEngine
 
     out, cfg, meta = built_index
+
+    def per_posting_plan(engine):
+        # the scored per-posting frame BEFORE the final top-k —
+        # search()'s ranked() checkpoints its k-row input, which hides
+        # the upstream join nodes from the final plan string
+        resolved = engine.resolve_terms(engine.parse_query("world trade"))
+        idf = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        return _plan(engine._drop_deleted(
+            engine._unpack(engine._scan_index(resolved), idf)))
+
     eng = SearchEngine(spark, out, cfg,
                        deleted_urls=["u1", "u2", "u3"])
-    plan = _plan(eng.search("world trade", 10))
+    plan = per_posting_plan(eng)
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     # no-deletes engines must not pay ANY anti-join node
     clean = SearchEngine(spark, out, cfg)
-    assert "LeftAnti" not in _plan(clean.search("world trade", 10))
+    assert "LeftAnti" not in per_posting_plan(clean)
 
 
 def test_index_scan_prunes(spark, built_index):
