@@ -3,6 +3,7 @@
     python query.py --index /tmp/ix "world trade"            # single query
     python query.py --index /tmp/ix --batch q1:"world trade" q2:"space rocket"
     python query.py --index /tmp/ix --wand "world trade"     # block-max WAND
+    python query.py --index /tmp/ix --batch --wand q1:"..." q2:"..."  # batched WAND
     python query.py --index /tmp/ix --phrase "world trade"   # exact phrase
     python query.py --index /tmp/ix --loop 20 "world trade"  # q/s measurement
 
@@ -50,7 +51,13 @@ def main() -> None:
         for item in args.query:
             qid, _, text = item.partition(":")
             pairs.append((qid, text))
-        for r in eng.search_batch(pairs, args.k).collect():
+        if args.wand:
+            from search_engine_spark.wand import wand_search_batch
+
+            out = wand_search_batch(eng, pairs, args.k)
+        else:
+            out = eng.search_batch(pairs, args.k)
+        for r in out.collect():
             print(f"{r['qid']} {r['rank']} {r['url']} {r['score']:.6f}")
     elif args.phrase:
         text = " ".join(args.query)
