@@ -50,6 +50,32 @@ def test_hash_embed_identical_texts_identical_vectors(spark):
     assert [(r["vec_a"], r["vec_b"], r["cosine"]) for r in pairs] == [(1, 2, 1.0)]
 
 
+def test_embed_to_ann_layout_end_to_end(spark, tmp_dir):
+    """The full docs -> vectors -> stored LSH layout -> pruned query
+    chain: hash-embed the sf0.001 documents, write the bucketed
+    layout, and the partition-pruned ANN query must agree with the
+    in-memory ANN over the same vectors."""
+    import os
+
+    from search_engine_spark.operators import similarity as SIM
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vecs = EM.hash_embed(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding")
+    qvec = [float(x) for x in
+            vecs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = os.path.join(tmp_dir, "emb_lsh")
+    SIM.write_bucketed_embeddings(vecs, path, n_planes=6, dim=EM.DEFAULT_DIMS)
+    pruned = SIM.ann_lsh_topk_pruned(spark, path, qvec, k=5, n_planes=6)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got = [(r["vec_id"], r["cosine"]) for r in pruned.collect()]
+    want = [(r["vec_id"], r["cosine"]) for r in
+            SIM.ann_lsh_topk(vecs, qvec, k=5, n_planes=6).collect()]
+    clear_doc_tf_cache()
+    assert got == want and got
+
+
 def test_hash_embed_skips_tokenless_docs(spark):
     docs = spark.createDataFrame(
         [(1, "real words"), (2, ""), (3, None)], "doc_id long, text string"
