@@ -26,9 +26,11 @@ Scale shape (100 TB):
   frame is persisted once per campaign (``dedup._shared_shingles``)
   so multi-branch plans never re-tokenize.
 - ``training_mix`` is filters all the way down: the quality flags are
-  one Arrow pass, the keep-list anti-join keys on doc_id (near-dup
-  clusters are vanishingly small next to the corpus, so the join side
-  broadcasts), and the sample is a pure codegen hash filter.
+  one Arrow pass, the keep-list anti-join keys on doc_id with NO
+  forced broadcast (web-crawl near-dup drop rates run 30-80% of
+  documents, so the drop side is corpus-scale — AQE picks the join
+  strategy at runtime, exactly like the city semi-join in
+  searcher.py), and the sample is a pure codegen hash filter.
 """
 
 from __future__ import annotations
@@ -129,9 +131,13 @@ def training_mix(docs: DataFrame, rates: dict[str, float], salt: str,
          (``webquality.sample_stratified``).
 
     Output: the manifest ``(doc_id, lang, source, bucket)``.  Every
-    stage is a filter — the corpus is scanned, never self-joined, and
-    the drop-list join side (cluster members with keep=false) is tiny
-    next to the corpus, so it broadcasts."""
+    stage is a filter — the corpus is scanned, never self-joined.
+    The drop-list anti-join carries NO broadcast hint: on real crawls
+    near-dup drop rates reach 30-80% of documents (the drop side is
+    corpus-scale), so a forced broadcast would OOM the driver at the
+    target scale; AQE / autoBroadcastJoinThreshold picks the strategy
+    (it still broadcasts when the list happens to be small, as on
+    this synthetic corpus)."""
     quality_pass = gopher_quality(docs).filter(F.col("passes")).select("doc_id")
     drop = (
         dedup_clusters(near_dup_pairs(docs, threshold=near_dup_threshold))
@@ -144,6 +150,6 @@ def training_mix(docs: DataFrame, rates: dict[str, float], salt: str,
     )
     return (
         sampled.join(quality_pass, "doc_id")
-        .join(F.broadcast(drop), "doc_id", "left_anti")
+        .join(drop, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", F.col("bucket").cast("long").alias("bucket"))
     )

@@ -47,7 +47,21 @@ def ranked(df: DataFrame, order: list[tuple[str, str]],
     and float scores summed in shuffle-fetch order can differ in the
     last ulp between executions on a cluster — an exact-equality
     self-comparison would then inflate or skip ranks.  (Also halves
-    the cost: the scoring plan runs once, not once per join side.)"""
+    the cost: the scoring plan runs once, not once per join side.)
+
+    Cluster-path tradeoff (deliberate): localCheckpoint pins blocks on
+    executors with NO lineage fallback — losing an executor mid-query
+    fails the query instead of recomputing.  For a post-limit(k) frame
+    that is the right trade: the pinned state is <= k (~50) rows per
+    live query, the exposure window is one rank join, and the
+    alternative (reliable checkpoint to the cluster FS) costs a
+    write+read round trip per query on the latency path.  A persist()
+    would keep lineage but reintroduces the ulp hazard above on
+    recompute — the exact bug this checkpoint exists to prevent.  The
+    blocks are freed by Spark's ContextCleaner when the returned frame
+    is garbage collected; a campaign holding thousands of ranked
+    frames alive simultaneously should collect results and release the
+    DataFrames, not accumulate them."""
     cols = df.columns
     df = df.localCheckpoint(eager=False)
     a, b = df.alias("_ra"), df.alias("_rb")

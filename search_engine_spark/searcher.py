@@ -60,9 +60,12 @@ class SearchEngine:
         # derived tables may disagree (grown doc_stats, old meta, or a
         # swapped dictionary with unpacked postings) and would score
         # silently wrong.  compact/refresh rebuilds from raw and clears
-        # the marker (incremental.pending_segment_marker).
-        pending = os.path.join(index_dir, "pending_segment")
-        if os.path.exists(pending):
+        # the marker.  The marker path comes from the ONE writer-side
+        # helper (incremental.pending_segment_marker) so a rename can
+        # never disarm this guard.
+        from .incremental import pending_segment_marker
+
+        if os.path.exists(pending_segment_marker(self.paths)):
             raise RuntimeError(
                 "index has an unfinished segment append (pending_segment "
                 "marker) — run compact_index / index_admin.py compact to "

@@ -149,3 +149,15 @@ def test_training_mix_sampling_is_subset(spark):
          sample_stratified(docs.select("doc_id", "lang", "source"),
                            rates={}, salt="t", default_rate=0.5).collect()}
     assert h == f & s
+
+
+def test_training_mix_drop_list_has_no_forced_broadcast(spark):
+    """The near-dup drop list is corpus-scale on real crawls (30-80%
+    dup rates on the web) — the anti-join must carry NO explicit
+    broadcast hint; AQE picks the strategy at runtime.  Mirrors the
+    round-2 city-semi-join guarantee (test_round2.py)."""
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet")
+    out = CU.training_mix(docs, rates={}, salt="t", default_rate=1.0)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    D.clear_shingle_cache()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
