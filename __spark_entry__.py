@@ -73,6 +73,7 @@ _ENTRY_CFG = EngineConfig(n_doc_shards=8, n_term_buckets=8, n_bucket_groups=2,
 _INDEX_CACHE: dict[str, str] = {}
 _INC_CACHE: dict[str, str] = {}
 _ANN_CACHE: dict[str, str] = {}
+_MLT_CACHE: dict[str, str] = {}
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -146,6 +147,26 @@ def _ann_layouts_for(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         _ANN_CACHE[key] = out
     out = _ANN_CACHE[key]
     return os.path.join(out, "lsh"), os.path.join(out, "ivf")
+
+
+def _mlt_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir, cached on disk) the stored MLT
+    statistics layout — term-bucketed tf-idf weights + dictionary,
+    per-doc norms, corpus N — so the driver row exercises the
+    pruned per-query plan (PartitionFilters on the query's term
+    buckets), not a per-query corpus pass."""
+    key = os.path.abspath(sf_dir)
+    if key not in _MLT_CACHE:
+        tag = hashlib.md5(f"{key}|mlt{MLT.DEFAULT_MLT_BUCKETS}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_mlt_{tag}")
+        marker = os.path.join(out, "_DONE")
+        if not os.path.exists(marker):
+            shutil.rmtree(out, ignore_errors=True)
+            MLT.write_mlt_index(_tbl(spark, key, "documents"), out)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _MLT_CACHE[key] = out
+    return _MLT_CACHE[key]
 
 
 def _doc_tf(docs: DataFrame) -> DataFrame:
@@ -752,9 +773,15 @@ def q_text_surprisal(spark, sf):
 
 def q_text_more_like_this(spark, sf):
     """Related documents for doc 0 by tf-idf cosine over shared terms
-    (the inverted-index "more like this"; candidates = posting union
-    of the query doc's terms, top-k = TakeOrdered)."""
-    topk = MLT.more_like_this(_tbl(spark, sf, "documents"), query_doc_id=0, k=10)
+    (the inverted-index "more like this").  Runs over the STORED
+    statistics layout (weights/dictionary/norms/N materialized once
+    per corpus, mlt.write_mlt_index): the per-query plan touches only
+    the query terms' bucket partitions + a candidate norm lookup —
+    no corpus pass per query.  Exact same rows as the in-memory
+    operator (asserted in tests/test_ireval_mlt.py)."""
+    mlt_path = _mlt_index_for(spark, sf)
+    topk = MLT.more_like_this_indexed(
+        spark, mlt_path, _tbl(spark, sf, "documents"), query_doc_id=0, k=10)
     return (
         ranked(topk, [("cosine", "desc"), ("doc_id", "asc")])
         .withColumn("rank", F.col("rank").cast("long"))

@@ -14,25 +14,40 @@ Scale shape (100 TB):
 - at production scale the (doc, term, tf) frame IS the index's raw
   postings table — this operator reads the same artifact the BM25
   path packs, no extra corpus pass.
+- the PER-QUERY serving form is the STORED layout
+  (:func:`write_mlt_index` + :func:`more_like_this_indexed`): the
+  query-independent statistics — tf-idf weights, per-doc norms, the
+  (tok, df, idf) dictionary, corpus N — are computed ONCE per corpus
+  and persisted beside doc_stats/meta.json; a query then reads only
+  the weight partitions of its own terms (md5 term-bucket
+  PartitionFilters, the same pushdown shape as the BM25 dictionary)
+  plus a norm lookup on the candidates.  No corpus pass per query.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
+import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .textstats import shared_doc_tf
+from .textstats import shared_doc_tf, simple_tokens
+
+DEFAULT_MLT_BUCKETS = 16
 
 
-def doc_term_weights(docs: DataFrame) -> DataFrame:
+def doc_term_weights(docs: DataFrame, n_docs: int | None = None) -> DataFrame:
     """(doc_id, tok, w) tf-idf weights over the simple tokenizer:
     w = tf * log2(N / df), built on the PERSISTED shared doc-tf frame
     (textstats.shared_doc_tf) — a multi-branch consumer re-runs only
-    the df agg + join, never the corpus tokenize."""
+    the df agg + join, never the corpus tokenize.  Pass ``n_docs`` to
+    skip the corpus count when the caller already knows N."""
     tf = shared_doc_tf(docs)
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(df, "tok")
@@ -72,6 +87,122 @@ def more_like_this(docs: DataFrame, query_doc_id: int, k: int = 10) -> DataFrame
         .groupBy("doc_id")
         .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
     )
+    scored = (
+        dots.join(norms, "doc_id")
+        .filter(F.col("nrm") > 0)
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / (F.col("nrm") * F.lit(qnrm)), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# stored layout: per-query serving without corpus passes
+
+def _bucket_expr(col: str = "tok", n_buckets: int = DEFAULT_MLT_BUCKETS):
+    """Portable term bucket: first 8 md5 hex chars mod n_buckets —
+    computable identically in Spark (write side) and driver-side
+    Python (query side, for literal PartitionFilters)."""
+    return (F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10)
+            .cast("long") % n_buckets)
+
+
+def _py_bucket(tok: str, n_buckets: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def write_mlt_index(docs: DataFrame, path: str,
+                    n_buckets: int = DEFAULT_MLT_BUCKETS) -> dict:
+    """Materialize the query-independent MLT statistics once per
+    corpus (the artifacts that belong beside doc_stats/meta.json):
+
+    - ``weights/``    (doc_id, tok, w) partitioned by md5 term bucket
+    - ``dictionary/`` (tok, df, idf) partitioned the same way — the
+      query vector is re-weighted from stored idf, never a fresh
+      corpus df pass
+    - ``norms/``      (doc_id, nrm) — per-doc vector norms
+    - ``meta.json``   {n_docs, n_buckets}
+
+    One corpus pass at build time; afterwards a query touches only
+    its own terms' bucket partitions + a candidate-sized norm join
+    (:func:`more_like_this_indexed`)."""
+    n_docs = docs.count()
+    w = doc_term_weights(docs, n_docs=n_docs)
+    tf = shared_doc_tf(docs)
+    dic = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).select(
+        "tok", F.col("df").cast("long").alias("df"),
+        F.log2(F.lit(float(n_docs)) / F.col("df")).alias("idf"),
+    )
+    (w.withColumn("bucket", _bucket_expr("tok", n_buckets))
+     .repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(path, "weights")))
+    (dic.withColumn("bucket", _bucket_expr("tok", n_buckets))
+     .repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(path, "dictionary")))
+    (w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+     .write.mode("overwrite").parquet(os.path.join(path, "norms")))
+    meta = {"n_docs": n_docs, "n_buckets": n_buckets}
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def more_like_this_indexed(spark: SparkSession, path: str, docs: DataFrame,
+                           query_doc_id: int, k: int = 10) -> DataFrame:
+    """Top-k related documents over the STORED layout — the per-query
+    plan :func:`more_like_this` promises at production scale:
+
+    1. the query doc's term frequencies: one pushdown-pruned read of
+       the docs table (filter on doc_id) + a one-doc tokenize,
+    2. stored idf for exactly those terms: a dictionary read pruned to
+       the query terms' bucket partitions (PartitionFilters) and terms
+       (PushedFilters),
+    3. candidate dots: a weights read pruned the same way, joined to
+       the broadcast query vector — candidates = posting union of the
+       query's terms, never a corpus scan,
+    4. a norm lookup joined on the candidate doc_ids.
+
+    Scores are identical to :func:`more_like_this` (same weights, same
+    rounding); ties (cosine desc, doc_id asc)."""
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    n_buckets = int(meta["n_buckets"])
+    qtf = {
+        r["tok"]: int(r["n"])
+        for r in docs.filter(F.col("doc_id") == query_doc_id)
+        .select(F.explode(simple_tokens()).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    empty = spark.createDataFrame([], "doc_id long, cosine double")
+    if not qtf:
+        return empty
+    terms = sorted(qtf)
+    buckets = sorted({_py_bucket(t, n_buckets) for t in terms})
+    dic = (
+        spark.read.parquet(os.path.join(path, "dictionary"))
+        .filter(F.col("bucket").isin(buckets) & F.col("tok").isin(terms))
+        .select("tok", "idf").collect()
+    )
+    idf = {r["tok"]: float(r["idf"]) for r in dic}
+    qvec = [(t, float(qtf[t]) * idf[t]) for t in terms if t in idf]
+    qnrm = math.sqrt(sum(w * w for _, w in qvec))
+    if not qvec or qnrm <= 0:
+        return empty
+    q = spark.createDataFrame(qvec, "tok string, qw double")
+    cand = (
+        spark.read.parquet(os.path.join(path, "weights"))
+        .filter(F.col("bucket").isin(buckets) & F.col("tok").isin(terms)
+                & (F.col("doc_id") != query_doc_id))
+    )
+    dots = (
+        cand.join(F.broadcast(q), "tok")
+        .groupBy("doc_id").agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    norms = spark.read.parquet(os.path.join(path, "norms"))
     scored = (
         dots.join(norms, "doc_id")
         .filter(F.col("nrm") > 0)

@@ -129,3 +129,50 @@ def test_surprisal_skips_tokenless_docs(spark):
     )
     out = WQ.surprisal_buckets(docs)
     assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+# ---------------------------------------------------------------------------
+# stored MLT layout: per-query serving without corpus passes
+
+
+def test_mlt_indexed_matches_inmemory(spark, tmp_dir):
+    """The stored layout must return the exact rows of the in-memory
+    operator (same weights, same rounding) for several query docs on
+    the real fixture corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = f"{tmp_dir}/mltix"
+    MLT.write_mlt_index(docs, path)
+    for qid in (0, 7, 33):
+        mem = [(r["doc_id"], r["cosine"]) for r in
+               MLT.more_like_this(docs, qid, k=10).collect()]
+        idx = [(r["doc_id"], r["cosine"]) for r in
+               MLT.more_like_this_indexed(spark, path, docs, qid, k=10).collect()]
+        assert idx == mem, f"query doc {qid}"
+
+
+def test_mlt_indexed_plan_is_candidates_only(spark, tmp_dir):
+    """The per-query plan over the stored layout must prune the
+    weights/dictionary scans to the query terms' bucket partitions
+    (PartitionFilters) — no corpus-wide tokenize, count, df agg, or
+    norm agg anywhere in the query plan."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = f"{tmp_dir}/mltix2"
+    MLT.write_mlt_index(docs, path)
+    out = MLT.more_like_this_indexed(spark, path, docs, 0, k=10)
+    txt = out._jdf.queryExecution().toString()
+    # the weights read is partition-pruned to the query's term buckets
+    assert "PartitionFilters: [" in txt and "bucket" in txt
+    # term pushdown reaches the parquet scan
+    assert "PushedFilters:" in txt and "tok" in txt
+    # no corpus tokenize in the per-query plan (explode only ran for
+    # the one-doc query vector, which is collected before this plan)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mlt_indexed_missing_query_doc(spark, tmp_dir):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = f"{tmp_dir}/mltix3"
+    MLT.write_mlt_index(docs, path)
+    assert MLT.more_like_this_indexed(spark, path, docs, 10**9, k=5).count() == 0
