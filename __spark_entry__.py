@@ -652,13 +652,17 @@ def q_ann_dup_pairs(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    # 64-bit SimHash near-pairs at Hamming<=3.  Candidates come from
-    # the block-combination scheme derived from max_hamming (8 blocks,
-    # 5-block 40-bit keys — full recall by pigeonhole, ~2^24x fewer
-    # random key collisions than the old fixed 4x16-bit banding); the
-    # DuckDB twin keeps the simple 4-band candidates, which also have
-    # full recall at h<=3, so the verified outputs are identical.
-    return D.simhash_near_pairs(_tbl(spark, sf, "documents"), max_hamming=3)
+    # 64-bit SimHash near-pairs at the RECOMMENDED production default
+    # Hamming<=1: the recall-cheap prefilter (2 keys/doc of 32 bits,
+    # full recall by pigeonhole) whose candidate-exchange write
+    # amplification is 2x — versus 56 keys/doc at h=3, the expensive
+    # high-recall setting (kept exercised at h=3 in
+    # tests/test_round3.py).  Candidates come from the
+    # block-combination scheme derived from max_hamming
+    # (dedup._simhash_layout); the DuckDB twin keeps the simple
+    # 4-band candidates, which also have full recall at h<=3, so the
+    # verified outputs are identical.
+    return D.simhash_near_pairs(_tbl(spark, sf, "documents"), max_hamming=1)
 
 
 def q_dedup_embedding_cosine(spark, sf):
@@ -1882,7 +1886,7 @@ FROM reach GROUP BY doc_id
         "ann_dup_pairs": _sql_ann_dup_pairs(0.35),
         "ann_lsh_topk": _sql_ann_lsh_topk(10),
         "ann_ivf_topk": _sql_ann_ivf_topk(10),
-        "dedup_simhash": _sql_simhash_near_pairs(3),
+        "dedup_simhash": _sql_simhash_near_pairs(1),
         "multimodal_features": _sql_multimodal_counts(MM.N_FEATURES),
         "multimodal_resize": """
 WITH m AS (SELECT doc_id AS media_id, 'text-blob' AS kind, encode(text) AS blob FROM documents),
