@@ -74,6 +74,7 @@ _INDEX_CACHE: dict[str, str] = {}
 _INC_CACHE: dict[str, str] = {}
 _ANN_CACHE: dict[str, str] = {}
 _MLT_CACHE: dict[str, str] = {}
+_SUGGEST_CACHE: dict[str, str] = {}
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -167,6 +168,29 @@ def _mlt_index_for(spark: SparkSession, sf_dir: str) -> str:
                 fh.write("ok")
         _MLT_CACHE[key] = out
     return _MLT_CACHE[key]
+
+
+def _suggest_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir, cached on disk) the SymSpell
+    deletion-neighborhood table over the documents vocabulary — the
+    vocab-sized artifact built beside the dictionary — so the driver
+    row answers 'did you mean' with a pruned variant lookup instead
+    of a per-query vocabulary scan."""
+    key = os.path.abspath(sf_dir)
+    if key not in _SUGGEST_CACHE:
+        tag = hashlib.md5(f"{key}|symspell2".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_sug_{tag}")
+        marker = os.path.join(out, "_DONE")
+        if not os.path.exists(marker):
+            shutil.rmtree(out, ignore_errors=True)
+            vocab = _doc_tf(_tbl(spark, key, "documents")).groupBy("tok").agg(
+                F.count(F.lit(1)).alias("df"))
+            SN.write_suggest_index(vocab, os.path.join(out, "ix"),
+                                   max_dist=2, term_col="tok", df_col="df")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _SUGGEST_CACHE[key] = out
+    return os.path.join(_SUGGEST_CACHE[key], "ix")
 
 
 def _doc_tf(docs: DataFrame) -> DataFrame:
@@ -837,13 +861,15 @@ def q_text_snippets(spark, sf):
 
 def q_text_suggest(spark, sf):
     """'Did you mean': closest vocab term within 2 edits for a fixed
-    misspelling set (ties: higher df, then asc).  Broadcast query
-    terms x pruned vocab scan, codegen levenshtein.  zzzzqqq has no
+    misspelling set (ties: higher df, then asc).  Served from the
+    STORED SymSpell deletion-neighborhood index (built once per
+    corpus, snippets.write_suggest_index): the per-query plan is a
+    variant IN-list pushdown lookup + candidate-only levenshtein
+    verify — identical rows to the brute vocab scan (SymSpell full
+    recall, asserted in tests/test_snippets.py).  zzzzqqq has no
     candidate and must be absent."""
-    docs = _tbl(spark, sf, "documents")
-    vocab = _doc_tf(docs).groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    return SN.suggest_terms(vocab, list(MISSPELLED), 2,
-                            term_col="tok", df_col="df")
+    return SN.suggest_terms_indexed(spark, _suggest_index_for(spark, sf),
+                                    list(MISSPELLED), 2)
 
 
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}

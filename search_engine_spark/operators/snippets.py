@@ -15,15 +15,25 @@ dictionary, the closest in-vocabulary term by Levenshtein distance
 (ties: higher df, then lexicographic).  The plan is a broadcast of
 the HANDFUL of query terms against a pruned scan of the vocab —
 vocab-linear, never corpus-linear, and the distance filter runs as a
-codegen expression.  At 10^12 docs the vocabulary is still only
-millions of rows, so this is a sub-second scan on a cluster; the
-SymSpell deletion-neighborhood index is the next step if vocab growth
-ever makes it matter.
+codegen expression.
+
+``suggest_index`` / ``suggest_terms_indexed`` — the SymSpell form of
+the same operator: materialize the vocabulary's deletion
+neighborhood ONCE per index (every string reachable from a vocab
+term by deleting <= max_dist characters — vocab-sized times a small
+polynomial in term length), store it sorted by variant, and answer a
+query by joining the query terms' own deletion variants against it.
+SymSpell's theorem (Garbe's symmetric-delete scheme): if
+lev(a, b) <= d then Del<=d(a) and Del<=d(b) intersect, so the
+variant equality join has FULL RECALL and the per-candidate
+levenshtein verify makes the output identical to the brute scan —
+but the per-query plan is a pushdown-pruned lookup of a few hundred
+variant keys, not a vocab scan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # the ONE ML-pipeline tokenization every documents-table operator
@@ -93,6 +103,112 @@ def suggest_terms(dictionary: DataFrame, terms: list[str],
     )
     # min_by over a composite order: (dist asc, df desc, suggestion asc)
     best = cand.groupBy("term").agg(
+        F.min(
+            F.struct(
+                F.col("dist"),
+                (-F.col("df")).alias("neg_df"),
+                F.col("suggestion"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "term",
+        F.col("b.suggestion").alias("suggestion"),
+        F.col("b.dist").cast("long").alias("dist"),
+        (-F.col("b.neg_df")).cast("long").alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SymSpell deletion-neighborhood index
+
+
+def _single_deletions(col: Column) -> Column:
+    """Array of every string obtained by deleting ONE character of
+    ``col`` (empty array for the empty string).  Pure codegen: a
+    position sequence mapped through substring concatenation."""
+    return F.when(F.length(col) > 0, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(col.substr(F.lit(1), i - 1),
+                           col.substr(i + 1, F.length(col))),
+    ))).otherwise(F.array().cast("array<string>"))
+
+
+def _py_deletions(term: str, max_dist: int) -> list[str]:
+    """Driver-side twin of the index's neighborhood expansion for the
+    query side: all strings reachable by <= max_dist deletions,
+    including the term itself."""
+    out = {term}
+    frontier = {term}
+    for _ in range(max_dist):
+        nxt = set()
+        for v in frontier:
+            for i in range(len(v)):
+                nxt.add(v[:i] + v[i + 1:])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return sorted(out)
+
+
+def suggest_index(dictionary: DataFrame, max_dist: int = 2,
+                  term_col: str = "term_key", df_col: str = "df") -> DataFrame:
+    """(variant, suggestion, df): every deletion variant (depth
+    <= max_dist, the term itself included at depth 0) of every
+    vocabulary term.  Vocab-sized x O(len^max_dist) rows — built once
+    per index, exactly like the dictionary itself."""
+    base = dictionary.select(
+        F.col(term_col).alias("suggestion"),
+        F.col(df_col).cast("long").alias("df"),
+        F.col(term_col).alias("variant"),
+    )
+    out, frontier = base, base
+    for _ in range(max_dist):
+        frontier = (
+            frontier.select(
+                "suggestion", "df",
+                F.explode(_single_deletions(F.col("variant"))).alias("variant"),
+            )
+            .groupBy("suggestion", "variant").agg(F.first("df").alias("df"))
+        )
+        out = out.unionByName(frontier.select("suggestion", "df", "variant"))
+    return (
+        out.groupBy("variant", "suggestion").agg(F.first("df").alias("df"))
+    )
+
+
+def write_suggest_index(dictionary: DataFrame, path: str, max_dist: int = 2,
+                        term_col: str = "term_key", df_col: str = "df",
+                        n_files: int = 8) -> None:
+    """Materialize :func:`suggest_index` range-sorted by variant so a
+    query's ``variant IN (...)`` literal filter prunes at the parquet
+    row-group level (min/max stats) — the same pushdown shape as the
+    BM25 dictionary's (bucket, term_key) seek."""
+    ix = suggest_index(dictionary, max_dist, term_col, df_col)
+    (ix.repartitionByRange(n_files, "variant")
+     .sortWithinPartitions("variant")
+     .write.mode("overwrite").parquet(path))
+
+
+def suggest_terms_indexed(spark: SparkSession, path: str, terms: list[str],
+                          max_dist: int = 2) -> DataFrame:
+    """'Did you mean' over the STORED deletion-neighborhood index —
+    output identical to :func:`suggest_terms` (SymSpell full recall +
+    the same levenshtein verify and (dist, df desc, asc) tie-break),
+    but the plan is a literal-IN pushdown lookup of the query terms'
+    own deletion variants, never a vocabulary scan."""
+    pairs = [(t, v) for t in sorted(set(terms)) for v in _py_deletions(t, max_dist)]
+    all_variants = sorted({v for _, v in pairs})
+    q = spark.createDataFrame(pairs, "term string, variant string")
+    hits = (
+        spark.read.parquet(path)
+        .filter(F.col("variant").isin(all_variants))
+        .join(F.broadcast(q), "variant")
+        .select("term", "suggestion", "df").distinct()
+        .withColumn("dist", F.levenshtein("term", "suggestion"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    best = hits.groupBy("term").agg(
         F.min(
             F.struct(
                 F.col("dist"),

@@ -69,3 +69,66 @@ def test_suggest_prefers_higher_df_on_dist_tie(spark):
         [("cable", 80), ("fable", 90)], "term_key string, df long")
     got = suggest_terms(vocab, ["aable"]).collect()
     assert [(r["suggestion"], r["dist"], r["df"]) for r in got] == [("fable", 1, 90)]
+
+
+# ---------------------------------------------------------------------------
+# SymSpell deletion-neighborhood index
+
+
+def test_py_deletions_matches_spark_expansion(spark):
+    from search_engine_spark.operators.snippets import _py_deletions, suggest_index
+
+    vocab = spark.createDataFrame(
+        [("table", 5), ("a", 1), ("xy", 2)], "term_key string, df long")
+    ix = suggest_index(vocab, max_dist=2)
+    got = {t: sorted(r["variant"] for r in rows) for t, rows in (
+        (t, [r for r in ix.collect() if r["suggestion"] == t])
+        for t in ("table", "a", "xy"))}
+    for term in ("table", "a", "xy"):
+        assert got[term] == _py_deletions(term, 2), term
+
+
+def test_suggest_indexed_matches_scan(spark, tmp_dir):
+    """The stored SymSpell path must return exactly the brute-scan
+    rows on the real fixture vocabulary, for hits at dist 0/1/2 and
+    for a no-candidate term."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.snippets import (
+        suggest_terms, suggest_terms_indexed, write_suggest_index)
+    from search_engine_spark.operators.textstats import simple_tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab = (
+        docs.select(F.explode(simple_tokens()).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    terms = ["tabel", "joni", "quey", "filtr", "zzzzqqq", "data"]
+    path = f"{tmp_dir}/symspell"
+    write_suggest_index(vocab, path, max_dist=2, term_col="tok", df_col="df")
+    scan = {tuple(r) for r in
+            suggest_terms(vocab, terms, 2, term_col="tok", df_col="df").collect()}
+    idx = {tuple(r) for r in
+           suggest_terms_indexed(spark, path, terms, 2).collect()}
+    assert idx == scan and scan, "stored SymSpell path must equal the brute scan"
+
+
+def test_suggest_indexed_plan_is_pruned_lookup(spark, tmp_dir):
+    """The per-query plan must push the variant IN-list into the
+    parquet scan (PushedFilters) and carry no levenshtein against the
+    raw vocabulary — the verify runs on the joined candidates only."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.snippets import (
+        suggest_terms_indexed, write_suggest_index)
+
+    vocab = spark.createDataFrame(
+        [("table", 5), ("cable", 8), ("query", 3)], "term_key string, df long")
+    path = f"{tmp_dir}/symspell2"
+    write_suggest_index(vocab, path, max_dist=2)
+    out = suggest_terms_indexed(spark, path, ["tabel"], 2)
+    txt = out._jdf.queryExecution().toString()
+    assert "PushedFilters:" in txt and "variant" in txt
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
