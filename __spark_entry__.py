@@ -849,6 +849,47 @@ def q_ir_eval_summary(spark, sf):
     return IR.mean_metrics(q_ir_eval(spark, sf))
 
 
+def q_ir_search_eval(spark, sf):
+    """END-TO-END TREC loop over the PACKED index — the composition
+    the reference runs as Searcher -> run file -> external trec_eval
+    (Searcher.java:166-197): batch BM25 search through the packed
+    index -> run table (qid, rank, url) -> ir_metrics against
+    deterministic md5-coin qrels over the whole corpus.
+
+    Equivalence oracle (the search_* pattern): the SAME qrels score
+    the run of the independent plain-postings twin (twin.py); since
+    tests/driver rows already pin run ≡ twin-run per rank, every
+    per-qid metric must agree — integer counters exactly, float
+    metrics to 1e-9 (both sides round at 6dp; the tolerance only
+    absorbs aggregation-order ulps).  Any divergence anywhere in the
+    search -> run -> eval chain flips a flag and the driver hash."""
+    eng = _engine_for(spark, sf)
+    qs = [("q1", ENGINE_QUERY), ("q2", "query plan join")]
+    k = 10
+    run_e = eng.search_batch(qs, k).select(
+        "qid", F.col("rank").cast("long").alias("rank"), "url")
+    run_t = None
+    for qid, q in qs:
+        one = TW.twin_bm25_topk(spark, eng, q, k).select(
+            F.lit(qid).alias("qid"), F.col("rank").cast("long").alias("rank"),
+            "url")
+        run_t = one if run_t is None else run_t.unionByName(one)
+    urls = load_documents_as_pages(spark, sf).select("url")
+    qids = spark.createDataFrame([(qid,) for qid, _ in qs], "qid string")
+    coin = F.substring(
+        F.md5(F.to_binary(F.concat_ws(":", F.col("qid"), F.col("url")),
+                          F.lit("utf-8"))), 1, 1)
+    qrels = qids.crossJoin(urls).select(
+        "qid", "url", F.when(coin.isin(*"01234567"), 1).otherwise(0).alias("rel"))
+    m_e = IR.ir_metrics(run_e, qrels, k=k)
+    m_t = IR.ir_metrics(run_t, qrels, k=k)
+    return TW.compare_topk(
+        m_e, m_t, ["qid"],
+        exact_cols=["n_ret", "n_rel", "n_rel_ret"],
+        approx_cols=["p_at_k", "ap", "ndcg"],
+    )
+
+
 MISSPELLED = ("tabel", "joni", "quey", "filtr", "zzzzqqq")
 
 
@@ -1117,14 +1158,36 @@ def q_multimodal_resize(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so the host correctness driver's 50-row check window
+    covers every row that lacks an earlier driver stamp: the round-3
+    curation/eval/embed/multimodal suite plus round-4's ir_search_eval
+    come FIRST; 17 rows that are triple-stamped (green in
+    CORRECTNESS_r01/r02/r03 AND oracled in pytest —
+    tests/test_entry_oracle.py re-runs exactly these against DuckDB
+    every CI run) sit past the window at the tail."""
     return {
-        # full-text relational core
-        "ft_doc_stats": q_ft_doc_stats,
-        "ft_term_stats": q_ft_term_stats,
-        "ft_term_first_pos": q_ft_term_first_pos,
-        "ft_bm25_topk": q_ft_bm25_topk,
-        "ft_phrase_topk": q_ft_phrase_topk,
-        # full engine (rows-only; pytest asserts rank-identity vs oracle)
+        # --- driver window, part 1: rows never driver-stamped before
+        # round 4 (registered past the 50-row window in round 3)
+        "text_bpe_stats": q_text_bpe_stats,
+        "text_gopher_quality": q_text_gopher_quality,
+        "text_contamination": q_text_contamination,
+        "dedup_crossdoc_grams": q_dedup_crossdoc_grams,
+        "training_mix": q_training_mix,
+        "text_snippets": q_text_snippets,
+        "text_suggest": q_text_suggest,
+        "embed_docs": q_embed_docs,
+        "text_surprisal": q_text_surprisal,
+        "text_more_like_this": q_text_more_like_this,
+        "ir_eval": q_ir_eval,
+        "ir_eval_summary": q_ir_eval_summary,
+        "ir_search_eval": q_ir_search_eval,
+        "sample_stratified": q_sample_stratified,
+        "source_rollup": q_source_rollup,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_features": q_multimodal_features,
+        # --- driver window, part 2: the full packed engine
+        # (equivalence rows) + every operator whose only other oracle
+        # coverage is indirect
         "search_bm25_topk": q_search_bm25_topk,
         "search_wand_topk": q_search_wand_topk,
         "search_batch": q_search_batch,
@@ -1135,27 +1198,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_deletes_wand": q_search_deletes_wand,
         "search_city_filtered": q_search_city_filtered,
         "search_phrase": q_search_phrase,
-        "extract_text_roundtrip": q_extract_text_roundtrip,
-        # sources / sinks / dims
-        "trec_topics_roundtrip": q_trec_topics_roundtrip,
         "trec_run_lines": q_trec_run_lines,
         "city_enrich": q_city_enrich,
         "entities_top5": q_entities_top5,
-        # relational operator coverage
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "revenue_by_nation": q_revenue_by_nation,
-        "topk_orders": q_topk_orders,
-        "window_top5_parts": q_window_top5_parts,
-        "semi_join_urgent_customers": q_semi_join_urgent_customers,
-        "anti_join_idle_customers": q_anti_join_idle_customers,
-        "set_union_nations": q_set_union_nations,
-        "set_except_nations": q_set_except_nations,
-        "distinct_langs": q_distinct_langs,
-        "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "streaming_dedup": q_streaming_dedup,
         "streaming_events_hourly": q_streaming_events_hourly,
-        # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1173,22 +1221,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow_fingerprint": q_text_winnow_fingerprint,
-        "text_bpe_stats": q_text_bpe_stats,
-        "text_gopher_quality": q_text_gopher_quality,
-        "text_contamination": q_text_contamination,
-        "dedup_crossdoc_grams": q_dedup_crossdoc_grams,
-        "training_mix": q_training_mix,
-        "text_snippets": q_text_snippets,
-        "text_suggest": q_text_suggest,
-        "embed_docs": q_embed_docs,
-        "text_surprisal": q_text_surprisal,
-        "text_more_like_this": q_text_more_like_this,
-        "ir_eval": q_ir_eval,
-        "ir_eval_summary": q_ir_eval_summary,
-        "sample_stratified": q_sample_stratified,
-        "source_rollup": q_source_rollup,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_features": q_multimodal_features,
+        # --- past the 50-row window: triple-driver-stamped rows
+        # (CORRECTNESS_r01/r02/r03) that tests/test_entry_oracle.py
+        # additionally pins against their DuckDB oracles in pytest
+        "ft_doc_stats": q_ft_doc_stats,
+        "ft_term_stats": q_ft_term_stats,
+        "ft_term_first_pos": q_ft_term_first_pos,
+        "ft_bm25_topk": q_ft_bm25_topk,
+        "ft_phrase_topk": q_ft_phrase_topk,
+        "extract_text_roundtrip": q_extract_text_roundtrip,
+        "trec_topics_roundtrip": q_trec_topics_roundtrip,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "revenue_by_nation": q_revenue_by_nation,
+        "topk_orders": q_topk_orders,
+        "window_top5_parts": q_window_top5_parts,
+        "semi_join_urgent_customers": q_semi_join_urgent_customers,
+        "anti_join_idle_customers": q_anti_join_idle_customers,
+        "set_union_nations": q_set_union_nations,
+        "set_except_nations": q_set_except_nations,
+        "distinct_langs": q_distinct_langs,
+        "events_hourly": q_events_hourly,
     }
 
 
@@ -2178,5 +2230,11 @@ FROM (VALUES ('q1'), ('q2')) AS t(qid) CROSS JOIN range(1, 11) AS r
 SELECT qid, CAST(r.range AS BIGINT) AS rank,
        true AS url_match, true AS score_match
 FROM (VALUES ('q1'), ('q2')) AS t(qid) CROSS JOIN range(1, 11) AS r
+""",
+        "ir_search_eval": """
+SELECT qid, true AS n_ret_match, true AS n_rel_match,
+       true AS n_rel_ret_match, true AS p_at_k_match,
+       true AS ap_match, true AS ndcg_match
+FROM (VALUES ('q1'), ('q2')) AS t(qid)
 """,
     }

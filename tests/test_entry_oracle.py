@@ -1,0 +1,91 @@
+"""DuckDB-oracle pytest coverage for the 17 driver rows parked past
+the host correctness driver's 50-row check window.
+
+The driver stamps the FIRST 50 ``queries()`` entries per round; the
+tail rows here were driver-green in CORRECTNESS_r01/r02/r03 and were
+rotated out in round 4 to make room for the never-stamped rows.  This
+suite re-runs exactly the tail rows against their ``oracle_sql()``
+twins (same comparison as tools/check_entry.py: row count, column
+set, order-insensitive values at 9dp) so they keep a hard oracle
+check in CI.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_001 = "/root/testdata/sf0.001"
+WINDOW = 50  # the host driver checks the first 50 queries() entries
+
+
+def _tail_names():
+    import __spark_entry__ as entry
+
+    return list(entry.queries())[WINDOW:]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    from tools.check_entry import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_001, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    yield con
+    con.close()
+
+
+def test_every_tail_row_is_triple_stamped_and_oracled():
+    """Only rows already driver-stamped in r01-r03 may sit past the
+    window, and every one of them must still carry an oracle."""
+    import json
+
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    stamped = set()
+    for n in (1, 2, 3):
+        p = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), f"CORRECTNESS_r0{n}.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                rows = json.load(fh)
+            stamped |= {k for k, v in rows.items()
+                        if v.get("rows_match") and v.get("hash_match")}
+    for name in _tail_names():
+        assert name in oracles, f"{name} lost its oracle"
+        if stamped:
+            assert name in stamped, f"{name} was never driver-stamped"
+
+
+@pytest.mark.parametrize("name", [
+    "ft_doc_stats", "ft_term_stats", "ft_term_first_pos", "ft_bm25_topk",
+    "ft_phrase_topk", "extract_text_roundtrip", "trec_topics_roundtrip",
+    "tpch_q1_pricing", "revenue_by_nation", "topk_orders",
+    "window_top5_parts", "semi_join_urgent_customers",
+    "anti_join_idle_customers", "set_union_nations", "set_except_nations",
+    "distinct_langs", "events_hourly",
+])
+def test_tail_row_matches_duckdb_oracle(spark, duck, name):
+    import __spark_entry__ as entry
+    from tools.check_entry import norm_rows
+
+    assert name in _tail_names(), (
+        f"{name} moved back inside the driver window — drop it here")
+    sdf = entry.queries()[name](spark, SF_001)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(entry.oracle_sql()[name])
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+    assert sorted(scols) == sorted(ocols), name
+    assert len(srows) == len(orows), name
+    assert norm_rows(scols, srows) == norm_rows(ocols, orows), name
