@@ -67,6 +67,7 @@ def entry_mod():
     ("search_batch", 20),
     ("search_city_filtered", 20),
     ("search_phrase", 20),
+    ("ir_search_eval", 2),   # run->eval loop: one all-true row per qid
 ])
 def test_equivalence_rows_all_true(spark, entry_mod, name, n_expected):
     rows = entry_mod.queries()[name](spark, SF_001).collect()
