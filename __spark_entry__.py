@@ -849,6 +849,21 @@ def q_ir_eval_summary(spark, sf):
     return IR.mean_metrics(q_ir_eval(spark, sf))
 
 
+def q_search_facets(spark, sf):
+    """Facet counts over the FULL matching doc set (the result-page
+    sidebar): for every language, the number of distinct docs holding
+    >= 1 query term — computed through the packed index (pruned scan
+    -> distinct candidates -> doc_map -> dim join -> hash agg) and
+    compared per facet against the independent plain-postings twin
+    (twin.twin_facets).  Counts must match exactly; the oracle states
+    the constant all-true expectation for the corpus's 5 languages."""
+    eng = _engine_for(spark, sf)
+    dims = load_documents_as_pages(spark, sf).select("url", "lang")
+    e = eng.search_facets(ENGINE_QUERY, dims, "lang")
+    t = TW.twin_facets(spark, eng, ENGINE_QUERY, dims, "lang")
+    return TW.compare_topk(e, t, ["facet"], exact_cols=["n_docs"], approx_cols=[])
+
+
 def q_ir_search_eval(spark, sf):
     """END-TO-END TREC loop over the PACKED index — the composition
     the reference runs as Searcher -> run file -> external trec_eval
@@ -1198,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_deletes_wand": q_search_deletes_wand,
         "search_city_filtered": q_search_city_filtered,
         "search_phrase": q_search_phrase,
+        "search_facets": q_search_facets,
         "trec_run_lines": q_trec_run_lines,
         "city_enrich": q_city_enrich,
         "entities_top5": q_entities_top5,
@@ -1220,10 +1236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
-        "text_winnow_fingerprint": q_text_winnow_fingerprint,
         # --- past the 50-row window: triple-driver-stamped rows
         # (CORRECTNESS_r01/r02/r03) that tests/test_entry_oracle.py
         # additionally pins against their DuckDB oracles in pytest
+        "text_winnow_fingerprint": q_text_winnow_fingerprint,
         "ft_doc_stats": q_ft_doc_stats,
         "ft_term_stats": q_ft_term_stats,
         "ft_term_first_pos": q_ft_term_first_pos,
@@ -2236,5 +2252,9 @@ SELECT qid, true AS n_ret_match, true AS n_rel_match,
        true AS n_rel_ret_match, true AS p_at_k_match,
        true AS ap_match, true AS ndcg_match
 FROM (VALUES ('q1'), ('q2')) AS t(qid)
+""",
+        "search_facets": """
+SELECT lang AS facet, true AS n_docs_match
+FROM (SELECT DISTINCT lang FROM documents)
 """,
     }

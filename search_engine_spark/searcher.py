@@ -443,3 +443,45 @@ class SearchEngine:
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "url", "score")
         )
+
+    def search_facets(self, query: str, dims: DataFrame, dim_col: str,
+                      url_col: str = "url") -> DataFrame:
+        """Facet counts over the FULL matching doc set — the
+        result-page sidebar ("124 results in en, 31 in de, ...") the reference
+        UI approximates with its per-doc city column
+        (MainWindowController.java result table): for every value of
+        ``dims.dim_col``, the number of DISTINCT matching docs
+        (>= 1 query term on its posting list, tombstones excluded)
+        carrying that value.  Returns (facet, n_docs).
+
+        Plan shape at scale: pruned index scan (bucket dirs +
+        term_key stats) -> distinct candidate doc ids (map-side
+        combining) -> url via doc_map -> one join against the
+        dimension table -> hash agg.  The candidate set is
+        posting-union-sized, never the corpus; no window, no sort —
+        facet counting must stream at agg speed because it runs over
+        ALL matches, not the top-k."""
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            return (
+                dims.select(F.col(dim_col).alias("facet")).limit(0)
+                .withColumn("n_docs", F.lit(0).cast("long"))
+            )
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        cand = (
+            self._drop_deleted(self._unpack(self._scan_index(resolved), idf_by_key))
+            .select("shard", "local_id").distinct()
+        )
+        urls = cand.join(self._doc_map(), ["shard", "local_id"]).select("url")
+        pairs = (
+            urls.join(
+                dims.select(F.col(url_col).alias("url"),
+                            F.col(dim_col).alias("facet")),
+                "url",
+            )
+            # a doc may carry a dim value several times (e.g. multiple
+            # city tags) — each doc counts once per facet value
+            .select("url", "facet").distinct()
+        )
+        return pairs.groupBy("facet").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"))

@@ -70,6 +70,28 @@ def twin_bm25_scores(spark: SparkSession, engine, term_keys: list[str]) -> DataF
     )
 
 
+def twin_facets(spark: SparkSession, engine, query: str,
+                dims: DataFrame, dim_col: str,
+                url_col: str = "url") -> DataFrame:
+    """(facet, n_docs) recomputed from postings_raw: distinct matching
+    urls (>= 1 parsed query term) joined to the dimension table — the
+    independent twin of ``SearchEngine.search_facets``."""
+    keys = engine.parse_query(query)
+    urls = (
+        raw_postings(spark, engine)
+        .filter(F.col("term_key").isin(list(keys)))
+        .select("url").distinct()
+    )
+    pairs = (
+        urls.join(
+            dims.select(F.col(url_col).alias("url"), F.col(dim_col).alias("facet")),
+            "url",
+        )
+        .select("url", "facet").distinct()
+    )
+    return pairs.groupBy("facet").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
 def twin_bm25_topk(spark: SparkSession, engine, query: str, k: int) -> DataFrame:
     """(url, score, rank) — the plain twin of ``SearchEngine.search``.
     Query parsing is shared with the engine (driver-side kernel, its

@@ -86,3 +86,61 @@ def test_entities_table_partitioned_by_shard(spark, built_index):
     ents = spark.read.parquet(f"{out}/entities")
     assert set(ents.columns) >= {"url", "term", "term_key", "new_tf", "shard"}
     assert ents.filter(~F.col("capital")).count() == 0 if "capital" in ents.columns else True
+
+
+# ---------------------------------------------------------------------------
+# facet counts over the full matching doc set
+
+
+def test_search_facets_matches_twin_and_dedups_tags(spark, built_index):
+    """Engine facets == plain-postings twin on a real dim; a doc
+    tagged twice with the same value counts once; docs without a dim
+    row contribute to no facet."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark import twin as TW
+    from search_engine_spark.searcher import SearchEngine
+
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg)
+    # derive a dim from doc urls: parity buckets + a duplicate tag row
+    urls = spark.read.parquet(f"{out}/doc_stats").select("url")
+    dims = urls.select(
+        "url",
+        F.when(F.crc32(F.col("url")) % 2 == 0, "even").otherwise("odd").alias("v"),
+    )
+    dims = dims.unionByName(dims.limit(5))  # duplicate tags must not double-count
+    got = {r["facet"]: r["n_docs"]
+           for r in eng.search_facets("world trade", dims, "v").collect()}
+    want = {r["facet"]: r["n_docs"]
+            for r in TW.twin_facets(spark, eng, "world trade", dims, "v").collect()}
+    assert got == want and set(got) <= {"even", "odd"} and sum(got.values()) > 0
+
+
+def test_search_facets_excludes_tombstoned_docs(spark, built_index):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.searcher import SearchEngine
+
+    out, cfg, meta = built_index
+    full = SearchEngine(spark, out, cfg)
+    urls = spark.read.parquet(f"{out}/doc_stats").select("url")
+    dims = urls.select("url", F.lit("all").alias("v"))
+    base = full.search_facets("world trade", dims, "v").collect()[0]["n_docs"]
+    # tombstone two matching docs via the overlay
+    victims = [r["url"] for r in full.search("world trade", 2).collect()]
+    eng = SearchEngine(spark, out, cfg, deleted_urls=victims)
+    after = eng.search_facets("world trade", dims, "v").collect()[0]["n_docs"]
+    assert after == base - len(victims)
+
+
+def test_search_facets_empty_query(spark, built_index):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.searcher import SearchEngine
+
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg)
+    urls = spark.read.parquet(f"{out}/doc_stats").select("url")
+    dims = urls.select("url", F.lit("x").alias("v"))
+    assert eng.search_facets("the and of", dims, "v").count() == 0  # stop-only

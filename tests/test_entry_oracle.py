@@ -67,6 +67,7 @@ def test_every_tail_row_is_triple_stamped_and_oracled():
 
 
 @pytest.mark.parametrize("name", [
+    "text_winnow_fingerprint",
     "ft_doc_stats", "ft_term_stats", "ft_term_first_pos", "ft_bm25_topk",
     "ft_phrase_topk", "extract_text_roundtrip", "trec_topics_roundtrip",
     "tpch_q1_pricing", "revenue_by_nation", "topk_orders",

@@ -68,6 +68,7 @@ def entry_mod():
     ("search_city_filtered", 20),
     ("search_phrase", 20),
     ("ir_search_eval", 2),   # run->eval loop: one all-true row per qid
+    ("search_facets", 5),    # one all-true row per language facet
 ])
 def test_equivalence_rows_all_true(spark, entry_mod, name, n_expected):
     rows = entry_mod.queries()[name](spark, SF_001).collect()
