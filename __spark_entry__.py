@@ -158,7 +158,9 @@ def _mlt_index_for(spark: SparkSession, sf_dir: str) -> str:
     buckets), not a per-query corpus pass."""
     key = os.path.abspath(sf_dir)
     if key not in _MLT_CACHE:
-        tag = hashlib.md5(f"{key}|mlt{MLT.DEFAULT_MLT_BUCKETS}".encode()).hexdigest()[:10]
+        # v2: per-doc norm denormalized onto the weights rows — a
+        # layout change must never be served from a stale /tmp cache
+        tag = hashlib.md5(f"{key}|mltv2-{MLT.DEFAULT_MLT_BUCKETS}".encode()).hexdigest()[:10]
         out = os.path.join(tempfile.gettempdir(), f"se_entry_mlt_{tag}")
         marker = os.path.join(out, "_DONE")
         if not os.path.exists(marker):

@@ -133,6 +133,10 @@ def main() -> None:
         "text_fingerprint",
         "multimodal_features",
         "entities_top5",
+        # stored-layout serving paths (round 4): first rep may build
+        # the /tmp-cached artifact; min-of-2 reports the serving cost
+        "text_more_like_this",
+        "text_suggest",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir))
 

@@ -118,16 +118,21 @@ def write_mlt_index(docs: DataFrame, path: str,
     """Materialize the query-independent MLT statistics once per
     corpus (the artifacts that belong beside doc_stats/meta.json):
 
-    - ``weights/``    (doc_id, tok, w) partitioned by md5 term bucket
+    - ``weights/``    (doc_id, tok, w, nrm) partitioned by md5 term
+      bucket.  The per-doc norm is DENORMALIZED onto every posting row
+      (8 bytes/row) — the same trick the BM25 index plays with doc
+      lengths: the serving plan then needs NO join against a
+      corpus-sized norm table (whose doc_ids are only known at
+      runtime, so no pushdown could prune that scan).
     - ``dictionary/`` (tok, df, idf) partitioned the same way — the
       query vector is re-weighted from stored idf, never a fresh
       corpus df pass
-    - ``norms/``      (doc_id, nrm) — per-doc vector norms
+    - ``norms/``      (doc_id, nrm) — the standalone norm table for
+      other consumers (audits, re-ranking)
     - ``meta.json``   {n_docs, n_buckets}
 
     One corpus pass at build time; afterwards a query touches only
-    its own terms' bucket partitions + a candidate-sized norm join
-    (:func:`more_like_this_indexed`)."""
+    its own terms' bucket partitions (:func:`more_like_this_indexed`)."""
     n_docs = docs.count()
     w = doc_term_weights(docs, n_docs=n_docs)
     tf = shared_doc_tf(docs)
@@ -135,7 +140,10 @@ def write_mlt_index(docs: DataFrame, path: str,
         "tok", F.col("df").cast("long").alias("df"),
         F.log2(F.lit(float(n_docs)) / F.col("df")).alias("idf"),
     )
-    (w.withColumn("bucket", _bucket_expr("tok", n_buckets))
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    (w.join(norms, "doc_id")
+     .withColumn("bucket", _bucket_expr("tok", n_buckets))
      .repartition("bucket")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(path, "weights")))
@@ -143,8 +151,7 @@ def write_mlt_index(docs: DataFrame, path: str,
      .repartition("bucket")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(path, "dictionary")))
-    (w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-     .write.mode("overwrite").parquet(os.path.join(path, "norms")))
+    norms.write.mode("overwrite").parquet(os.path.join(path, "norms"))
     meta = {"n_docs": n_docs, "n_buckets": n_buckets}
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
@@ -161,10 +168,11 @@ def more_like_this_indexed(spark: SparkSession, path: str, docs: DataFrame,
     2. stored idf for exactly those terms: a dictionary read pruned to
        the query terms' bucket partitions (PartitionFilters) and terms
        (PushedFilters),
-    3. candidate dots: a weights read pruned the same way, joined to
-       the broadcast query vector — candidates = posting union of the
-       query's terms, never a corpus scan,
-    4. a norm lookup joined on the candidate doc_ids.
+    3. candidate dots + norms: ONE weights read pruned the same way,
+       joined to the broadcast query vector — candidates = posting
+       union of the query's terms, never a corpus scan; the per-doc
+       norm rides on the posting rows (denormalized at build time),
+       so no corpus-sized table is touched after the pruned scan.
 
     Scores are identical to :func:`more_like_this` (same weights, same
     rounding); ties (cosine desc, doc_id asc)."""
@@ -200,12 +208,15 @@ def more_like_this_indexed(spark: SparkSession, path: str, docs: DataFrame,
     )
     dots = (
         cand.join(F.broadcast(q), "tok")
-        .groupBy("doc_id").agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+        # every row of a doc carries the same denormalized nrm —
+        # first() inside the same hash agg that sums the dot product
+        .groupBy("doc_id").agg(
+            F.sum(F.col("w") * F.col("qw")).alias("dot"),
+            F.first("nrm").alias("nrm"),
+        )
     )
-    norms = spark.read.parquet(os.path.join(path, "norms"))
     scored = (
-        dots.join(norms, "doc_id")
-        .filter(F.col("nrm") > 0)
+        dots.filter(F.col("nrm") > 0)
         .select(
             "doc_id",
             F.round(F.col("dot") / (F.col("nrm") * F.lit(qnrm)), 6).alias("cosine"),

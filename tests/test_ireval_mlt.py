@@ -164,6 +164,10 @@ def test_mlt_indexed_plan_is_candidates_only(spark, tmp_dir):
     assert "PartitionFilters: [" in txt and "bucket" in txt
     # term pushdown reaches the parquet scan
     assert "PushedFilters:" in txt and "tok" in txt
+    # the denormalized nrm means NO corpus-sized norm-table scan in
+    # the per-query plan (the norms/ artifact exists for other
+    # consumers but serving never touches it)
+    assert "/norms" not in txt
     # no corpus tokenize in the per-query plan (explode only ran for
     # the one-doc query vector, which is collected before this plan)
     plan = out._jdf.queryExecution().executedPlan().toString()
