@@ -53,6 +53,7 @@ from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import similarity as SIM
 from search_engine_spark.operators import snippets as SN
 from search_engine_spark.operators import textstats as TS
+from search_engine_spark.operators import urls as UR
 from search_engine_spark.operators import webquality as WQ
 from search_engine_spark import twin as TW
 from search_engine_spark.ranking import ranked
@@ -987,6 +988,33 @@ def q_source_rollup(spark, sf):
     return WQ.source_rollup(_tbl(spark, sf, "documents"))
 
 
+# host blocklist for the url_host_rollup row (curated-table stand-in)
+BLOCKED_HOSTS = ("site3.example.com", "site17.example.com")
+
+
+def q_url_normalize(spark, sf):
+    """URL canonicalization over the synthetic crawl (resource id and
+    surface form vary independently — doc_id%100 names the resource,
+    doc_id//100 the spelling): zero-shuffle codegen expression chain."""
+    pages = UR.synthetic_crawl(_tbl(spark, sf, "documents"))
+    return UR.normalize_url(pages).select("doc_id", "url", "norm_url")
+
+
+def q_url_dedup_latest(spark, sf):
+    """Latest-crawl-wins per normalized URL: ONE max_by hash agg (no
+    row_number window), n_crawls = collapsed spellings per resource."""
+    pages = UR.synthetic_crawl(_tbl(spark, sf, "documents"))
+    return UR.url_dedup_latest(pages)
+
+
+def q_url_host_rollup(spark, sf):
+    """Per-host crawl accounting behind a blocklist anti-join (AQE
+    picks the join strategy — no forced broadcast)."""
+    pages = UR.synthetic_crawl(_tbl(spark, sf, "documents"))
+    bl = spark.createDataFrame([(h,) for h in BLOCKED_HOSTS], "host string")
+    return UR.host_rollup(pages, blocklist=bl)
+
+
 def q_multimodal_features(spark, sf):
     # opaque-binary decode plumbing with an EXACT oracle: media rows
     # derived from documents (blob = utf-8 bytes), features = 16-bin
@@ -1184,7 +1212,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every CI run) sit past the window at the tail."""
     return {
         # --- driver window, part 1: rows never driver-stamped before
-        # round 4 (registered past the 50-row window in round 3)
+        # round 4 (new operators first, then the rows registered past
+        # the 50-row window in round 3)
+        "url_normalize": q_url_normalize,
+        "url_dedup_latest": q_url_dedup_latest,
+        "url_host_rollup": q_url_host_rollup,
         "text_bpe_stats": q_text_bpe_stats,
         "text_gopher_quality": q_text_gopher_quality,
         "text_contamination": q_text_contamination,
@@ -1775,7 +1807,37 @@ def _oracle_sql_base() -> dict[str, str]:
         f"sqrt(list_sum(list_transform({side}.embedding, "
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     )
+    blocked = ", ".join(f"'{h}'" for h in BLOCKED_HOSTS)
     return {
+        "url_normalize": f"""
+WITH pages AS ({UR.DUCKDB_SYNTH_SQL})
+SELECT doc_id, url, {UR.duckdb_norm_sql('url')} AS norm_url FROM pages
+""",
+        "url_dedup_latest": f"""
+WITH pages AS ({UR.DUCKDB_SYNTH_SQL}),
+norm AS (SELECT url, warc_ts, {UR.duckdb_norm_sql('url')} AS norm_url
+         FROM pages),
+ranked AS (SELECT *,
+             row_number() OVER (PARTITION BY norm_url
+                                ORDER BY warc_ts DESC, url DESC) AS rn,
+             count(*) OVER (PARTITION BY norm_url) AS n_crawls
+           FROM norm)
+SELECT norm_url, url, warc_ts, CAST(n_crawls AS BIGINT) AS n_crawls
+FROM ranked WHERE rn = 1
+""",
+        "url_host_rollup": f"""
+WITH pages AS ({UR.DUCKDB_SYNTH_SQL}),
+norm AS (SELECT url, {UR.duckdb_norm_sql('url')} AS norm_url FROM pages),
+hosted AS (SELECT *,
+             regexp_extract(norm_url, '^[^:]+://([^/?]*)', 1) AS host
+           FROM norm)
+SELECT host, CAST(count(*) AS BIGINT) AS n_crawls,
+       CAST(count(DISTINCT norm_url) AS BIGINT) AS n_resources,
+       CAST(100 - floor(100 * count(DISTINCT norm_url) / count(*)) AS BIGINT)
+         AS recrawl_pct
+FROM hosted WHERE host NOT IN ({blocked})
+GROUP BY host
+""",
         "ft_doc_stats": f"""
 WITH {_TF_CTE}
 SELECT doc_id, CAST(sum(tf) AS BIGINT) AS length, CAST(max(tf) AS BIGINT) AS max_tf,
