@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.incremental import add_documents
 from search_engine_spark.indexer import build_index
+from search_engine_spark.operators import classify as CL
 from search_engine_spark.operators import curation as CU
 from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import embed as EM
@@ -992,6 +993,19 @@ def q_source_rollup(spark, sf):
 BLOCKED_HOSTS = ("site3.example.com", "site17.example.com")
 
 
+def q_nb_classify(spark, sf):
+    """Multinomial NB lang classifier, trained on the even-doc_id
+    split and scored on the odd split: two map-side-combining
+    groupBys to train, the BM25-idf join shape to score, argmax on
+    the 1e-6 integer micro-grid (no float boundary can flip a
+    prediction across engines)."""
+    docs = _tbl(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    model, classes = CL.train_nb(train, label_col="lang")
+    return CL.predict_nb(test, model, classes, label_col="lang")
+
+
 def q_url_normalize(spark, sf):
     """URL canonicalization over the synthetic crawl (resource id and
     surface form vary independently — doc_id%100 names the resource,
@@ -1217,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "url_dedup_latest": q_url_dedup_latest,
         "url_host_rollup": q_url_host_rollup,
+        "nb_classify": q_nb_classify,
         "text_bpe_stats": q_text_bpe_stats,
         "text_gopher_quality": q_text_gopher_quality,
         "text_contamination": q_text_contamination,
@@ -1837,6 +1852,44 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_crawls,
          AS recrawl_pct
 FROM hosted WHERE host NOT IN ({blocked})
 GROUP BY host
+""",
+        "nb_classify": f"""
+WITH {_TF_CTE},
+train AS (SELECT doc_id, lang AS label FROM documents WHERE doc_id % 2 = 0),
+tft AS (SELECT tf.doc_id, tf.tok, tf.tf, t.label
+        FROM tf JOIN train t USING (doc_id)),
+ctk AS (SELECT label, tok, CAST(sum(tf) AS BIGINT) AS cnt
+        FROM tft GROUP BY label, tok),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tft),
+ntr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM train),
+classes AS (
+  SELECT p.label,
+         log2(p.n_docs / (SELECT n FROM ntr)) AS log2_prior,
+         log2(t.tot + (SELECT v FROM vocab)) AS log2_denom
+  FROM (SELECT label, CAST(count(*) AS DOUBLE) AS n_docs
+        FROM train GROUP BY label) p
+  JOIN (SELECT label, CAST(sum(cnt) AS DOUBLE) AS tot
+        FROM ctk GROUP BY label) t USING (label)),
+model AS (SELECT label, tok, log2(cnt + 1) AS lp FROM ctk),
+test_tf AS (SELECT * FROM tf WHERE doc_id % 2 = 1),
+matched AS (SELECT doc_id, label, sum(tf * lp) AS m
+            FROM test_tf JOIN model USING (tok) GROUP BY doc_id, label),
+lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+         FROM test_tf GROUP BY doc_id),
+scored AS (SELECT l.doc_id, c.label,
+             CAST(floor((c.log2_prior + coalesce(m.m, 0)
+                         - l.len * c.log2_denom) * 1000000 + 0.5) AS BIGINT)
+               AS score_micro
+           FROM lens l CROSS JOIN classes c
+           LEFT JOIN matched m ON m.doc_id = l.doc_id AND m.label = c.label),
+best AS (SELECT doc_id, label AS pred, score_micro,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_micro DESC, label DESC) AS rn
+         FROM scored)
+SELECT b.doc_id, b.pred, b.score_micro / 1000000.0 AS score,
+       b.pred = d.lang AS is_correct
+FROM best b JOIN documents d ON d.doc_id = b.doc_id
+WHERE b.rn = 1
 """,
         "ft_doc_stats": f"""
 WITH {_TF_CTE}

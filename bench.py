@@ -137,6 +137,8 @@ def main() -> None:
         # the /tmp-cached artifact; min-of-2 reports the serving cost
         "text_more_like_this",
         "text_suggest",
+        "url_dedup_latest",
+        "nb_classify",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir))
 
