@@ -48,6 +48,7 @@ from search_engine_spark.operators import classify as CL
 from search_engine_spark.operators import curation as CU
 from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import embed as EM
+from search_engine_spark.operators import graph as GR
 from search_engine_spark.operators import ireval as IR
 from search_engine_spark.operators import mlt as MLT
 from search_engine_spark.operators import multimodal as MM
@@ -993,6 +994,17 @@ def q_source_rollup(spark, sf):
 BLOCKED_HOSTS = ("site3.example.com", "site17.example.com")
 
 
+def q_pagerank(spark, sf):
+    """Integer-grid PageRank (8 iterations, damping 17/20) over the
+    deterministic doc link graph: the web-scale centrality prior.
+    Every step is BIGINT arithmetic, so the oracle comparison is
+    exact — no float-sum ordering anywhere."""
+    docs = _tbl(spark, sf, "documents")
+    return GR.pagerank(docs.select("doc_id"),
+                       GR.synthetic_links(docs), n_iters=8,
+                       id_col="doc_id")
+
+
 def q_nb_classify(spark, sf):
     """Multinomial NB lang classifier, trained on the even-doc_id
     split and scored on the odd split: two map-side-combining
@@ -1232,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_latest": q_url_dedup_latest,
         "url_host_rollup": q_url_host_rollup,
         "nb_classify": q_nb_classify,
+        "pagerank": q_pagerank,
         "text_bpe_stats": q_text_bpe_stats,
         "text_gopher_quality": q_text_gopher_quality,
         "text_contamination": q_text_contamination,
@@ -1853,6 +1866,7 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_crawls,
 FROM hosted WHERE host NOT IN ({blocked})
 GROUP BY host
 """,
+        "pagerank": GR.duckdb_pagerank_sql(n_iters=8),
         "nb_classify": f"""
 WITH {_TF_CTE},
 train AS (SELECT doc_id, lang AS label FROM documents WHERE doc_id % 2 = 0),

@@ -139,6 +139,7 @@ def main() -> None:
         "text_suggest",
         "url_dedup_latest",
         "nb_classify",
+        "pagerank",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir))
 

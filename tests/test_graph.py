@@ -1,0 +1,63 @@
+"""Integer-grid PageRank: hand-computed first iteration, dangling
+mass, approximate mass conservation, and partitioning-independence
+(the property the integer grid buys)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from search_engine_spark.operators import graph as GR  # noqa: E402
+
+
+def _graph(spark):
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src long, dst long")
+    return nodes, edges
+
+
+def test_one_iteration_hand_computed(spark):
+    nodes, edges = _graph(spark)
+    got = {r.id: r.rank_nano
+           for r in GR.pagerank(nodes, edges, n_iters=1).collect()}
+    # N=3, init 333333333, base 49999999, dangling node 2 contributes
+    # 333333333 // 3 = 111111111 to everyone
+    # shares: node0 -> 166666666 each to {1,2}; node1 -> 333333333 to 2
+    assert got[0] == 49999999 + (17 * 111111111) // 20
+    assert got[1] == 49999999 + (17 * (166666666 + 111111111)) // 20
+    assert got[2] == 49999999 + (17 * (499999999 + 111111111)) // 20
+
+
+def test_mass_approximately_conserved(spark):
+    nodes, edges = _graph(spark)
+    iters = 6
+    total = sum(r.rank_nano
+                for r in GR.pagerank(nodes, edges, n_iters=iters).collect())
+    # each floor division loses < 1 nano per node per term (4 floors)
+    assert abs(total - GR.NANO) < 4 * 3 * iters
+
+
+def test_partitioning_independence(spark):
+    """The integer grid makes the result independent of how edges are
+    partitioned — the cross-engine-exactness claim, locally."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nodes = docs.select("doc_id")
+    edges = GR.synthetic_links(docs)
+    a = {(r.id, r.rank_nano)
+         for r in GR.pagerank(nodes, edges, 4, id_col="doc_id").collect()}
+    b = {(r.id, r.rank_nano)
+         for r in GR.pagerank(nodes.repartition(7), edges.repartition(13),
+                              4, id_col="doc_id").collect()}
+    assert a == b
+
+
+def test_sink_only_graph_is_uniform(spark):
+    """No edges at all: every node keeps base + damped dangling share
+    and all ranks stay equal."""
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    ranks = [r.rank_nano for r in GR.pagerank(nodes, edges, 3).collect()]
+    assert len(set(ranks)) == 1
