@@ -47,6 +47,9 @@ def main() -> None:
     ap.add_argument("--full", action="store_true",
                     help="refresh: full derived rebuild instead of the "
                          "incremental epoch fold")
+    ap.add_argument("--if-over", type=int, default=None, metavar="N",
+                    help="compact: merge policy — only compact when the "
+                         "live segment count exceeds N (no-op otherwise)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--doc-shards", type=int, default=32)
@@ -148,8 +151,14 @@ def main() -> None:
             ap.error("delete requires --url or --url-file")
         out["n_deleted"] = delete_documents(spark, urls, args.index)
     elif args.verb == "compact":
-        meta = compact_index(spark, args.index, cfg)
-        out.update(n_docs=meta["n_docs"], avgdl=round(meta["avgdl"], 4))
+        if args.if_over is not None:
+            from search_engine_spark.incremental import maybe_compact
+
+            did, live = maybe_compact(spark, args.index, args.if_over, cfg)
+            out.update(compacted=did, live_segments_before=live)
+        else:
+            meta = compact_index(spark, args.index, cfg)
+            out.update(n_docs=meta["n_docs"], avgdl=round(meta["avgdl"], 4))
     else:  # refresh
         from search_engine_spark.streaming.ingest import (
             refresh_incremental, refresh_index)

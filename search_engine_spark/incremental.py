@@ -436,6 +436,45 @@ def delete_documents(
     return n
 
 
+def live_segments(paths: IndexPaths) -> int:
+    """Packed generations currently serving a (term, shard): 1 for
+    the base pack plus one per segment appended since the last
+    derived rebuild.  Lineage is time-ordered and every rebuild
+    (build / compact / refresh --full) appends fresh ``pack`` rows
+    that collapse all prior segments into the base, so the count
+    resets there — the same convention ``index_admin.py stats``
+    reports (historical segment rows stay in lineage on purpose:
+    ids are monotonic)."""
+    n = 1
+    for r in read_lineage(paths):
+        if r.get("status") != "done":
+            continue
+        if r["stage"] == "pack":
+            n = 1
+        elif r["stage"] == "segment":
+            n += 1
+    return n
+
+
+def maybe_compact(spark: SparkSession, index_dir: str,
+                  max_segments: int = 8,
+                  cfg: EngineConfig = DEFAULT) -> tuple[bool, int]:
+    """Segment-count merge policy — the knob the multi-segment
+    campaign (BENCH/BASELINE.md) prices: per-append cost is flat in
+    segment count but query latency fans out with it, so an operator
+    compacts when fan-out crosses a threshold rather than after every
+    append (compaction is corpus-cost).  Compacts iff the live
+    segment count EXCEEDS ``max_segments``; returns
+    ``(compacted, live_before)``.  Safe to call after every append —
+    it is a lineage scan and an O(1) decision when below threshold."""
+    paths = IndexPaths(index_dir)
+    live = live_segments(paths)
+    if live <= max_segments:
+        return False, live
+    compact_index(spark, index_dir, cfg)
+    return True, live
+
+
 def compact_index(spark: SparkSession, index_dir: str,
                   cfg: EngineConfig = DEFAULT) -> dict:
     """Collapse segments and purge tombstones: re-run the derived
