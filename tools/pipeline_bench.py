@@ -27,6 +27,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=240_000)
     ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run only these op names (default: all)")
     args = ap.parse_args()
 
     from tools.scale_bench import ensure_corpus
@@ -60,6 +62,8 @@ def main() -> None:
         work AND yields the row count in one pass); sink='noop' for
         pure projections, where count() would let Catalyst prune the
         very expressions being measured."""
+        if args.only is not None and name not in args.only:
+            return
         t0 = time.time()
         df = thunk()
         if sink == "count":
@@ -93,6 +97,27 @@ def main() -> None:
     run("gopher_quality", lambda: WQ.gopher_quality(docs), sink="noop")
     run("quality_score", lambda: TS.quality_score(docs), sink="noop")
     run("token_count_bpe", lambda: TS.token_count_bpe(docs), sink="noop")
+
+    # round-4 operators at the same corpus
+    from search_engine_spark.operators import classify as CL
+    from search_engine_spark.operators import graph as GR
+    from search_engine_spark.operators import urls as UR
+
+    pages = UR.synthetic_crawl(docs, n_resources=max(100, args.docs // 5))
+    run("url_normalize", lambda: UR.normalize_url(pages), sink="noop")
+    run("url_dedup_latest", lambda: UR.url_dedup_latest(pages))
+    run("host_rollup", lambda: UR.host_rollup(pages))
+
+    def _nb():
+        train = docs.filter(F.col("doc_id") % 2 == 0)
+        test = docs.filter(F.col("doc_id") % 2 == 1)
+        model, classes = CL.train_nb(train)
+        return CL.predict_nb(test, model, classes)
+
+    run("nb_train_and_classify", _nb)
+    run("pagerank_8iter", lambda: GR.pagerank(
+        docs.select("doc_id"), GR.synthetic_links(docs),
+        n_iters=8, id_col="doc_id"))
 
     print(json.dumps({
         "metric": "pipeline ops at scale corpus",
