@@ -1888,8 +1888,9 @@ model AS (SELECT label, tok, log2(cnt + 1) AS lp FROM ctk),
 test_tf AS (SELECT * FROM tf WHERE doc_id % 2 = 1),
 matched AS (SELECT doc_id, label, sum(tf * lp) AS m
             FROM test_tf JOIN model USING (tok) GROUP BY doc_id, label),
-lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
-         FROM test_tf GROUP BY doc_id),
+lens AS (SELECT d.doc_id, CAST(coalesce(sum(t.tf), 0) AS BIGINT) AS len
+         FROM documents d LEFT JOIN test_tf t ON t.doc_id = d.doc_id
+         WHERE d.doc_id % 2 = 1 GROUP BY d.doc_id),
 scored AS (SELECT l.doc_id, c.label,
              CAST(floor((c.log2_prior + coalesce(m.m, 0)
                          - l.len * c.log2_denom) * 1000000 + 0.5) AS BIGINT)

@@ -78,7 +78,15 @@ def score_nb(docs: DataFrame, model: DataFrame,
         .groupBy("doc_id", "label")
         .agg(F.sum(F.col("tf") * F.col("lp")).alias("matched"))
     )
-    lens = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
+    # anchor on docs, not on the tf frame: a token-less document
+    # (empty/whitespace text) still gets a row — len 0, score =
+    # prior — instead of silently vanishing from the output
+    lens = (
+        docs.select("doc_id")
+        .join(tf.groupBy("doc_id").agg(F.sum("tf").alias("len")),
+              "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("len"), F.lit(0)).alias("len"))
+    )
     pairs = lens.crossJoin(classes)  # C rows on the right — O(1)
     scored = (
         pairs.join(matched, ["doc_id", "label"], "left")

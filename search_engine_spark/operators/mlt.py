@@ -134,11 +134,22 @@ def write_mlt_index(docs: DataFrame, path: str,
     One corpus pass at build time; afterwards a query touches only
     its own terms' bucket partitions (:func:`more_like_this_indexed`)."""
     n_docs = docs.count()
-    w = doc_term_weights(docs, n_docs=n_docs)
+    # ONE df aggregation feeds both artifacts (doc_term_weights would
+    # recompute the same groupBy internally), and the weights frame is
+    # persisted across its two consumers (norms agg + the weights
+    # write's norm join) — without it the tf-idf join executes twice
+    # per build
+    from pyspark import StorageLevel
+
     tf = shared_doc_tf(docs)
     dic = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).select(
         "tok", F.col("df").cast("long").alias("df"),
         F.log2(F.lit(float(n_docs)) / F.col("df")).alias("idf"),
+    )
+    w = (
+        tf.join(dic, "tok")
+        .select("doc_id", "tok", (F.col("tf") * F.col("idf")).alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
@@ -151,7 +162,9 @@ def write_mlt_index(docs: DataFrame, path: str,
      .repartition("bucket")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(path, "dictionary")))
+    # norms' plan reads w too — release only after its write
     norms.write.mode("overwrite").parquet(os.path.join(path, "norms"))
+    w.unpersist()
     meta = {"n_docs": n_docs, "n_buckets": n_buckets}
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)

@@ -33,6 +33,9 @@ variant keys, not a vocab scan.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -188,6 +191,11 @@ def write_suggest_index(dictionary: DataFrame, path: str, max_dist: int = 2,
     (ix.repartitionByRange(n_files, "variant")
      .sortWithinPartitions("variant")
      .write.mode("overwrite").parquet(path))
+    # SymSpell needs deletion depth d on BOTH sides: a query asking a
+    # larger max_dist than the stored neighborhood would silently lose
+    # recall, so record the build depth for the reader guard
+    with open(os.path.join(path, "_suggest_meta.json"), "w") as fh:
+        json.dump({"max_dist": max_dist}, fh)
 
 
 def suggest_terms_indexed(spark: SparkSession, path: str, terms: list[str],
@@ -196,7 +204,22 @@ def suggest_terms_indexed(spark: SparkSession, path: str, terms: list[str],
     output identical to :func:`suggest_terms` (SymSpell full recall +
     the same levenshtein verify and (dist, df desc, asc) tie-break),
     but the plan is a literal-IN pushdown lookup of the query terms'
-    own deletion variants, never a vocabulary scan."""
+    own deletion variants, never a vocabulary scan.
+
+    Raises when ``max_dist`` exceeds the depth the index was built
+    with (the stored neighborhood cannot answer a deeper query —
+    distance-d matches whose shared variant needs d index-side
+    deletions would be silently missing)."""
+    meta_path = os.path.join(path, "_suggest_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            built_dist = int(json.load(fh)["max_dist"])
+        if max_dist > built_dist:
+            raise ValueError(
+                f"suggest index at {path} was built with max_dist="
+                f"{built_dist}; cannot answer max_dist={max_dist} — "
+                "rebuild with write_suggest_index(..., max_dist="
+                f"{max_dist})")
     pairs = [(t, v) for t in sorted(set(terms)) for v in _py_deletions(t, max_dist)]
     all_variants = sorted({v for _, v in pairs})
     q = spark.createDataFrame(pairs, "term string, variant string")

@@ -115,19 +115,13 @@ def url_dedup_latest(pages: DataFrame, url_col: str = "url",
     )
 
 
-def host_of(url: Column) -> Column:
-    """Normalized host of a URL (rules 2-3; no-scheme inputs -> '')."""
-    nofrag = F.regexp_replace(url, "#.*$", "")
-    scheme = F.lower(F.regexp_extract(nofrag, "^([^:/?#]+)://", 1))
-    rest = F.regexp_replace(nofrag, "^[^:/?#]+://", "")
-    hostport = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
-    host = F.regexp_replace(hostport, "^www\\.", "")
-    return (
-        F.when(scheme == "", F.lit(""))
-        .when(scheme == "http", F.regexp_replace(host, ":80$", ""))
-        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
-        .otherwise(host)
-    )
+def host_of(norm_url: Column) -> Column:
+    """Host of an ALREADY-NORMALIZED url — one regexp over the
+    canonical form (rules 2-3 ran once in :func:`_norm_expr`; a
+    second raw-URL parse here would be a third copy of those rules to
+    keep in sync, and wasted scan work).  No-scheme pass-throughs
+    yield ''."""
+    return F.regexp_extract(norm_url, "^[^:]+://([^/?]*)", 1)
 
 
 def host_rollup(pages: DataFrame, blocklist: DataFrame | None = None,
@@ -142,7 +136,7 @@ def host_rollup(pages: DataFrame, blocklist: DataFrame | None = None,
     WITHOUT a forced broadcast (AQE decides; blocklists are usually
     tiny but this keeps the corpus-scale-side-safe policy)."""
     with_host = normalize_url(pages, url_col).withColumn(
-        "host", host_of(F.col(url_col)))
+        "host", host_of(F.col("norm_url")))
     if blocklist is not None:
         with_host = with_host.join(blocklist, "host", "left_anti")
     return with_host.groupBy("host").agg(

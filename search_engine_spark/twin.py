@@ -82,6 +82,11 @@ def twin_facets(spark: SparkSession, engine, query: str,
         .filter(F.col("term_key").isin(list(keys)))
         .select("url").distinct()
     )
+    # honor the engine's tombstone overlay/table: search_facets
+    # excludes deleted docs via _drop_deleted, so its twin must too
+    dead = engine._tombstone_urls()
+    if dead is not None:
+        urls = urls.join(dead, "url", "left_anti")
     pairs = (
         urls.join(
             dims.select(F.col(url_col).alias("url"), F.col(dim_col).alias("facet")),

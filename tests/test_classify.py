@@ -69,6 +69,19 @@ def test_argmax_tie_breaks_on_greater_label(spark):
     assert row.pred == "en"
 
 
+def test_empty_doc_still_predicted(spark):
+    """A token-less test doc must not vanish: it scores exactly the
+    class prior (len 0) and the prior-argmax wins."""
+    train = _docs(spark, [(0, "a a a", "en"), (2, "b", "de"), (4, "a", "en")])
+    test = _docs(spark, [(1, "", "en"), (3, "   ", "de")])
+    model, classes = CL.train_nb(train)
+    rows = {r.doc_id: r for r in CL.predict_nb(test, model, classes).collect()}
+    assert set(rows) == {1, 3}
+    # priors: en 2/3, de 1/3 -> en wins for both
+    assert rows[1].pred == "en" and rows[3].pred == "en"
+    assert rows[1].score == pytest.approx(math.log2(2 / 3), abs=1e-6)
+
+
 def test_model_join_not_force_broadcast(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     model, classes = CL.train_nb(docs)

@@ -1,4 +1,4 @@
-"""DuckDB-oracle pytest coverage for the 17 driver rows parked past
+"""DuckDB-oracle pytest coverage for every driver row parked past
 the host correctness driver's 50-row check window.
 
 The driver stamps the FIRST 50 ``queries()`` entries per round; the
@@ -66,21 +66,15 @@ def test_every_tail_row_is_triple_stamped_and_oracled():
             assert name in stamped, f"{name} was never driver-stamped"
 
 
-@pytest.mark.parametrize("name", [
-    "text_winnow_fingerprint",
-    "ft_doc_stats", "ft_term_stats", "ft_term_first_pos", "ft_bm25_topk",
-    "ft_phrase_topk", "extract_text_roundtrip", "trec_topics_roundtrip",
-    "tpch_q1_pricing", "revenue_by_nation", "topk_orders",
-    "window_top5_parts", "semi_join_urgent_customers",
-    "anti_join_idle_customers", "set_union_nations", "set_except_nations",
-    "distinct_langs", "events_hourly",
-])
+# parametrized over the ACTUAL tail at collection time, so a window
+# rotation can never silently leave a row with neither a driver stamp
+# nor a CI oracle re-run (a round-4 review caught a static name list
+# missing five rotated-out rows)
+@pytest.mark.parametrize("name", _tail_names())
 def test_tail_row_matches_duckdb_oracle(spark, duck, name):
     import __spark_entry__ as entry
     from tools.check_entry import norm_rows
 
-    assert name in _tail_names(), (
-        f"{name} moved back inside the driver window — drop it here")
     sdf = entry.queries()[name](spark, SF_001)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]

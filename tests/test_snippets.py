@@ -132,3 +132,22 @@ def test_suggest_indexed_plan_is_pruned_lookup(spark, tmp_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_suggest_indexed_refuses_deeper_query_than_build(spark, tmp_dir):
+    """SymSpell recall needs deletion depth d on BOTH sides: a query
+    asking more than the stored neighborhood must raise, not silently
+    lose matches."""
+    import pytest
+
+    from search_engine_spark.operators.snippets import (
+        suggest_terms_indexed, write_suggest_index)
+
+    vocab = spark.createDataFrame(
+        [("spark", 5), ("shark", 3)], "term_key string, df long")
+    path = f"{tmp_dir}/symspell3"
+    write_suggest_index(vocab, path, max_dist=1)
+    # equal/shallower depth is fine
+    assert suggest_terms_indexed(spark, path, ["sparl"], max_dist=1).count() > 0
+    with pytest.raises(ValueError, match="max_dist=1"):
+        suggest_terms_indexed(spark, path, ["sparl"], max_dist=2)
