@@ -1005,6 +1005,18 @@ def q_pagerank(spark, sf):
                        id_col="doc_id")
 
 
+def q_pagerank_blend(spark, sf):
+    """Web-search blend: the BM25 top-20 re-ranked by the PageRank
+    prior (3:1 lexical:authority on the micro grid) — the composition
+    the reference never had (its ranker is purely lexical,
+    Ranker.java), run-sized join + O(1) scalar maxes."""
+    run = q_ft_bm25_topk(spark, sf).select("doc_id", "score")
+    docs = _tbl(spark, sf, "documents")
+    prior = GR.pagerank(docs.select("doc_id"), GR.synthetic_links(docs),
+                        n_iters=8, id_col="doc_id")
+    return GR.blend_prior(run, prior, alpha_num=1, alpha_den=4, k=10)
+
+
 def q_nb_classify(spark, sf):
     """Multinomial NB lang classifier, trained on the even-doc_id
     split and scored on the odd split: two map-side-combining
@@ -1245,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_rollup": q_url_host_rollup,
         "nb_classify": q_nb_classify,
         "pagerank": q_pagerank,
+        "pagerank_blend": q_pagerank_blend,
         "text_bpe_stats": q_text_bpe_stats,
         "text_gopher_quality": q_text_gopher_quality,
         "text_contamination": q_text_contamination,
@@ -1836,6 +1849,23 @@ def _oracle_sql_base() -> dict[str, str]:
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     )
     blocked = ", ".join(f"'{h}'" for h in BLOCKED_HOSTS)
+    # shared by the ft_bm25_topk row and the pagerank_blend re-ranker
+    _FT_BM25_SQL = f"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n FROM dl),
+qtf AS (SELECT * FROM tf WHERE tok IN ({qt})),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY tok),
+contrib AS (
+  SELECT qtf.doc_id, log2((SELECT n FROM stats) / dfreq.df) AS idf, qtf.tf, dl.dl
+  FROM qtf JOIN dfreq ON qtf.tok = dfreq.tok JOIN dl ON qtf.doc_id = dl.doc_id
+),
+scored AS (SELECT doc_id, round(sum({_BM25_EXPR}), 6) AS score FROM contrib GROUP BY doc_id),
+ranked AS (SELECT doc_id, score,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM scored)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
+"""
     return {
         "url_normalize": f"""
 WITH pages AS ({UR.DUCKDB_SYNTH_SQL})
@@ -1954,21 +1984,22 @@ ranked AS (SELECT doc_id, phrase_tf,
            FROM m)
 SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 20
 """,
-        "ft_bm25_topk": f"""
-WITH {_TF_CTE},
-dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-stats AS (SELECT avg(dl) AS avgdl, (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n FROM dl),
-qtf AS (SELECT * FROM tf WHERE tok IN ({qt})),
-dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY tok),
-contrib AS (
-  SELECT qtf.doc_id, log2((SELECT n FROM stats) / dfreq.df) AS idf, qtf.tf, dl.dl
-  FROM qtf JOIN dfreq ON qtf.tok = dfreq.tok JOIN dl ON qtf.doc_id = dl.doc_id
-),
-scored AS (SELECT doc_id, round(sum({_BM25_EXPR}), 6) AS score FROM contrib GROUP BY doc_id),
-ranked AS (SELECT doc_id, score,
-                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
-           FROM scored)
-SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
+        "ft_bm25_topk": _FT_BM25_SQL,
+        "pagerank_blend": f"""
+WITH run AS ({_FT_BM25_SQL}),
+pr AS ({GR.duckdb_pagerank_sql(8)}),
+ms AS (SELECT max(score) AS ms FROM run),
+mp AS (SELECT max(rank_nano) AS mp FROM pr),
+rel AS (SELECT r.doc_id,
+          CAST(floor(r.score * 1000000 / (SELECT ms FROM ms) + 0.5) AS BIGINT) AS rs,
+          CAST(floor(p.rank_nano * 1000000 / (SELECT mp FROM mp) + 0.5) AS BIGINT) AS rp
+        FROM run r JOIN pr p ON p.id = r.doc_id),
+b AS (SELECT doc_id, CAST((3 * rs + 1 * rp) // 4 AS BIGINT) AS blended_micro
+      FROM rel),
+rk AS (SELECT doc_id, blended_micro,
+         CAST(row_number() OVER (ORDER BY blended_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       FROM b)
+SELECT doc_id, blended_micro, rank FROM rk WHERE rank <= 10
 """,
         "extract_text_roundtrip": """
 SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch FROM documents

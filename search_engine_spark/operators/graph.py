@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 NANO = 10**9
+NANO_REL = 10**6                # blend normalization grid (micro)
 DAMP_NUM, DAMP_DEN = 17, 20     # damping 0.85 as a rational
 
 
@@ -185,3 +186,50 @@ r{i} AS MATERIALIZED (SELECT r.id,
         "WITH " + ",".join(blocks)
         + f"\nSELECT id, r AS rank_nano FROM r{n_iters}"
     )
+
+
+def blend_prior(run: DataFrame, prior: DataFrame,
+                alpha_num: int = 1, alpha_den: int = 4,
+                k: int = 10) -> DataFrame:
+    """Re-rank a retrieval run with a query-independent centrality
+    prior — the classic web-search blend (lexical score x link
+    authority).  ``run`` is (doc_id, score, ...) [a top-k cut or a
+    full scored set], ``prior`` is :func:`pagerank` output
+    (id, rank_nano); blended = ((den-num)*rel_score + num*rel_prior)
+    // den on the half-up 1e-6 integer grid, where each side is
+    normalized by its own maximum — so the blend decision, like the
+    prior itself, cannot flip on a float boundary across engines.
+    Output: (doc_id, blended_micro, rank), ties (blended desc,
+    doc_id asc), cut at ``k``.
+
+    Scale shape: two scalar max aggs (O(1)-row broadcast joins, the
+    accepted scalar-subquery pattern), one doc_id-keyed join of the
+    run against the prior (run-sized, not corpus-sized, when the run
+    is a top-k cut), one TakeOrdered-style cut."""
+    ms = run.agg(F.max("score").alias("ms"))
+    mp = prior.agg(F.max("rank_nano").alias("mp"))
+    rel = (
+        run.join(prior.withColumnRenamed("id", "doc_id"), "doc_id")
+        .crossJoin(F.broadcast(ms)).crossJoin(F.broadcast(mp))
+        .select(
+            "doc_id",
+            F.floor(F.col("score") * NANO_REL / F.col("ms") + 0.5)
+            .cast("long").alias("rs"),
+            F.floor(F.col("rank_nano") * NANO_REL / F.col("mp") + 0.5)
+            .cast("long").alias("rp"),
+        )
+    )
+    blended = rel.select(
+        "doc_id",
+        (
+            F.floor(
+                (F.lit(alpha_den - alpha_num) * F.col("rs")
+                 + F.lit(alpha_num) * F.col("rp")) / F.lit(alpha_den)
+            ).cast("long")
+        ).alias("blended_micro"),
+    )
+    from ..ranking import ranked
+
+    top = blended.orderBy(
+        F.desc("blended_micro"), F.asc("doc_id")).limit(k)
+    return ranked(top, [("blended_micro", "desc"), ("doc_id", "asc")])

@@ -61,3 +61,21 @@ def test_sink_only_graph_is_uniform(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     ranks = [r.rank_nano for r in GR.pagerank(nodes, edges, 3).collect()]
     assert len(set(ranks)) == 1
+
+
+def test_blend_prior_hand_computed_and_alpha_flip(spark):
+    """Integer-grid blend: at 3:1 the lexical leader wins; at 1:1 the
+    authority leader overtakes — both on hand-computed micro values."""
+    from search_engine_spark.operators.graph import blend_prior
+
+    run = spark.createDataFrame([(0, 2.0), (1, 1.0)],
+                                "doc_id long, score double")
+    prior = spark.createDataFrame([(0, 100), (1, 1_000_000_000)],
+                                  "id long, rank_nano long")
+    out = {r.doc_id: r for r in blend_prior(run, prior, 1, 4, k=10).collect()}
+    # rs = (1e6, 5e5); rp = (0, 1e6)
+    assert out[0].blended_micro == (3 * 1_000_000 + 0) // 4       # 750000
+    assert out[1].blended_micro == (3 * 500_000 + 1_000_000) // 4  # 625000
+    assert (out[0].rank, out[1].rank) == (1, 2)
+    flip = {r.doc_id: r for r in blend_prior(run, prior, 1, 2, k=10).collect()}
+    assert (flip[1].rank, flip[0].rank) == (1, 2)  # authority wins at 1:1
