@@ -974,6 +974,16 @@ def q_training_mix(spark, sf):
     )
 
 
+def q_dedup_lines(spark, sf):
+    """Cross-doc line-level dedup (CCNet/RefinedWeb boilerplate pass)
+    over the deterministic lined corpus: the constant nav header and
+    the doc_id%5 section banners cross the min_docs=30 cut and are
+    stripped; the unique body and the doc_id%997 long-tail notices
+    survive in order."""
+    lined = CU.synthetic_lined(_tbl(spark, sf, "documents"))
+    return CU.dedup_lines(lined, min_docs=30)
+
+
 def q_sample_stratified(spark, sf):
     # deterministic training-mix cut: per-language keep rates via a
     # portable md5 hash bucket — same doc set on any engine/cluster
@@ -1244,14 +1254,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     covers every row that lacks an earlier driver stamp: the round-3
     curation/eval/embed/multimodal suite plus round-4's ir_search_eval
-    come FIRST; 17 rows that are triple-stamped (green in
-    CORRECTNESS_r01/r02/r03 AND oracled in pytest —
-    tests/test_entry_oracle.py re-runs exactly these against DuckDB
-    every CI run) sit past the window at the tail."""
+    come FIRST; the rows past the window (25 after round 4's late
+    dedup_lines/pagerank_blend additions) all carry earlier driver
+    stamps (green in CORRECTNESS_r01/r02/r03) AND
+    tests/test_entry_oracle.py re-runs the ACTUAL tail
+    (list(queries())[50:]) against DuckDB every CI run."""
     return {
         # --- driver window, part 1: rows never driver-stamped before
         # round 4 (new operators first, then the rows registered past
         # the 50-row window in round 3)
+        "dedup_lines": q_dedup_lines,
         "url_normalize": q_url_normalize,
         "url_dedup_latest": q_url_dedup_latest,
         "url_host_rollup": q_url_host_rollup,
@@ -1867,6 +1879,24 @@ ranked AS (SELECT doc_id, score,
 SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
 """
     return {
+        "dedup_lines": f"""
+WITH lined AS ({CU.DUCKDB_LINED_SQL}),
+ex AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM lined),
+boiler AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM ex)
+  GROUP BY line HAVING count(*) >= 30)
+SELECT e.doc_id,
+       coalesce(string_agg(CASE WHEN b.line IS NULL THEN e.line END,
+                           chr(10) ORDER BY e.pos), '') AS clean_text,
+       CAST(count(b.line) AS BIGINT) AS n_removed,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM ex e LEFT JOIN boiler b ON e.line = b.line
+GROUP BY e.doc_id
+""",
         "url_normalize": f"""
 WITH pages AS ({UR.DUCKDB_SYNTH_SQL})
 SELECT doc_id, url, {UR.duckdb_norm_sql('url')} AS norm_url FROM pages

@@ -121,6 +121,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_near_pairs",
         "dedup_crossdoc_grams",
+        "dedup_lines",
         "dedup_simhash",
         "ann_dup_pairs",
         "ann_lsh_topk",

@@ -10,6 +10,10 @@ and dedup:
   per doc, what share of its n-grams also occur in OTHER documents —
   the corpus-level twin of paragraph/line dedup for corpora whose
   documents carry no line structure.
+* cross-document line dedup (``dedup_lines``): remove every line that
+  occurs verbatim in >= ``min_docs`` distinct documents — the
+  CCNet/RefinedWeb boilerplate pass (nav bars, cookie banners,
+  footers) that runs line-wise BEFORE document-level near-dup.
 * training-mix manifest (``training_mix``): the end-to-end
   composition quality-filter ∧ dedup-keep-list ∧ deterministic
   stratified sample — the final "which docs go in the run" cut.
@@ -113,6 +117,91 @@ def crossdoc_dup_grams(docs: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
         )
         .withColumn("dup_frac", F.round(F.col("n_dup_grams") / F.col("n_grams"), 6))
     )
+
+
+def dedup_lines(docs: DataFrame, min_docs: int = 30,
+                text_col: str = "text") -> DataFrame:
+    """Cross-document line-level dedup (boilerplate removal): drop
+    every line that occurs verbatim in >= ``min_docs`` DISTINCT
+    documents, preserving the order of the surviving lines.  Output:
+    ``(doc_id, clean_text, n_removed, n_lines)`` — one row per input
+    doc (a doc that is ALL boilerplate survives with an empty
+    ``clean_text``, so downstream length filters see it).
+
+    This is the line-wise pass of CCNet / RefinedWeb ("remove any
+    line shared by many pages") that strips nav bars, cookie banners
+    and footers BEFORE document-level near-dup — the reference engine
+    has no counterpart (it indexes pages whole, ReadFile.java).
+
+    Scale shape (100 TB): posexplode is a codegen Generate (no UDF,
+    no shuffle); the boilerplate set is two key-partitioned hash aggs
+    (distinct (line, doc_id), then count per line — both with
+    map-side partial aggregation, never a corpus-wide window); the
+    mark join keys on the line and carries NO broadcast hint — at web
+    scale the boilerplate side is large (AQE decides), and the
+    exchange key should be a 128-bit digest of the line rather than
+    the raw text (same row counts, smaller shuffle; the raw-line join
+    here keeps the operator bit-exact against the SQL oracle).
+    Reassembly is one groupBy on doc_id.  Blank lines count as lines:
+    if blanks appear in >= min_docs docs they are removed like any
+    other boilerplate."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.select("line", "doc_id").distinct()
+        .groupBy("line").agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") >= min_docs)
+        .select("line", F.lit(True).alias("is_b"))
+    )
+    flagged = lines.join(boiler, "line", "left")
+    kept_lines = F.transform(
+        F.filter(
+            F.array_sort(F.collect_list(F.struct("pos", "line", "is_b"))),
+            lambda x: x["is_b"].isNull(),
+        ),
+        lambda x: x["line"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(kept_lines, "\n").alias("clean_text"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def synthetic_lined(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic line structure over a flat (doc_id, text) corpus
+    for exercising ``dedup_lines`` — the testdata documents carry no
+    newlines.  Four lines per doc: a constant nav header (boilerplate
+    in every doc), a section banner shared by doc_id%5 (boilerplate at
+    any corpus size >= 5*min_docs), the original body (unique), and a
+    long-tail notice keyed on doc_id%997 (~|corpus|/997 docs each —
+    BELOW a min_docs=30 cut at every test scale, so it must survive).
+    Mirrored byte-for-byte by DUCKDB_LINED_SQL."""
+    d = F.col("doc_id")
+    return docs.withColumn(
+        text_col,
+        F.concat_ws(
+            "\n",
+            F.lit("nav home about contact"),
+            F.concat(F.lit("section "), (d % 5).cast("string")),
+            F.col(text_col),
+            F.concat(F.lit("notice "), (d % 997).cast("string")),
+        ),
+    )
+
+
+# The DuckDB twin of synthetic_lined over the pre-registered
+# ``documents`` view — keep in lockstep with the Spark expression.
+DUCKDB_LINED_SQL = """
+SELECT doc_id,
+       'nav home about contact' || chr(10) ||
+       'section ' || (doc_id % 5) || chr(10) ||
+       text || chr(10) ||
+       'notice ' || (doc_id % 997) AS text
+FROM documents
+"""
 
 
 def training_mix(docs: DataFrame, rates: dict[str, float], salt: str,

@@ -161,3 +161,56 @@ def test_training_mix_drop_list_has_no_forced_broadcast(spark):
     analyzed = out._jdf.queryExecution().analyzed().toString()
     D.clear_shingle_cache()
     assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
+def test_dedup_lines_handcrafted(spark):
+    """Hand-computed line dedup: the shared header crosses min_docs=3,
+    a twice-repeated line within ONE doc counts that doc once (distinct
+    doc count, not occurrence count), and an all-boilerplate doc
+    survives with empty clean_text."""
+    docs = _df(spark, [
+        (0, "HDR\nbody zero\nHDR"),     # HDR twice in one doc -> 1 doc
+        (1, "HDR\nbody one"),
+        (2, "HDR\nbody two\nrare"),
+        (3, "HDR"),                     # all boilerplate
+    ])
+    out = {r["doc_id"]: r for r in CU.dedup_lines(docs, min_docs=3).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["clean_text"] == "body zero" and out[0]["n_removed"] == 2
+    assert out[1]["clean_text"] == "body one" and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "body two\nrare"   # order preserved
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+    assert out[0]["n_lines"] == 3 and out[3]["n_lines"] == 1
+
+
+def test_dedup_lines_threshold_counts_distinct_docs(spark):
+    # "HDR" appears 4 times but in only 3 docs; min_docs=4 keeps it
+    docs = _df(spark, [
+        (0, "HDR\nbody zero\nHDR"),
+        (1, "HDR\nbody one"),
+        (2, "HDR\nbody two"),
+    ])
+    out = {r["doc_id"]: r["clean_text"]
+           for r in CU.dedup_lines(docs, min_docs=4).collect()}
+    assert out[0] == "HDR\nbody zero\nHDR"
+    assert out[1] == "HDR\nbody one"
+
+
+def test_dedup_lines_plan_shape(spark):
+    """No cartesian product, no Python UDF, and no forced broadcast on
+    the boilerplate mark join — at web scale the boilerplate set is
+    large (AQE decides), same guarantee as the training_mix drop list."""
+    docs = _df(spark, [(i, f"HDR\nbody {i}") for i in range(10)])
+    out = CU.dedup_lines(docs, min_docs=3)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_synthetic_lined_shape(spark):
+    docs = _df(spark, [(1003, "the body")])
+    row = CU.synthetic_lined(docs).collect()[0]
+    assert row["text"] == ("nav home about contact\n"
+                           "section 3\nthe body\nnotice 6")
