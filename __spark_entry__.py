@@ -84,6 +84,38 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _atomic_publish(out: str, build_into, marker: str = "_DONE") -> str:
+    """Build a /tmp artifact cache into a unique scratch dir and
+    os.rename it into place — ATOMIC publish, so two concurrent driver
+    invocations on the same sf_dir can never observe (or rmtree) a
+    half-built directory.  ``build_into(tmp_dir)`` materializes the
+    artifact; the marker file is written inside the scratch dir BEFORE
+    the rename, so ``out`` either doesn't exist or is complete.  The
+    loser of a publish race discards its scratch build and uses the
+    winner's."""
+    done = os.path.join(out, marker)
+    if os.path.exists(done):
+        return out
+    tmp = f"{out}.build{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    build_into(tmp)
+    with open(os.path.join(tmp, marker), "w") as fh:
+        fh.write("ok")
+    # a partial dir left by a crashed PRE-atomic build (no marker) is
+    # garbage — clear it so the rename can land
+    if os.path.isdir(out) and not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # another process published first; keep theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(done):
+            raise
+    return out
+
+
 def _engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
     """Build (once, cached on disk per sf_dir) the full packed index
     over documents-as-pages, then open a SearchEngine on it."""
@@ -117,17 +149,15 @@ def _inc_engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
     if key not in _INC_CACHE:
         tag = hashlib.md5(f"{key}|inc|{_ENTRY_CFG}".encode()).hexdigest()[:10]
         out = os.path.join(tempfile.gettempdir(), f"se_entry_incix_{tag}")
-        marker = os.path.join(out, "_SEGMENTS_DONE")
-        if not os.path.exists(marker):
-            shutil.rmtree(out, ignore_errors=True)
+
+        def build(tmp: str) -> None:
             pages = load_documents_as_pages(spark, key)
             part = F.pmod(F.xxhash64("url"), F.lit(3))
-            build_index(spark, pages.filter(part == 0), out, _ENTRY_CFG)
-            add_documents(spark, pages.filter(part == 1), out, _ENTRY_CFG)
-            add_documents(spark, pages.filter(part == 2), out, _ENTRY_CFG)
-            with open(marker, "w") as fh:
-                fh.write("ok")
-        _INC_CACHE[key] = out
+            build_index(spark, pages.filter(part == 0), tmp, _ENTRY_CFG)
+            add_documents(spark, pages.filter(part == 1), tmp, _ENTRY_CFG)
+            add_documents(spark, pages.filter(part == 2), tmp, _ENTRY_CFG)
+
+        _INC_CACHE[key] = _atomic_publish(out, build, marker="_SEGMENTS_DONE")
     return SearchEngine(spark, _INC_CACHE[key], _ENTRY_CFG)
 
 
@@ -140,15 +170,14 @@ def _ann_layouts_for(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if key not in _ANN_CACHE:
         tag = hashlib.md5(f"{key}|planes8|cents16".encode()).hexdigest()[:10]
         out = os.path.join(tempfile.gettempdir(), f"se_entry_ann_{tag}")
-        marker = os.path.join(out, "_DONE")
-        if not os.path.exists(marker):
+
+        def build(tmp: str) -> None:
             emb = _tbl(spark, key, "embeddings")
-            SIM.write_bucketed_embeddings(emb, os.path.join(out, "lsh"),
+            SIM.write_bucketed_embeddings(emb, os.path.join(tmp, "lsh"),
                                           n_planes=8, dim=64)
-            SIM.write_ivf_index(emb, os.path.join(out, "ivf"), n_centroids=16)
-            with open(marker, "w") as fh:
-                fh.write("ok")
-        _ANN_CACHE[key] = out
+            SIM.write_ivf_index(emb, os.path.join(tmp, "ivf"), n_centroids=16)
+
+        _ANN_CACHE[key] = _atomic_publish(out, build)
     out = _ANN_CACHE[key]
     return os.path.join(out, "lsh"), os.path.join(out, "ivf")
 
@@ -165,13 +194,8 @@ def _mlt_index_for(spark: SparkSession, sf_dir: str) -> str:
         # layout change must never be served from a stale /tmp cache
         tag = hashlib.md5(f"{key}|mltv2-{MLT.DEFAULT_MLT_BUCKETS}".encode()).hexdigest()[:10]
         out = os.path.join(tempfile.gettempdir(), f"se_entry_mlt_{tag}")
-        marker = os.path.join(out, "_DONE")
-        if not os.path.exists(marker):
-            shutil.rmtree(out, ignore_errors=True)
-            MLT.write_mlt_index(_tbl(spark, key, "documents"), out)
-            with open(marker, "w") as fh:
-                fh.write("ok")
-        _MLT_CACHE[key] = out
+        _MLT_CACHE[key] = _atomic_publish(
+            out, lambda tmp: MLT.write_mlt_index(_tbl(spark, key, "documents"), tmp))
     return _MLT_CACHE[key]
 
 
@@ -185,16 +209,14 @@ def _suggest_index_for(spark: SparkSession, sf_dir: str) -> str:
     if key not in _SUGGEST_CACHE:
         tag = hashlib.md5(f"{key}|symspell2".encode()).hexdigest()[:10]
         out = os.path.join(tempfile.gettempdir(), f"se_entry_sug_{tag}")
-        marker = os.path.join(out, "_DONE")
-        if not os.path.exists(marker):
-            shutil.rmtree(out, ignore_errors=True)
+
+        def build(tmp: str) -> None:
             vocab = _doc_tf(_tbl(spark, key, "documents")).groupBy("tok").agg(
                 F.count(F.lit(1)).alias("df"))
-            SN.write_suggest_index(vocab, os.path.join(out, "ix"),
+            SN.write_suggest_index(vocab, os.path.join(tmp, "ix"),
                                    max_dist=2, term_col="tok", df_col="df")
-            with open(marker, "w") as fh:
-                fh.write("ok")
-        _SUGGEST_CACHE[key] = out
+
+        _SUGGEST_CACHE[key] = _atomic_publish(out, build)
     return os.path.join(_SUGGEST_CACHE[key], "ix")
 
 

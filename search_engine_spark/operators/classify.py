@@ -19,9 +19,13 @@ Training and scoring are both plain DataFrame aggregations:
   same join shape as the BM25 idf join (model table keyed by token),
   followed by one (doc, class) agg and a C-row class join.
 * ``predict_nb``: argmax over classes on the half-up 1e-6 integer
-  micro-grid (the surprisal-buckets trick) with a label tie-break,
-  so the decision is bit-identical across engines — no float
-  boundary can flip a prediction.
+  micro-grid (the surprisal-buckets trick) with a label tie-break.
+  The grid makes cross-engine flips REQUIRE the float score sum to
+  land within ulps of a .5 grid edge (partition-order double sums
+  can differ by a few ulps, so such a landing could still shift the
+  micro value by 1) — astronomically unlikely on real scores, not
+  impossible; the same residual-risk class as the surprisal
+  buckets.
 
 Scale shape (100 TB): training cost is two shuffles over (class,
 token) — the dictionary-build shape; the model is vocab x classes

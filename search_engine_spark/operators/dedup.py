@@ -461,7 +461,6 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
     )
     prev_sum = None
-    prev_labels = None
     converged = False
     for _ in range(max_iters):
         neigh = (
@@ -476,12 +475,11 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             )
             .localCheckpoint()
         )
-        # release the previous round's pinned checkpoint — without
-        # this, max_iters copies of the label table stay in executor
-        # storage for the life of the job
-        if prev_labels is not None:
-            prev_labels.unpersist()
-        prev_labels, labels = labels, new_labels
+        # previous generations are reclaimed by ContextCleaner when the
+        # old DataFrame is garbage-collected (an explicit unpersist()
+        # would be a no-op: localCheckpoint blocks are not registered
+        # with the CacheManager) — rebinding the name is the release
+        labels = new_labels
         cur = labels.agg(F.sum("label")).first()[0]
         if cur == prev_sum:
             converged = True
