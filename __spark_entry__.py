@@ -75,6 +75,7 @@ _ENTRY_CFG = EngineConfig(n_doc_shards=8, n_term_buckets=8, n_bucket_groups=2,
                           keep_positions=True)
 _INDEX_CACHE: dict[str, str] = {}
 _INC_CACHE: dict[str, str] = {}
+_UPD_CACHE: dict[str, str] = {}
 _ANN_CACHE: dict[str, str] = {}
 _MLT_CACHE: dict[str, str] = {}
 _SUGGEST_CACHE: dict[str, str] = {}
@@ -159,6 +160,38 @@ def _inc_engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
 
         _INC_CACHE[key] = _atomic_publish(out, build, marker="_SEGMENTS_DONE")
     return SearchEngine(spark, _INC_CACHE[key], _ENTRY_CFG)
+
+
+RECRAWL_PREFIX = "recrawl fresh revision "
+
+
+def _upd_engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Recrawl-superseded twin of :func:`_engine_for`: the same corpus
+    built whole, then every 11th url re-crawled with CHANGED text (a
+    marker prefix + a 64-char stub of the old body, so the versions
+    share terms) through ONE ``update_documents`` call
+    (incremental.py) — version tombstones + a replacement segment,
+    latest-wins immediately, NO compaction.  Cached on disk per
+    sf_dir behind the atomic publish."""
+    key = os.path.abspath(sf_dir)
+    if key not in _UPD_CACHE:
+        tag = hashlib.md5(f"{key}|upd|{_ENTRY_CFG}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_updix_{tag}")
+
+        def build(tmp: str) -> None:
+            from search_engine_spark.incremental import update_documents
+
+            pages = load_documents_as_pages(spark, key)
+            build_index(spark, pages, tmp, _ENTRY_CFG)
+            recrawl = (
+                pages.filter(F.pmod(F.xxhash64("url"), F.lit(11)) == 0)
+                .withColumn("text", F.concat(
+                    F.lit(RECRAWL_PREFIX), F.substring(F.col("text"), 1, 64)))
+            )
+            update_documents(spark, recrawl, tmp, _ENTRY_CFG)
+
+        _UPD_CACHE[key] = _atomic_publish(out, build, marker="_UPDATED_DONE")
+    return SearchEngine(spark, _UPD_CACHE[key], _ENTRY_CFG)
 
 
 def _ann_layouts_for(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -457,6 +490,42 @@ def q_search_deletes_wand(spark, sf):
     eng, twin = _delete_case(spark, sf)
     return _rank_eq(wand_search(eng, ENGINE_QUERY, 10), twin,
                     exact=["url"], approx=["score"])
+
+
+UPDATE_QUERY = ENGINE_QUERY + " recrawl revision"
+
+
+def q_search_updates(spark, sf):
+    """Recrawl-superseded index (update_documents: version-tombstone
+    the old generation + append the new in ONE O(delta) call — no
+    compaction) ≡ the gen-aware raw-postings twin, per rank.
+
+    The query mixes surviving terms with the recrawl marker, so the
+    top-20 must rank the NEW text while the superseded generation —
+    which still shares terms with it — surfaces nothing (a masking
+    slip would show the url twice or with the old score).  The twin
+    recomputes df stats-as-packed (every generation counts, Lucene's
+    collection-statistics contract) but tf/dl from LIVE rows only —
+    exactly the engine's additive dictionary + masked unpack."""
+    eng = _upd_engine_for(spark, sf)
+    return _rank_eq(
+        eng.search(UPDATE_QUERY, 20),
+        TW.twin_bm25_topk(spark, eng, UPDATE_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
+
+
+def q_search_updates_wand(spark, sf):
+    """Block-max WAND on the superseded index ≡ its exhaustive
+    scorer, per rank: the version tombstones ride the same cogroup
+    masking as deletes, and the replacement segment's fresh bounds
+    coexist with the base segment's bound_scale-rescaled ones."""
+    eng = _upd_engine_for(spark, sf)
+    return _rank_eq(
+        wand_search(eng, UPDATE_QUERY, 20),
+        eng.search(UPDATE_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
 
 
 def q_extract_text_roundtrip(spark, sf):
@@ -1318,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_wand_batch": q_search_wand_batch,
         "search_incremental": q_search_incremental,
         "search_incremental_wand": q_search_incremental_wand,
+        "search_updates": q_search_updates,
+        "search_updates_wand": q_search_updates_wand,
         "search_deletes": q_search_deletes,
         "search_deletes_wand": q_search_deletes_wand,
         "search_city_filtered": q_search_city_filtered,
@@ -2433,6 +2504,14 @@ SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
 """,
         "search_incremental_wand": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "search_updates": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "search_updates_wand": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
 """,

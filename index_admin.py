@@ -3,6 +3,7 @@
 Local (sandbox)::
 
     python index_admin.py add     --index /tmp/ix --input new_pages.parquet
+    python index_admin.py update  --index /tmp/ix --input recrawled.parquet
     python index_admin.py delete  --index /tmp/ix --url http://a --url http://b
     python index_admin.py delete  --index /tmp/ix --url-file dead_urls.txt
     python index_admin.py compact --index /tmp/ix
@@ -14,7 +15,10 @@ Cluster::
     python tools/make_engine_zip.py engine.zip
     spark-submit --master yarn --py-files engine.zip index_admin.py <verb> ...
 
-``add`` appends a segment in O(delta); ``delete`` tombstones urls in
+``add`` appends a segment in O(delta); ``update`` supersedes
+re-crawled urls in place at the same O(delta) cost (version-tombstone
+the old generation + append the new — latest wins immediately, no
+compaction needed); ``delete`` tombstones urls in
 O(|deletes|) (visible immediately, stats stale until compact);
 ``compact`` purges tombstones and collapses segments (corpus-cost, by
 design); ``refresh`` folds pending streamed epochs into one segment
@@ -38,7 +42,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("verb", choices=["add", "delete", "compact", "refresh", "stats"])
+    ap.add_argument("verb", choices=["add", "update", "delete", "compact",
+                                     "refresh", "stats"])
     ap.add_argument("--index", required=True)
     ap.add_argument("--input", help="pages parquet or testdata dir (add)")
     ap.add_argument("--url", action="append", default=[],
@@ -114,7 +119,7 @@ def main() -> None:
 
     from search_engine_spark.config import EngineConfig
     from search_engine_spark.incremental import (
-        add_documents, compact_index, delete_documents)
+        add_documents, compact_index, delete_documents, update_documents)
     from search_engine_spark.session import get_spark
     from search_engine_spark.sources.pages import load_documents_as_pages, load_pages
 
@@ -131,16 +136,17 @@ def main() -> None:
     t0 = time.time()
     out: dict = {"verb": args.verb, "index": args.index}
 
-    if args.verb == "add":
+    if args.verb in ("add", "update"):
         if not args.input:
-            ap.error("add requires --input")
+            ap.error(f"{args.verb} requires --input")
         if os.path.isdir(args.input) and os.path.exists(
             os.path.join(args.input, "documents.parquet")
         ):
             pages = load_documents_as_pages(spark, args.input)
         else:
             pages = load_pages(spark, args.input)
-        meta = add_documents(spark, pages, args.index, cfg)
+        mutate = add_documents if args.verb == "add" else update_documents
+        meta = mutate(spark, pages, args.index, cfg)
         out.update(n_docs=meta["n_docs"], avgdl=round(meta["avgdl"], 4))
     elif args.verb == "delete":
         urls = list(args.url)

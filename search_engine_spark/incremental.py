@@ -60,6 +60,17 @@ segments back to one row per (term, shard) with fresh baked bounds and
 dropping ``bound_scale``.  On an Iceberg cluster, each step here is a
 transactional commit (append files / replace table); the local
 parquet dir-swap below is the sandbox stand-in.
+
+**Versions.**  Every indexed document carries a generation ``gen``
+(the segment id that introduced it; base build and stream epochs = 0)
+through postings_raw, doc_stats and entities.  ``update_documents``
+supersedes a re-crawled url at O(delta): version-tombstone the old
+``(url, gen)`` + append the new version — Lucene's updateDocument
+contract, replacing the old corpus-cost flow delete -> compact -> add.
+``delete_documents`` writes url-level tombstones (gen NULL = every
+version).  Readers mask resolved (shard, local_id) rows; compaction
+purges raw by (url, gen) and collapses everything back to a
+single-generation store.
 """
 
 from __future__ import annotations
@@ -78,11 +89,18 @@ from .indexer import (
     _dir_bytes,
     _lineage_append,
     dictionary_core,
+    ensure_gen,
     pack_plan,
     read_lineage,
     term_bucket,
     with_doc_shard,
 )
+
+# Tombstone row schema.  ``gen IS NULL`` = every version of the url is
+# dead (delete_documents); a non-null gen tombstones exactly ONE
+# version — the supersede mechanism update_documents uses, leaving the
+# url's replacement version live.
+TOMBSTONE_SCHEMA = "url string, gen int"
 
 
 def check_layout(meta: dict, cfg: EngineConfig) -> None:
@@ -262,9 +280,10 @@ def add_documents(
     # twice — permanent double-scoring;
     # (b) a url already indexed (live OR tombstoned) would get a
     # second (shard, local_id) and surface twice in results (and a
-    # tombstone on the url would then kill both versions).  The
-    # supported update flow is delete_documents -> compact_index ->
-    # add_documents.
+    # url-level tombstone would then kill both versions).  Re-crawls
+    # go through :func:`update_documents` (tombstone-the-old +
+    # append-the-new in one call); fully deleted urls stay dead until
+    # compact_index purges them.
     row = new_pages.agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("url").alias("d")
     ).first()
@@ -278,10 +297,112 @@ def add_documents(
     if n_dup:
         raise ValueError(
             f"{n_dup} url(s) in the delta are already indexed; "
-            "re-adding a url requires delete_documents + compact_index first")
+            "re-crawled urls go through update_documents (supersede in "
+            "place); resurrecting a deleted url requires compact_index "
+            "first")
 
     # 1. tokenize the delta once; publish raw under seg-<sid>-* names
-    tokenized = tokenize_delta(new_pages, cfg)
+    # (rows stamped gen=sid: the version provenance update/compact key on)
+    tokenized = tokenize_delta(new_pages, cfg, gen=sid)
+    _publish_raw(tokenized, paths, sid, cfg.partition_raw)
+    delta_raw = (
+        spark.read.option("basePath", paths.postings_raw)
+        .option("pathGlobFilter", f"seg-{sid}-*")
+        .parquet(paths.postings_raw)
+    )
+    return _append_segment(spark, delta_raw, paths, cfg, meta, sid, t0)
+
+
+def update_documents(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    segment: int | None = None,
+) -> dict:
+    """Supersede live urls in place — the recrawl path, at O(delta).
+
+    Re-crawls are the NORMAL case for a Common-Crawl-shaped input
+    (the engine's own ``url_dedup_latest`` exists because resources
+    get re-fetched); before this call existed an update cost
+    delete_documents -> compact_index -> add_documents, i.e. a full
+    corpus-priced derived rebuild per recrawled page.  This is
+    Lucene's ``updateDocument`` contract instead: tombstone the old
+    version + append the new one as a segment in ONE call — the new
+    text is visible (and the old gone) immediately, while corpus
+    stats (N, df, avgdl) count the dead version until the next
+    :func:`compact_index` corrects them, exactly like
+    :func:`delete_documents`.
+
+    Mechanics: each indexed version carries a generation (``gen`` =
+    the segment id that introduced it; base build = 0).  The delta's
+    urls' CURRENT doc_stats rows are tombstoned as exact ``(url,
+    gen)`` pairs — version tombstones, so the replacement version
+    (gen = this segment) stays live — then the delta appends through
+    the ordinary segment path.  Readers mask by resolved (shard,
+    local_id); compaction purges raw by (url, gen).
+
+    Urls NOT yet indexed are accepted too (they simply have no row to
+    tombstone), so a mixed recrawl batch needs no pre-splitting.
+    Fully DELETED urls are refused like in add_documents: their
+    url-level tombstone would mask the new version as well.
+
+    Crash contract: the version tombstones are made durable BEFORE
+    the new version is published, so at every crash point at most one
+    version of a url is visible (never two, never torn).  A crash
+    mid-call can leave the url temporarily ABSENT — re-running the
+    same update (idempotent per segment id) or compacting repairs it.
+    """
+    paths = IndexPaths(index_dir)
+    with open(paths.meta) as fh:
+        meta = json.load(fh)
+    check_layout(meta, cfg)
+    _check_no_pending(paths)
+    old_stats = spark.read.parquet(paths.doc_stats)
+    if "gen" not in old_stats.columns:
+        raise ValueError(
+            "this index predates version generations (no gen column in "
+            "doc_stats); rebuild/compact it with current code before "
+            "using update_documents")
+    sid = segment if segment is not None else _next_segment_id(paths)
+    t0 = time.time()
+
+    row = new_pages.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("url").alias("d")
+    ).first()
+    if row["n"] != row["d"]:
+        raise ValueError(
+            f"{row['n'] - row['d']} duplicate url row(s) WITHIN the delta; "
+            "dedupe upstream first (e.g. url_dedup_latest)")
+    delta_urls = new_pages.select("url").distinct()
+    if os.path.isdir(paths.tombstones):
+        dead = (spark.read.schema(TOMBSTONE_SCHEMA).parquet(paths.tombstones)
+                .filter(F.col("gen").isNull()).select("url").distinct())
+        n_dead = delta_urls.join(dead, "url", "left_semi").count()
+        if n_dead:
+            raise ValueError(
+                f"{n_dead} url(s) in the delta are DELETED (url-level "
+                "tombstone): their tombstone would mask the update too; "
+                "run compact_index to purge deletes, then add_documents")
+
+    # 1. version-tombstone the superseded rows FIRST (durable before
+    # the new version exists anywhere — the at-most-one-live-version
+    # crash guarantee).  Re-tombstoning an already-superseded gen is
+    # harmless (readers take DISTINCT; purge anti-joins).
+    victims = (
+        ensure_gen(old_stats)
+        .join(delta_urls, "url", "left_semi")
+        .select("url", "gen").distinct()
+    )
+    n_super = victims.count()
+    if n_super:
+        victims.coalesce(1).write.mode("append").parquet(paths.tombstones)
+        _lineage_append(spark, paths, [{
+            "stage": "tombstone", "key": f"supersede-{sid}", "docs": n_super,
+        }])
+
+    # 2-6. ordinary segment append of the new versions (gen = sid)
+    tokenized = tokenize_delta(new_pages, cfg, gen=sid)
     _publish_raw(tokenized, paths, sid, cfg.partition_raw)
     delta_raw = (
         spark.read.option("basePath", paths.postings_raw)
@@ -316,6 +437,12 @@ def _append_segment(
     with open(pending_segment_marker(paths), "w") as fh:
         fh.write(str(sid))
     old_stats = spark.read.parquet(paths.doc_stats)
+    # doc_stats written before the gen column existed: appending
+    # gen-carrying rows would mix parquet schemas within one table, so
+    # such an index keeps the legacy url-keyed layout (exact — one
+    # version per url is its invariant; update_documents refuses it)
+    has_gen = "gen" in old_stats.columns
+    delta_raw = ensure_gen(delta_raw)
 
     # 2. doc_stats: append, local ids above each shard's existing max
     bases = old_stats.groupBy("shard").agg(F.max("local_id").alias("base"))
@@ -325,17 +452,21 @@ def _append_segment(
             F.sum("tf").alias("length"),
             F.max("tf").alias("max_tf"),
             F.count(F.lit(1)).alias("unique_terms"),
+            F.max("gen").alias("gen"),
         )
     )
     delta_stats = with_doc_shard(delta_stats, cfg)
     w = Window.partitionBy("shard").orderBy("url")
+    stat_cols = ["url", "length", "max_tf", "unique_terms", "shard", "local_id"]
+    if has_gen:
+        stat_cols.insert(4, "gen")
     delta_stats = (
         delta_stats.join(bases, "shard", "left")
         .withColumn(
             "local_id",
             (F.coalesce("base", F.lit(0)) + F.row_number().over(w)).cast("long"),
         )
-        .select("url", "length", "max_tf", "unique_terms", "shard", "local_id")
+        .select(*stat_cols)
     )
     delta_stats.write.mode("append").partitionBy("shard").parquet(paths.doc_stats)
 
@@ -356,16 +487,27 @@ def _append_segment(
      .write.mode("overwrite").partitionBy("bucket").parquet(tmp_dict))
     _swap_dir(tmp_dict, paths.dictionary)
 
-    # 4. entities: append the delta's rows (per-doc projection)
+    # 4. entities: append the delta's rows (per-doc projection; gen
+    # rides along iff the stored table carries it — same schema rule
+    # as doc_stats)
     from .operators.entities import doc_entities
 
-    ents = with_doc_shard(doc_entities(delta_raw), cfg)
+    ents_delta = delta_raw if has_gen else delta_raw.drop("gen")
+    ents = with_doc_shard(doc_entities(ents_delta), cfg)
     (ents.repartition(min(cfg.n_doc_shards, 8), F.col("shard"))
      .write.mode("append").partitionBy("shard").parquet(paths.entities))
 
-    # 5. pack ONLY the delta, with the refreshed idf/avgdl
+    # 5. pack ONLY the delta, with the refreshed idf/avgdl.  The doc
+    # map keeps the gen key when available so an updated url's new
+    # postings land on the NEW (shard, local_id), not the superseded
+    # row's (pack_plan joins on (url, gen) then)
     dictionary = spark.read.parquet(paths.dictionary)
-    doc_map = merged_stats.select("url", "shard", "local_id", "length")
+    map_cols = ["url", "shard", "local_id", "length"]
+    if has_gen:
+        map_cols.insert(1, "gen")
+    doc_map = merged_stats.select(*map_cols)
+    if has_gen:
+        doc_map = ensure_gen(doc_map)
     keep_positions = bool(meta.get("keep_positions")) and "positions" in delta_raw.columns
     if bool(meta.get("keep_positions")) and "positions" not in delta_raw.columns:
         raise ValueError("index keeps positions but cfg.keep_positions is off")
@@ -390,10 +532,13 @@ def _append_segment(
     return meta
 
 
-def tokenize_delta(new_pages: DataFrame, cfg: EngineConfig) -> DataFrame:
+def tokenize_delta(new_pages: DataFrame, cfg: EngineConfig,
+                   gen: int = 0) -> DataFrame:
     from .plans.tokenize import tokenize_pages
 
-    return tokenize_pages(new_pages, cfg).withColumn("bucket", term_bucket(cfg))
+    return (tokenize_pages(new_pages, cfg)
+            .withColumn("bucket", term_bucket(cfg))
+            .withColumn("gen", F.lit(int(gen)).cast("int")))
 
 
 def delete_documents(
@@ -414,9 +559,10 @@ def delete_documents(
     raw scan, which belongs in compaction.
 
     ``urls`` is a list of url strings or a DataFrame with a ``url``
-    column.  Appends to the index's ``tombstones`` parquet table
-    (duplicates are harmless — every reader takes DISTINCT) and
-    records a lineage row.  Returns the batch's url count."""
+    column.  Appends url-level rows (``gen`` NULL = every version) to
+    the index's ``tombstones`` parquet table (duplicates are harmless —
+    every reader takes DISTINCT) and records a lineage row.  Returns
+    the batch's url count."""
     paths = IndexPaths(index_dir)
     if isinstance(urls, str):
         # a bare string would iterate as characters and silently
@@ -426,6 +572,7 @@ def delete_documents(
         df = urls.select("url").distinct()
     else:
         df = spark.createDataFrame([(u,) for u in sorted(set(urls))], "url string")
+    df = df.withColumn("gen", F.lit(None).cast("int"))
     n = df.count()
     if n == 0:
         return 0
@@ -503,9 +650,21 @@ def compact_index(spark: SparkSession, index_dir: str,
     shutil.rmtree(paths.postings_raw + "__new", ignore_errors=True)
     if os.path.isdir(paths.tombstones):
         t0 = time.time()
-        dead = spark.read.parquet(paths.tombstones).select("url").distinct()
-        raw = spark.read.parquet(paths.postings_raw)
-        kept = raw.join(dead, "url", "left_anti")
+        # the explicit read schema makes legacy url-only tombstone
+        # files and (url, gen) version rows coexist (missing column
+        # reads as NULL = every version)
+        dead = spark.read.schema(TOMBSTONE_SCHEMA).parquet(paths.tombstones)
+        raw = ensure_gen(spark.read.parquet(paths.postings_raw))
+        full = dead.filter(F.col("gen").isNull()).select("url").distinct()
+        vers = (dead.filter(F.col("gen").isNotNull())
+                .select("url", "gen").distinct())
+        # url-level tombstones kill every version; version tombstones
+        # kill exactly the superseded (url, gen) — the update's
+        # replacement rows (a different gen) survive.  The rewrite
+        # materializes gen as a real column, so a crash-resumed
+        # re-purge stays exact (file names no longer matter).
+        kept = (raw.join(full, "url", "left_anti")
+                .join(vers, ["url", "gen"], "left_anti"))
         tmp = paths.postings_raw + "__new"
         if "bucket" in raw.columns and cfg.partition_raw:
             kept.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
@@ -524,7 +683,7 @@ def compact_index(spark: SparkSession, index_dir: str,
         }])
     from .streaming.ingest import refresh_index
 
-    meta = refresh_index(spark, index_dir, cfg)
+    meta = refresh_index(spark, index_dir, cfg, _raw_is_purged=True)
     # drop tombstones ONLY after the derived rebuild is fully
     # servable: deleting them before refresh_index would let a crash
     # mid-rebuild resurrect the deleted docs (old meta still marks the

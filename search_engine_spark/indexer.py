@@ -142,6 +142,22 @@ def read_lineage(paths: IndexPaths) -> list[dict]:
     return out
 
 
+def index_fingerprint(index_dir: str) -> dict:
+    """Cheap driver-side position of an index's corpus state, for
+    side-car artifact staleness guards (stored MLT statistics, the
+    SymSpell suggest neighborhood — operators/mlt.py, snippets.py):
+    ``{n_docs, lineage_rows}``.  Every index mutation — segment
+    append, update, tombstone, purge, derived rebuild — appends
+    lineage rows, so ANY movement since a side-car build changes the
+    fingerprint; reading it is a meta.json load + a lineage dir walk
+    (no Spark job)."""
+    paths = IndexPaths(index_dir)
+    with open(paths.meta) as fh:
+        meta = json.load(fh)
+    return {"n_docs": int(meta["n_docs"]),
+            "lineage_rows": len(read_lineage(paths))}
+
+
 def write_lineage(paths: IndexPaths, rows: list[dict]) -> None:
     """Replace the lineage dir with exactly ``rows`` (test/ops helper)."""
     shutil.rmtree(paths.lineage, ignore_errors=True)
@@ -184,6 +200,20 @@ def _parquet_rows(path: str) -> int:
 
 def with_doc_shard(df: DataFrame, cfg: EngineConfig, col: str = "url") -> DataFrame:
     return df.withColumn("shard", F.pmod(F.xxhash64(F.col(col)), F.lit(cfg.n_doc_shards)).cast("int"))
+
+
+def ensure_gen(df: DataFrame) -> DataFrame:
+    """Normalize the ``gen`` (generation) column on a postings/stats
+    frame: the segment id that introduced a document's CURRENT version
+    (0 for the base build and streamed epochs).  ``(url, gen)``
+    uniquely names a document VERSION — the provenance
+    ``update_documents`` tombstones and ``compact_index`` purges by.
+    Frames written before the column existed read as gen 0 (only one
+    version per url could exist then, so 0 is exact)."""
+    if "gen" in df.columns:
+        return df.withColumn(
+            "gen", F.coalesce(F.col("gen"), F.lit(0)).cast("int"))
+    return df.withColumn("gen", F.lit(0).cast("int"))
 
 
 def term_bucket(cfg: EngineConfig, col: str = "term_key"):
@@ -236,7 +266,9 @@ def build_index(
                 spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
             if pages.rdd.getNumPartitions() < 2 * par:
                 pages = pages.repartition(2 * par)
-            tokenized = tokenize_pages(pages, cfg).withColumn("bucket", term_bucket(cfg))
+            tokenized = (tokenize_pages(pages, cfg)
+                         .withColumn("bucket", term_bucket(cfg))
+                         .withColumn("gen", F.lit(0).cast("int")))
             if cfg.partition_raw:
                 # bucket-dir layout: costs one extra full-postings shuffle
                 # here, buys partition-pruned pack-group scans.  Salt keeps
@@ -265,7 +297,7 @@ def build_index(
             "bytes": _dir_bytes(paths.postings_raw), "seconds": time.time() - t0,
         }])
 
-    raw = spark.read.parquet(paths.postings_raw)
+    raw = ensure_gen(spark.read.parquet(paths.postings_raw))
 
     # ---- stage B: doc_stats + per-shard local ids
     if ("doc_stats", "all") not in done:
@@ -276,6 +308,10 @@ def build_index(
                 F.sum("tf").alias("length"),
                 F.max("tf").alias("max_tf"),
                 F.count(F.lit(1)).alias("unique_terms"),
+                # every raw row of a url shares one gen (one version per
+                # url is the raw-store invariant; rebuilds over a
+                # multi-version store are guarded out in streaming.ingest)
+                F.max("gen").alias("gen"),
             )
         )
         stats = with_doc_shard(stats, cfg)
@@ -340,7 +376,7 @@ def build_index(
 
     # ---- stage D: pack, one job per bucket group (resume granularity)
     dictionary = spark.read.parquet(paths.dictionary)
-    doc_map = doc_stats.select("url", "shard", "local_id", "length")
+    doc_map = ensure_gen(doc_stats).select("url", "gen", "shard", "local_id", "length")
     keep_positions = cfg.keep_positions and "positions" in raw.columns
 
     groups = _bucket_groups(cfg)
@@ -482,8 +518,15 @@ def pack_plan(
             "important", "idf"]
     if keep_positions:
         cols.append("positions")
+    # join on (url, gen) when both sides carry the generation column:
+    # after update_documents a url may have several doc_stats rows (old
+    # tombstoned version + live version) and the gen key maps each raw
+    # posting row to exactly ITS version's (shard, local_id)
+    join_keys = (["url", "gen"]
+                 if "gen" in raw.columns and "gen" in doc_map.columns
+                 else ["url"])
     part = (
-        raw.join(doc_map, "url")
+        raw.join(doc_map, join_keys)
         .join(dictionary.select("term_key", "idf"), "term_key")
         .select(*cols)
     )

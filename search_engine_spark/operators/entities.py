@@ -23,16 +23,19 @@ from pyspark.sql import functions as F
 
 
 def doc_entities(tokenized: DataFrame) -> DataFrame:
-    """(url, term, term_key, new_tf) for capitalized doc-level terms
-    (A7; the +10 importance boost per Indexer.java:89-92)."""
-    return (
-        tokenized.filter(F.col("capital"))
-        .select(
-            "url", "term", "term_key",
-            (F.col("tf") + F.when(F.col("important"), F.lit(10)).otherwise(F.lit(0)))
-            .cast("int").alias("new_tf"),
-        )
-    )
+    """(url, term, term_key, new_tf[, gen]) for capitalized doc-level
+    terms (A7; the +10 importance boost per Indexer.java:89-92).  The
+    ``gen`` version column rides along when the postings carry it, so
+    a superseded version's entity rows stay maskable (searcher
+    ``entities_top5`` anti-joins version tombstones on (url, gen))."""
+    cols = [
+        F.col("url"), F.col("term"), F.col("term_key"),
+        (F.col("tf") + F.when(F.col("important"), F.lit(10)).otherwise(F.lit(0)))
+        .cast("int").alias("new_tf"),
+    ]
+    if "gen" in tokenized.columns:
+        cols.append(F.col("gen"))
+    return tokenized.filter(F.col("capital")).select(*cols)
 
 
 def top_entities(entities: DataFrame, dictionary: DataFrame, k: int = 5) -> DataFrame:

@@ -114,7 +114,8 @@ def _py_bucket(tok: str, n_buckets: int) -> int:
 
 
 def write_mlt_index(docs: DataFrame, path: str,
-                    n_buckets: int = DEFAULT_MLT_BUCKETS) -> dict:
+                    n_buckets: int = DEFAULT_MLT_BUCKETS,
+                    index_dir: str | None = None) -> dict:
     """Materialize the query-independent MLT statistics once per
     corpus (the artifacts that belong beside doc_stats/meta.json):
 
@@ -132,7 +133,15 @@ def write_mlt_index(docs: DataFrame, path: str,
     - ``meta.json``   {n_docs, n_buckets}
 
     One corpus pass at build time; afterwards a query touches only
-    its own terms' bucket partitions (:func:`more_like_this_indexed`)."""
+    its own terms' bucket partitions (:func:`more_like_this_indexed`).
+
+    Pass ``index_dir`` (the main packed index this layout sits
+    beside) to stamp its lineage position into ``meta.json``: the
+    stored N/df/vocabulary are a CORPUS SNAPSHOT, so after any index
+    mutation (add/update/delete/compact) the layout would serve
+    silently stale idf — with the stamp, the indexed serve path
+    refuses instead (same discipline as the searcher's pending-append
+    guard) until the layout is rebuilt."""
     n_docs = docs.count()
     # ONE df aggregation feeds both artifacts (doc_term_weights would
     # recompute the same groupBy internally), and the weights frame is
@@ -166,9 +175,34 @@ def write_mlt_index(docs: DataFrame, path: str,
     norms.write.mode("overwrite").parquet(os.path.join(path, "norms"))
     w.unpersist()
     meta = {"n_docs": n_docs, "n_buckets": n_buckets}
+    if index_dir is not None:
+        from ..indexer import index_fingerprint
+
+        meta["index_dir"] = os.path.abspath(index_dir)
+        meta["index_fingerprint"] = index_fingerprint(index_dir)
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
     return meta
+
+
+def check_mlt_fresh(meta: dict, path: str,
+                    index_dir: str | None = None) -> None:
+    """Refuse a stored-layout serve when the main index has moved
+    since the layout's build (lineage-position mismatch).  No-op for
+    layouts built without an ``index_dir`` tie (e.g. over a bare
+    documents table)."""
+    stamped = meta.get("index_fingerprint")
+    if stamped is None:
+        return
+    from ..indexer import index_fingerprint
+
+    current = index_fingerprint(index_dir or meta["index_dir"])
+    if current != stamped:
+        raise RuntimeError(
+            f"stored MLT layout at {path} is STALE: built at index "
+            f"position {stamped}, index is now at {current} — its "
+            "baked N/df/idf no longer match the corpus; rebuild with "
+            "write_mlt_index after index mutations")
 
 
 def more_like_this_indexed(spark: SparkSession, path: str, docs: DataFrame,
@@ -188,9 +222,14 @@ def more_like_this_indexed(spark: SparkSession, path: str, docs: DataFrame,
        so no corpus-sized table is touched after the pruned scan.
 
     Scores are identical to :func:`more_like_this` (same weights, same
-    rounding); ties (cosine desc, doc_id asc)."""
+    rounding); ties (cosine desc, doc_id asc).  When the layout was
+    built beside a packed index (``write_mlt_index(...,
+    index_dir=)``), serving REFUSES if that index has moved since —
+    stale baked idf must fail loudly, like the searcher's
+    pending-append guard."""
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
+    check_mlt_fresh(meta, path)
     n_buckets = int(meta["n_buckets"])
     qtf = {
         r["tok"]: int(r["n"])

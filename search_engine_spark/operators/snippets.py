@@ -182,11 +182,19 @@ def suggest_index(dictionary: DataFrame, max_dist: int = 2,
 
 def write_suggest_index(dictionary: DataFrame, path: str, max_dist: int = 2,
                         term_col: str = "term_key", df_col: str = "df",
-                        n_files: int = 8) -> None:
+                        n_files: int = 8,
+                        index_dir: str | None = None) -> None:
     """Materialize :func:`suggest_index` range-sorted by variant so a
     query's ``variant IN (...)`` literal filter prunes at the parquet
     row-group level (min/max stats) — the same pushdown shape as the
-    BM25 dictionary's (bucket, term_key) seek."""
+    BM25 dictionary's (bucket, term_key) seek.
+
+    Pass ``index_dir`` (the packed index whose dictionary fed this
+    neighborhood) to stamp its lineage position: the stored
+    vocabulary is a corpus snapshot, and after an index mutation the
+    neighborhood silently lacks new terms (or suggests deleted ones)
+    — with the stamp, the indexed serve path refuses instead until a
+    rebuild."""
     ix = suggest_index(dictionary, max_dist, term_col, df_col)
     (ix.repartitionByRange(n_files, "variant")
      .sortWithinPartitions("variant")
@@ -194,8 +202,14 @@ def write_suggest_index(dictionary: DataFrame, path: str, max_dist: int = 2,
     # SymSpell needs deletion depth d on BOTH sides: a query asking a
     # larger max_dist than the stored neighborhood would silently lose
     # recall, so record the build depth for the reader guard
+    meta: dict = {"max_dist": max_dist}
+    if index_dir is not None:
+        from ..indexer import index_fingerprint
+
+        meta["index_dir"] = os.path.abspath(index_dir)
+        meta["index_fingerprint"] = index_fingerprint(index_dir)
     with open(os.path.join(path, "_suggest_meta.json"), "w") as fh:
-        json.dump({"max_dist": max_dist}, fh)
+        json.dump(meta, fh)
 
 
 def suggest_terms_indexed(spark: SparkSession, path: str, terms: list[str],
@@ -213,7 +227,21 @@ def suggest_terms_indexed(spark: SparkSession, path: str, terms: list[str],
     meta_path = os.path.join(path, "_suggest_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
-            built_dist = int(json.load(fh)["max_dist"])
+            smeta = json.load(fh)
+        if smeta.get("index_fingerprint") is not None:
+            # built beside a packed index: refuse to serve once that
+            # index has moved (stale vocabulary), like the MLT layout
+            from ..indexer import index_fingerprint
+
+            current = index_fingerprint(smeta["index_dir"])
+            if current != smeta["index_fingerprint"]:
+                raise RuntimeError(
+                    f"suggest index at {path} is STALE: built at index "
+                    f"position {smeta['index_fingerprint']}, index is "
+                    f"now at {current} — its vocabulary no longer "
+                    "matches; rebuild with write_suggest_index after "
+                    "index mutations")
+        built_dist = int(smeta["max_dist"])
         if max_dist > built_dist:
             raise ValueError(
                 f"suggest index at {path} was built with max_dist="

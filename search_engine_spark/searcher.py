@@ -96,17 +96,25 @@ class SearchEngine:
         self._deleted_plan: DataFrame | None | object = _UNSET
 
     # -- tombstones ----------------------------------------------------------
-    def _tombstone_urls(self) -> DataFrame | None:
-        """Distinct deleted urls: the index's persisted tombstone
-        table (incremental.delete_documents) ∪ the constructor
-        overlay.  None when there are no deletes (the common case —
-        every query path then skips its anti-join entirely)."""
+    def _tombstone_rows(self) -> DataFrame | None:
+        """Distinct tombstone rows ``(url, gen)``: the index's
+        persisted table (incremental.delete_documents /
+        update_documents) ∪ the constructor overlay.  ``gen`` NULL
+        kills every version of the url (a delete); a non-null gen
+        kills exactly that superseded version, leaving the url's
+        replacement live (an update).  None when there are no deletes
+        (the common case — every query path then skips its anti-join
+        entirely)."""
+        from .incremental import TOMBSTONE_SCHEMA
+
         parts: list[DataFrame] = []
         if os.path.isdir(self.paths.tombstones):
-            parts.append(self.spark.read.parquet(self.paths.tombstones).select("url"))
+            # explicit schema: legacy url-only files read gen as NULL
+            parts.append(self.spark.read.schema(TOMBSTONE_SCHEMA)
+                         .parquet(self.paths.tombstones))
         if self._overlay_deleted:
             parts.append(self.spark.createDataFrame(
-                [(u,) for u in self._overlay_deleted], "url string"))
+                [(u, None) for u in self._overlay_deleted], TOMBSTONE_SCHEMA))
         if not parts:
             return None
         out = parts[0]
@@ -115,21 +123,30 @@ class SearchEngine:
         return out.distinct()
 
     def deleted_docs(self) -> DataFrame | None:
-        """(shard, local_id) of tombstoned docs as a lazy plan, or
-        None when no deletes exist.  Lucene visibility semantics:
-        deleted docs leave every result immediately, while corpus
-        stats (N, df, avgdl) stay as-packed until ``compact_index``
-        purges — so surviving docs' scores are bit-identical to their
-        pre-delete scores.  The tombstone table is delta-sized between
-        compactions; the joins below stay distributed (no driver
-        collect), so an unusually large delete batch degrades, never
-        OOMs."""
+        """(shard, local_id) of tombstoned doc VERSIONS as a lazy
+        plan, or None when no deletes exist.  Lucene visibility
+        semantics: deleted docs leave every result immediately, while
+        corpus stats (N, df, avgdl) stay as-packed until
+        ``compact_index`` purges — so surviving docs' scores are
+        bit-identical to their pre-delete scores.  The tombstone table
+        is delta-sized between compactions; the joins below stay
+        distributed (no driver collect), so an unusually large delete
+        batch degrades, never OOMs."""
         if self._deleted_plan is _UNSET:
-            urls = self._tombstone_urls()
-            self._deleted_plan = None if urls is None else (
-                urls.join(self._doc_stats.select("url", "shard", "local_id"), "url")
-                .select("shard", "local_id")
-            )
+            rows = self._tombstone_rows()
+            if rows is None:
+                self._deleted_plan = None
+            else:
+                from .indexer import ensure_gen
+
+                stats = ensure_gen(self._doc_stats).select(
+                    "url", F.col("gen").alias("doc_gen"), "shard", "local_id")
+                self._deleted_plan = (
+                    rows.join(stats, "url")
+                    .filter(F.col("gen").isNull()
+                            | (F.col("gen") == F.col("doc_gen")))
+                    .select("shard", "local_id").distinct()
+                )
         return self._deleted_plan
 
     def _drop_deleted(self, df: DataFrame) -> DataFrame:
@@ -395,9 +412,22 @@ class SearchEngine:
         from .operators.entities import top_entities
 
         ents = self.spark.read.parquet(self.paths.entities)
-        dead = self._tombstone_urls()
+        dead = self._tombstone_rows()
         if dead is not None:
-            ents = ents.join(dead, "url", "left_anti")
+            from .indexer import ensure_gen
+
+            had_gen = "gen" in ents.columns
+            ents = ensure_gen(ents)
+            # url-level tombstones mask every version; version
+            # tombstones mask only the superseded generation's rows
+            ents = (
+                ents.join(dead.filter(F.col("gen").isNull()).select("url"),
+                          "url", "left_anti")
+                .join(dead.filter(F.col("gen").isNotNull()).select("url", "gen"),
+                      ["url", "gen"], "left_anti")
+            )
+            if not had_gen:
+                ents = ents.drop("gen")
         if urls is not None:
             ents = ents.filter(F.col("url").isin(urls))
         return top_entities(ents, self._dictionary, k)

@@ -59,7 +59,12 @@ def stream_ingest(
 
     def handle_batch(batch: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
-        tokenized = tokenize_pages(batch, cfg).withColumn("bucket", term_bucket(cfg))
+        # gen=0 like the base build: a url enters the stream once (the
+        # re-crawl guard in refresh_incremental), so generation 0
+        # uniquely names its version until an update supersedes it
+        tokenized = (tokenize_pages(batch, cfg)
+                     .withColumn("bucket", term_bucket(cfg))
+                     .withColumn("gen", F.lit(0).cast("int")))
         # IDEMPOTENT epoch publish (exactly-once, not just
         # at-least-once): foreachBatch replays an epoch if the job
         # dies between the data write and the checkpoint commit, so a
@@ -100,7 +105,8 @@ def stream_ingest(
 
 
 def refresh_index(spark: SparkSession, index_dir: str,
-                  cfg: EngineConfig = DEFAULT) -> dict:
+                  cfg: EngineConfig = DEFAULT,
+                  _raw_is_purged: bool = False) -> dict:
     """FULL derived rebuild over all ingested raw postings.
 
     Marks tokenize as done (the stream already materialized raw),
@@ -108,10 +114,26 @@ def refresh_index(spark: SparkSession, index_dir: str,
     builder's resume path — stages B-D run, stage A never does.
     Every streamed epoch present is packed by this rebuild, so each
     gets an ``epoch_packed`` marker — a later
-    :func:`refresh_incremental` must not fold it in again."""
-    from ..incremental import check_layout
+    :func:`refresh_incremental` must not fold it in again.
+
+    Refuses while VERSION tombstones exist (``update_documents``
+    supersedes): the raw store then holds several generations of a
+    url, and the rebuild's per-url aggregation would merge them into
+    one corrupt document.  ``compact_index`` purges superseded
+    generations first and re-enters here with ``_raw_is_purged``."""
+    from ..incremental import TOMBSTONE_SCHEMA, check_layout
 
     paths = IndexPaths(index_dir)
+    if not _raw_is_purged and os.path.isdir(paths.tombstones):
+        n_vers = (spark.read.schema(TOMBSTONE_SCHEMA)
+                  .parquet(paths.tombstones)
+                  .filter(F.col("gen").isNotNull()).count())
+        if n_vers:
+            raise RuntimeError(
+                f"{n_vers} version tombstone(s) present (superseded urls "
+                "still in the raw store) — a full derived rebuild would "
+                "merge a url's generations into one corrupt document; "
+                "run compact_index (purges them first) instead")
     if os.path.exists(paths.meta):
         # the raw store's bucket column is baked with the build cfg's
         # n_term_buckets; a rebuild under a narrower layout would
@@ -165,11 +187,11 @@ def refresh_incremental(spark: SparkSession, index_dir: str,
     :func:`..incremental.compact_index` collapses them.
 
     Re-crawled urls (already in doc_stats) are REJECTED, exactly like
-    ``add_documents``: the raw store must hold one version per url or
-    a later full rebuild/compaction would double-count it (raw carries
-    no arrival provenance to break the tie).  Filter re-crawls
-    upstream with the ``streaming.dedup`` keep-list; a re-crawl UPDATE
-    is delete_documents -> compact_index -> re-ingest.
+    ``add_documents``: a stream epoch carries no supersede intent, so
+    folding a second version in blind would double-count the url.
+    Filter re-crawls upstream with the ``streaming.dedup`` keep-list,
+    or route them through ``incremental.update_documents`` (the
+    O(delta) supersede path).
 
     Requires a servable index (meta.json): the first refresh after a
     cold-start stream must be the full :func:`refresh_index`."""

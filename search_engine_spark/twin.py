@@ -35,21 +35,51 @@ def raw_postings(spark: SparkSession, engine) -> DataFrame:
     return spark.read.parquet(engine.paths.postings_raw)
 
 
+def live_raw_postings(spark: SparkSession, engine) -> DataFrame:
+    """Raw postings restricted to LIVE document versions — the rows the
+    engine actually scores: tombstoned urls masked entirely, and for
+    urls superseded by ``incremental.update_documents`` only the
+    replacement generation's rows kept (version tombstones are exact
+    (url, gen) pairs)."""
+    from .indexer import ensure_gen
+
+    raw = ensure_gen(raw_postings(spark, engine))
+    dead = engine._tombstone_rows()
+    if dead is None:
+        return raw
+    return (
+        raw.join(dead.filter(F.col("gen").isNull()).select("url"),
+                 "url", "left_anti")
+        .join(dead.filter(F.col("gen").isNotNull()).select("url", "gen"),
+              ["url", "gen"], "left_anti")
+    )
+
+
 def twin_bm25_scores(spark: SparkSession, engine, term_keys: list[str]) -> DataFrame:
     """(url, score) for the given parsed term keys, recomputed from
     postings_raw: df/idf/dl from the raw rows, BM25 contribution and
     the importance-bonus blend exactly as the packed path computes
-    them (searcher.py _unpack + search)."""
+    them (searcher.py _unpack + search).
+
+    Stats-as-packed contract (Lucene collection statistics): ``df``
+    counts EVERY version in the raw store — including tombstoned docs
+    and superseded generations, exactly like the engine's additively
+    merged dictionary — while per-doc tf/dl/importance come from the
+    LIVE rows only (what the engine's masked unpack scores)."""
     meta = engine.meta
     k1, b = float(meta["k1"]), float(meta["b"])
     avgdl, n_docs = float(meta["avgdl"]), float(meta["n_docs"])
     blend_a, blend_b = float(meta["blend_bm25"]), float(meta["blend_bonus"])
-    raw = raw_postings(spark, engine)
-    dl = raw.groupBy("url").agg(F.sum("tf").alias("dl"))
-    qt = raw.filter(F.col("term_key").isin(list(term_keys))).select(
+    live = live_raw_postings(spark, engine)
+    dl = live.groupBy("url").agg(F.sum("tf").alias("dl"))
+    qt = live.filter(F.col("term_key").isin(list(term_keys))).select(
         "url", "term_key", "tf", "important"
     )
-    dfreq = qt.groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = (
+        raw_postings(spark, engine)
+        .filter(F.col("term_key").isin(list(term_keys)))
+        .groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+    )
     tf = F.col("tf").cast("double")
     norm = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl)))
     contrib = F.lit(k1 + 1.0) * tf * F.col("idf") / norm
@@ -77,16 +107,14 @@ def twin_facets(spark: SparkSession, engine, query: str,
     urls (>= 1 parsed query term) joined to the dimension table — the
     independent twin of ``SearchEngine.search_facets``."""
     keys = engine.parse_query(query)
+    # live rows only: search_facets excludes deleted docs via
+    # _drop_deleted and scores only the replacement generation of an
+    # updated url, so its twin must too
     urls = (
-        raw_postings(spark, engine)
+        live_raw_postings(spark, engine)
         .filter(F.col("term_key").isin(list(keys)))
         .select("url").distinct()
     )
-    # honor the engine's tombstone overlay/table: search_facets
-    # excludes deleted docs via _drop_deleted, so its twin must too
-    dead = engine._tombstone_urls()
-    if dead is not None:
-        urls = urls.join(dead, "url", "left_anti")
     pairs = (
         urls.join(
             dims.select(F.col(url_col).alias("url"), F.col(dim_col).alias("facet")),
@@ -115,7 +143,7 @@ def twin_city_filtered_topk(spark: SparkSession, engine, query: str,
     top-k semi-joined to that set.  Scores of allowed docs are
     unaffected by the filter, so filtering scores (here) is equivalent
     to filtering postings (engine)."""
-    raw = raw_postings(spark, engine)
+    raw = live_raw_postings(spark, engine)
     city_keys = sorted({c.lower() for c in cities if c})
     member = raw.filter(F.col("term_key").isin(city_keys)).select("url")
     parts = [member]
@@ -149,7 +177,7 @@ def twin_phrase_topk(spark: SparkSession, engine, phrase: str, k: int) -> DataFr
     empty = spark.createDataFrame([], "url string, phrase_tf long, rank int")
     if not terms:
         return empty
-    raw = raw_postings(spark, engine)
+    raw = live_raw_postings(spark, engine)
     present = {
         r["term_key"]
         for r in raw.filter(F.col("term_key").isin(sorted({t for t, _ in terms})))

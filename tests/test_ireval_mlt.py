@@ -180,3 +180,55 @@ def test_mlt_indexed_missing_query_doc(spark, tmp_dir):
     path = f"{tmp_dir}/mltix3"
     MLT.write_mlt_index(docs, path)
     assert MLT.more_like_this_indexed(spark, path, docs, 10**9, k=5).count() == 0
+
+
+def test_sidecar_layouts_refuse_stale_index(spark, tmp_dir):
+    """Side-car staleness guard: MLT and suggest layouts built with an
+    ``index_dir`` tie serve while the index is at the stamped lineage
+    position, REFUSE after any index mutation (add_documents moves the
+    lineage), and serve again once rebuilt — the same fail-loudly
+    discipline as the searcher's pending-append guard."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.incremental import add_documents
+    from search_engine_spark.indexer import build_index
+    from search_engine_spark.operators.snippets import (
+        suggest_terms_indexed, write_suggest_index)
+    from search_engine_spark.operators.textstats import simple_tokens
+
+    cfg = EngineConfig(n_doc_shards=2, n_term_buckets=2, n_bucket_groups=1)
+    ix = f"{tmp_dir}/ix"
+    rows = [(f"http://s/{i}", f"alpha beta gamma delta doc{i}") for i in range(8)]
+    pages = (
+        spark.createDataFrame(rows, "url string, text string")
+        .withColumn("warc_ts", F.current_timestamp())
+        .withColumn("html", F.lit(None).cast("binary"))
+        .withColumn("lang", F.lit("en"))
+    )
+    build_index(spark, pages.filter(F.col("url") != "http://s/7"), ix, cfg)
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows[:7])], "doc_id long, text string")
+    vocab = (docs.select(F.explode(simple_tokens()).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    mlt_path, sug_path = f"{tmp_dir}/mlt", f"{tmp_dir}/sug"
+
+    def build_layouts():
+        MLT.write_mlt_index(docs, mlt_path, index_dir=ix)
+        write_suggest_index(vocab, sug_path, max_dist=1,
+                            term_col="tok", df_col="df", index_dir=ix)
+
+    def serve_both():
+        MLT.more_like_this_indexed(spark, mlt_path, docs, 0, 3).collect()
+        return suggest_terms_indexed(spark, sug_path, ["alpka"], 1).collect()
+
+    build_layouts()
+    assert serve_both()[0]["suggestion"] == "alpha"   # fresh: serves
+    add_documents(spark, pages.filter(F.col("url") == "http://s/7"), ix, cfg)
+    with pytest.raises(RuntimeError, match="STALE"):
+        MLT.more_like_this_indexed(spark, mlt_path, docs, 0, 3)
+    with pytest.raises(RuntimeError, match="STALE"):
+        suggest_terms_indexed(spark, sug_path, ["alpka"], 1)
+    build_layouts()                                   # rebuilt at the new position
+    assert serve_both()[0]["suggestion"] == "alpha"
+    # untied layouts (no index_dir) keep serving regardless
+    MLT.write_mlt_index(docs, f"{tmp_dir}/mlt_free")
+    MLT.more_like_this_indexed(spark, f"{tmp_dir}/mlt_free", docs, 0, 3).collect()
