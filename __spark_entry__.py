@@ -1118,12 +1118,40 @@ def q_pagerank_blend(spark, sf):
     return GR.blend_prior(run, prior, alpha_num=1, alpha_den=4, k=10)
 
 
+def q_link_graph(spark, sf):
+    """Link extraction over the crawl table itself: one codegen
+    regexp pass pulls the planted <a href> anchors out of the page
+    text, BOTH endpoints go through the rule 1-5 URL normalizer, and
+    the result must equal the ANALYTICALLY derived edge set (the
+    oracle computes which links were planted, so a match certifies
+    the extraction recovered exactly them — across six raw spellings
+    per resource)."""
+    docs = _tbl(spark, sf, "documents")
+    return GR.extract_links(GR.synthetic_linked_crawl(docs))
+
+
+def q_pagerank_links(spark, sf):
+    """The full URL-hygiene -> link-graph -> authority pipeline on
+    the input-hint schema: integer-grid PageRank over the edges
+    EXTRACTED from the crawl text, nodes = the crawl's distinct
+    normalized resources (VARCHAR ids — the iterations only join and
+    aggregate on them).  Exact-oracled by the same unrolled
+    MATERIALIZED-CTE iterations parameterized with the analytic edge
+    set."""
+    docs = _tbl(spark, sf, "documents")
+    pages = GR.synthetic_linked_crawl(docs)
+    nodes = (UR.normalize_url(pages).select(F.col("norm_url").alias("id"))
+             .distinct())
+    return GR.pagerank(nodes, GR.extract_links(pages), n_iters=8,
+                       id_col="id")
+
+
 def q_nb_classify(spark, sf):
     """Multinomial NB lang classifier, trained on the even-doc_id
     split and scored on the odd split: two map-side-combining
     groupBys to train, the BM25-idf join shape to score, argmax on
-    the 1e-6 integer micro-grid (no float boundary can flip a
-    prediction across engines)."""
+    the 1e-6 integer micro-grid (a cross-engine flip would need the
+    float sum to land within ulps of a grid edge)."""
     docs = _tbl(spark, sf, "documents")
     train = docs.filter(F.col("doc_id") % 2 == 0)
     test = docs.filter(F.col("doc_id") % 2 == 1)
@@ -1361,6 +1389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "pagerank": q_pagerank,
         "pagerank_blend": q_pagerank_blend,
+        "link_graph": q_link_graph,
+        "pagerank_links": q_pagerank_links,
         "text_bpe_stats": q_text_bpe_stats,
         "text_gopher_quality": q_text_gopher_quality,
         "text_contamination": q_text_contamination,
@@ -2020,6 +2050,15 @@ FROM hosted WHERE host NOT IN ({blocked})
 GROUP BY host
 """,
         "pagerank": GR.duckdb_pagerank_sql(n_iters=8),
+        "link_graph": GR.duckdb_linked_edges_sql(
+            UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql),
+        "pagerank_links": GR.duckdb_pagerank_sql(
+            n_iters=8,
+            edges_sql=GR.duckdb_linked_edges_sql(
+                UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql),
+            nodes_sql=(f"SELECT DISTINCT {UR.duckdb_norm_sql('url')} AS id "
+                       f"FROM ({UR.DUCKDB_SYNTH_SQL})"),
+        ),
         "nb_classify": f"""
 WITH {_TF_CTE},
 train AS (SELECT doc_id, lang AS label FROM documents WHERE doc_id % 2 = 0),

@@ -128,6 +128,115 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = 8,
     return ranks.select("id", F.col("r").alias("rank_nano"))
 
 
+def extract_links(pages: DataFrame, url_col: str = "url",
+                  text_col: str = "text") -> DataFrame:
+    """Edges ``(src, dst)`` from the crawl table itself: one codegen
+    ``regexp_extract_all`` pass pulls every ``href="…"`` target out of
+    the page body, then BOTH endpoints go through the URL hygiene
+    normalizer (``urls.normalize_url`` rules 1-5) so recrawl spellings
+    of the same resource collapse to one node — the prerequisite for a
+    meaningful link graph (raw-spelling nodes would split a page's
+    in-links across its surface forms).  Self-loops (after
+    normalization) dropped, edges distinct.
+
+    Scale shape (100 TB): extraction + normalization ride the scan
+    (Generate + expression chain, no UDF); the only shuffle is the
+    final distinct on (src, dst) — map-side combining, keyed by the
+    edge.  Composes: extract_links -> pagerank -> blend_prior is the
+    URL-hygiene -> link-graph -> authority-prior pipeline over the
+    BASELINE input-hint schema (url, warc_ts, html, text, lang)."""
+    from .urls import _norm_expr
+
+    hrefs = F.regexp_extract_all(F.col(text_col), F.lit('href="([^"]+)"'),
+                                 F.lit(1))
+    return (
+        pages.select(
+            _norm_expr(F.col(url_col)).alias("src"),
+            F.explode(hrefs).alias("raw_dst"),
+        )
+        .select("src", _norm_expr(F.col("raw_dst")).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def host_graph(edges: DataFrame) -> DataFrame:
+    """Host-level rollup of a page-level link graph:
+    ``(src_host, dst_host, n_links)`` over distinct page edges,
+    cross-host only — the graph host-level PageRank (the cheaper,
+    skew-resistant prior most pipelines rank first) runs on.  One
+    map-side-combining hash agg; host cardinality is bounded
+    (~1e8 hosts vs 1e12 pages)."""
+    from .urls import host_of
+
+    return (
+        edges.select(host_of(F.col("src")).alias("src"),
+                     host_of(F.col("dst")).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+
+
+def synthetic_linked_crawl(docs: DataFrame,
+                           n_resources: int = 100) -> DataFrame:
+    """The synthetic crawl (``urls.synthetic_crawl``: raw spellings
+    vary per crawl, resource identity = doc_id % n_resources) with
+    deterministic ``<a href>`` anchors EMBEDDED IN THE TEXT: page i
+    links to pages (i*7+1)%N, (i*13+2)%N, (i*29+3)%N — the
+    ``synthetic_links`` pattern — each anchor spelling the TARGET's
+    own raw url (so only the normalizer can resolve the true edge);
+    pages with i%10==0 embed nothing (dangling).  Mirrored
+    analytically by ``duckdb_linked_edges_sql`` — the oracle derives
+    the planted edge set directly, so a driver match proves the
+    extraction recovered exactly what was planted."""
+    from .urls import synth_url, synthetic_crawl
+
+    n = docs.count()
+    d = F.col("doc_id")
+    anchors = F.concat(*[
+        F.concat(F.lit(' <a href="'),
+                 synth_url((d * p + k) % n, n_resources),
+                 F.lit('">link</a>'))
+        for p, k in ((7, 1), (13, 2), (29, 3))
+    ])
+    text = F.when(d % 10 == 0, F.col("text")).otherwise(
+        F.concat(F.col("text"), anchors))
+    return (
+        synthetic_crawl(docs, n_resources)
+        .join(docs.select("doc_id", text.alias("text")), "doc_id")
+    )
+
+
+def duckdb_linked_edges_sql(synth_sql: str, norm) -> str:
+    """Analytic oracle of ``extract_links(synthetic_linked_crawl())``:
+    the planted edges derived directly — src = normalized spelling of
+    page i, dst = normalized spelling of page (i*p+k)%N — normalized
+    with the SAME DuckDB rule 1-5 expression the url rows pin
+    (``norm`` = urls.duckdb_norm_sql).  A Spark/oracle match therefore
+    certifies the regexp extraction + normalization recovered exactly
+    the planted link set."""
+    unions = " UNION ALL ".join(
+        f"""SELECT s.doc_id AS sid,
+               t.doc_id AS tid
+        FROM syn s JOIN syn t
+          ON t.doc_id = (s.doc_id * {p} + {k})
+                        % (SELECT count(*) FROM documents)
+        WHERE s.doc_id % 10 <> 0"""
+        for p, k in ((7, 1), (13, 2), (29, 3))
+    )
+    return f"""
+WITH syn AS ({synth_sql}),
+pairs AS ({unions}),
+normed AS (
+  SELECT {norm('s.url')} AS src, {norm('t.url')} AS dst
+  FROM pairs JOIN syn s ON s.doc_id = pairs.sid
+             JOIN syn t ON t.doc_id = pairs.tid
+)
+SELECT DISTINCT src, dst FROM normed WHERE src <> dst
+"""
+
+
 def synthetic_links(docs: DataFrame) -> DataFrame:
     """Deterministic link table over the testdata doc ids: node i
     links to (i*p + k) % N for p,k in {(7,1),(13,2),(29,3)}; nodes
@@ -161,16 +270,25 @@ SELECT DISTINCT src, dst FROM (
 """
 
 
-def duckdb_pagerank_sql(n_iters: int = 8) -> str:
+def duckdb_pagerank_sql(n_iters: int = 8, edges_sql: str | None = None,
+                        nodes_sql: str | None = None) -> str:
     """The oracle twin: the same integer-grid iterations unrolled as
-    chained CTEs (one pair per iteration)."""
+    chained CTEs (one pair per iteration).  ``edges_sql``/``nodes_sql``
+    default to the synthetic doc-id link table; pass the extracted
+    link-graph SQL (``duckdb_linked_edges_sql`` + a normalized-url
+    node set) to oracle PageRank over the crawl table itself — node
+    ids may be any comparable type (BIGINT doc ids, VARCHAR urls):
+    the iterations only ever join and aggregate on them."""
+    edges_sql = edges_sql or DUCKDB_LINKS_SQL
+    nodes_sql = nodes_sql or "SELECT doc_id AS id FROM documents"
     head = f"""
-edges AS MATERIALIZED ({DUCKDB_LINKS_SQL}),
+edges AS MATERIALIZED ({edges_sql}),
 deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
-nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-r0 AS MATERIALIZED (SELECT doc_id AS id,
+nodes AS MATERIALIZED ({nodes_sql}),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT id,
               CAST({NANO} // (SELECT n FROM nn) AS BIGINT) AS r
-       FROM documents)"""
+       FROM nodes)"""
     blocks = [head]
     for i in range(1, n_iters + 1):
         p = i - 1

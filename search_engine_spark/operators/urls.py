@@ -175,6 +175,19 @@ def synthetic_crawl(docs: DataFrame, n_resources: int = 100) -> DataFrame:
     tools/pipeline_bench.py scales ``n_resources`` with the corpus so
     the scale numbers keep the same crawl-depth distribution."""
     d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        synth_url(d, n_resources).alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=d.cast("double"))).alias("warc_ts"),
+    )
+
+
+def synth_url(d: Column, n_resources: int = 100) -> Column:
+    """The synthetic crawl's raw url spelling for an arbitrary doc-id
+    EXPRESSION ``d`` — factored out so link anchors can reference a
+    target page's spelling without a self-join
+    (``graph.synthetic_linked_crawl``)."""
     n_hosts = max(1, n_resources // 5)
     r, p = d % n_resources, (d / n_resources).cast("long") % 6
     host = F.concat(F.lit("site"), (r % n_hosts).cast("string"),
@@ -188,7 +201,7 @@ def synthetic_crawl(docs: DataFrame, n_resources: int = 100) -> DataFrame:
         .otherwise(F.lit(""))
     )
     qmark = F.when(canonq == "", F.lit("")).otherwise(F.lit("?"))
-    url = (
+    return (
         F.when(p == 1, F.concat(
             F.lit("HTTPS://WWW."), F.upper(host), path, qmark, canonq))
         .when(p == 2, F.concat(
@@ -205,12 +218,6 @@ def synthetic_crawl(docs: DataFrame, n_resources: int = 100) -> DataFrame:
             F.when(r % 3 == 2, F.concat(F.lit("id="), qid, F.lit("&b=2")))
             .otherwise(canonq)))
         .otherwise(F.concat(F.lit("https://"), host, path, qmark, canonq))
-    )
-    return docs.select(
-        "doc_id",
-        url.alias("url"),
-        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-         + F.make_interval(secs=d.cast("double"))).alias("warc_ts"),
     )
 
 

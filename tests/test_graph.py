@@ -79,3 +79,86 @@ def test_blend_prior_hand_computed_and_alpha_flip(spark):
     assert (out[0].rank, out[1].rank) == (1, 2)
     flip = {r.doc_id: r for r in blend_prior(run, prior, 1, 2, k=10).collect()}
     assert (flip[1].rank, flip[0].rank) == (1, 2)  # authority wins at 1:1
+
+
+def test_extract_links_normalizes_and_dedupes(spark):
+    """href extraction + rule 1-5 normalization on both endpoints:
+    spelling variants of the same target collapse to ONE edge,
+    self-links (across spellings) drop, pages without anchors emit
+    nothing."""
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [
+            # two spellings of the same target -> one edge
+            ("https://a.com/x",
+             'see <a href="HTTPS://WWW.B.com/y/">b</a> and '
+             '<a href="https://b.com/y?utm_source=z">b again</a>'),
+            # self-link across spellings -> dropped
+            ("https://a.com/x2",
+             '<a href="https://www.a.com/x2/#frag">me</a>'),
+            # no anchors -> no rows
+            ("https://c.com/z", "plain text, no links"),
+            # src spelling also normalized
+            ("HTTPS://WWW.D.com:443/w",
+             '<a href="https://a.com/x">a</a>'),
+        ],
+        "url string, text string",
+    )
+    got = {(r["src"], r["dst"]) for r in GR.extract_links(pages).collect()}
+    assert got == {
+        ("https://a.com/x", "https://b.com/y"),
+        ("https://d.com/w", "https://a.com/x"),
+    }
+
+
+def test_host_graph_rollup(spark):
+    edges = spark.createDataFrame(
+        [("https://a.com/1", "https://b.com/x"),
+         ("https://a.com/2", "https://b.com/y"),
+         ("https://a.com/1", "https://a.com/2"),   # same host -> dropped
+         ("https://b.com/x", "https://a.com/9")],
+        "src string, dst string",
+    )
+    got = {(r["src"], r["dst"]): r["n_links"]
+           for r in GR.host_graph(edges).collect()}
+    assert got == {("a.com", "b.com"): 2, ("b.com", "a.com"): 1}
+
+
+def test_extracted_links_feed_pagerank(spark):
+    """End-to-end composition on the input-hint schema: planted
+    anchors -> extract_links -> pagerank over normalized resources
+    equals pagerank over the analytically planted edge set."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators import urls as UR
+
+    docs = spark.createDataFrame(
+        [(i, f"body of doc {i}") for i in range(60)],
+        "doc_id long, text string")
+    pages = GR.synthetic_linked_crawl(docs, n_resources=20)
+    nodes = (UR.normalize_url(pages)
+             .select(F.col("norm_url").alias("id")).distinct())
+    via_extract = {
+        (r["id"], r["rank_nano"])
+        for r in GR.pagerank(nodes, GR.extract_links(pages),
+                             n_iters=4, id_col="id").collect()
+    }
+    n = docs.count()
+    d = F.col("doc_id")
+    planted = None
+    for p, k in ((7, 1), (13, 2), (29, 3)):
+        part = (
+            UR.normalize_url(pages).select(
+                F.col("norm_url").alias("src"),
+                UR._norm_expr(UR.synth_url((d * p + k) % n, 20)).alias("dst"),
+                "doc_id",
+            ).filter(d % 10 != 0).select("src", "dst")
+        )
+        planted = part if planted is None else planted.unionByName(part)
+    planted = planted.filter(F.col("src") != F.col("dst")).distinct()
+    via_planted = {
+        (r["id"], r["rank_nano"])
+        for r in GR.pagerank(nodes, planted, n_iters=4, id_col="id").collect()
+    }
+    assert via_extract == via_planted and len(via_extract) == 20
