@@ -1072,7 +1072,18 @@ def q_dedup_lines(spark, sf):
     stripped; the unique body and the doc_id%997 long-tail notices
     survive in order."""
     lined = CU.synthetic_lined(_tbl(spark, sf, "documents"))
-    return CU.dedup_lines(lined, min_docs=30)
+    # line_key="text": byte-exact vs the SQL oracle by construction;
+    # the production digest key has its own row below
+    return CU.dedup_lines(lined, min_docs=30, line_key="text")
+
+
+def q_dedup_lines_digest(spark, sf):
+    """The production setting of the same pass — every exchange keyed
+    on md5(line) (32 bytes moved per row instead of the full
+    boilerplate text) — pinned against the SAME raw-line SQL oracle:
+    identical keep-decisions up to an md5 collision."""
+    lined = CU.synthetic_lined(_tbl(spark, sf, "documents"))
+    return CU.dedup_lines(lined, min_docs=30, line_key="digest")
 
 
 def q_sample_stratified(spark, sf):
@@ -1383,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 (new operators first, then the rows registered past
         # the 50-row window in round 3)
         "dedup_lines": q_dedup_lines,
+        "dedup_lines_digest": q_dedup_lines_digest,
         "url_normalize": q_url_normalize,
         "url_dedup_latest": q_url_dedup_latest,
         "url_host_rollup": q_url_host_rollup,
@@ -1960,6 +1972,29 @@ _BM25_EXPR = (
 )
 
 
+# shared by the dedup_lines (raw-line key) and dedup_lines_digest
+# (md5-key production variant) rows: both must make exactly these
+# keep-decisions
+_DEDUP_LINES_SQL = f"""
+WITH lined AS ({CU.DUCKDB_LINED_SQL}),
+ex AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM lined),
+boiler AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM ex)
+  GROUP BY line HAVING count(*) >= 30)
+SELECT e.doc_id,
+       coalesce(string_agg(CASE WHEN b.line IS NULL THEN e.line END,
+                           chr(10) ORDER BY e.pos), '') AS clean_text,
+       CAST(count(b.line) AS BIGINT) AS n_removed,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM ex e LEFT JOIN boiler b ON e.line = b.line
+GROUP BY e.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_base()
     # S14 run formatting over the (already-oracled) relational BM25
@@ -2002,24 +2037,10 @@ ranked AS (SELECT doc_id, score,
 SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
 """
     return {
-        "dedup_lines": f"""
-WITH lined AS ({CU.DUCKDB_LINED_SQL}),
-ex AS (
-  SELECT doc_id,
-         unnest(string_split(text, chr(10))) AS line,
-         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
-  FROM lined),
-boiler AS (
-  SELECT line FROM (SELECT DISTINCT doc_id, line FROM ex)
-  GROUP BY line HAVING count(*) >= 30)
-SELECT e.doc_id,
-       coalesce(string_agg(CASE WHEN b.line IS NULL THEN e.line END,
-                           chr(10) ORDER BY e.pos), '') AS clean_text,
-       CAST(count(b.line) AS BIGINT) AS n_removed,
-       CAST(count(*) AS BIGINT) AS n_lines
-FROM ex e LEFT JOIN boiler b ON e.line = b.line
-GROUP BY e.doc_id
-""",
+        "dedup_lines": _DEDUP_LINES_SQL,
+        # the digest-keyed production variant must make the SAME
+        # keep-decisions — pinned against the identical raw-line oracle
+        "dedup_lines_digest": _DEDUP_LINES_SQL,
         "url_normalize": f"""
 WITH pages AS ({UR.DUCKDB_SYNTH_SQL})
 SELECT doc_id, url, {UR.duckdb_norm_sql('url')} AS norm_url FROM pages

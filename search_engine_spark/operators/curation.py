@@ -120,7 +120,8 @@ def crossdoc_dup_grams(docs: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
 
 
 def dedup_lines(docs: DataFrame, min_docs: int = 30,
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                line_key: str = "digest") -> DataFrame:
     """Cross-document line-level dedup (boilerplate removal): drop
     every line that occurs verbatim in >= ``min_docs`` DISTINCT
     documents, preserving the order of the surviving lines.  Output:
@@ -137,25 +138,40 @@ def dedup_lines(docs: DataFrame, min_docs: int = 30,
     no shuffle); the boilerplate set is two key-partitioned hash aggs
     (distinct (line, doc_id), then count per line — both with
     map-side partial aggregation, never a corpus-wide window); the
-    mark join keys on the line and carries NO broadcast hint — at web
-    scale the boilerplate side is large (AQE decides), and the
-    exchange key should be a 128-bit digest of the line rather than
-    the raw text (same row counts, smaller shuffle; the raw-line join
-    here keeps the operator bit-exact against the SQL oracle).
-    Reassembly is one groupBy on doc_id.  Blank lines count as lines:
-    if blanks appear in >= min_docs docs they are removed like any
-    other boilerplate."""
+    mark join carries NO broadcast hint — at web scale the
+    boilerplate side is large (AQE decides).  Reassembly is one
+    groupBy on doc_id.  Blank lines count as lines: if blanks appear
+    in >= min_docs docs they are removed like any other boilerplate.
+
+    ``line_key`` picks the distinct/count/mark-join exchange key:
+
+    * ``"digest"`` (default, the production setting) — a 128-bit md5
+      of the line.  Web boilerplate lines are long (cookie banners,
+      nav bars), and the key is what every exchange MOVES; 32 bytes
+      per row regardless of line length.  Identical keep-decisions
+      up to an md5 collision (~2^-64 per distinct line pair).
+    * ``"text"`` — the raw line, byte-exact by construction; what the
+      driver's SQL oracle row pins (the digest variant is
+      equivalence-pinned against it in pytest and the
+      ``dedup_lines_digest`` driver row)."""
+    if line_key not in ("digest", "text"):
+        raise ValueError(f"line_key must be 'digest' or 'text', got {line_key!r}")
     lines = docs.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
+    if line_key == "digest":
+        lines = lines.withColumn("lk", F.md5("line"))
+        key = "lk"
+    else:
+        key = "line"
     boiler = (
-        lines.select("line", "doc_id").distinct()
-        .groupBy("line").agg(F.count(F.lit(1)).alias("line_df"))
+        lines.select(key, "doc_id").distinct()
+        .groupBy(key).agg(F.count(F.lit(1)).alias("line_df"))
         .filter(F.col("line_df") >= min_docs)
-        .select("line", F.lit(True).alias("is_b"))
+        .select(key, F.lit(True).alias("is_b"))
     )
-    flagged = lines.join(boiler, "line", "left")
+    flagged = lines.join(boiler, key, "left")
     kept_lines = F.transform(
         F.filter(
             F.array_sort(F.collect_list(F.struct("pos", "line", "is_b"))),

@@ -214,3 +214,40 @@ def test_synthetic_lined_shape(spark):
     row = CU.synthetic_lined(docs).collect()[0]
     assert row["text"] == ("nav home about contact\n"
                            "section 3\nthe body\nnotice 6")
+
+
+def test_dedup_lines_digest_equivalent_to_raw(spark):
+    """The md5-keyed production variant must make EXACTLY the raw-line
+    variant's keep-decisions on a corpus exercising repeats-within-doc,
+    all-boilerplate docs, blank lines, and the threshold edge."""
+    docs = _df(spark, [
+        (0, "HDR\nbody zero\nHDR\n"),
+        (1, "HDR\n\nbody one"),
+        (2, "HDR\nbody two\nrare\n"),
+        (3, "HDR"),
+        (4, "\nlonely body"),
+    ])
+    cols = ["doc_id", "clean_text", "n_removed", "n_lines"]
+    raw = {tuple(r[c] for c in cols)
+           for r in CU.dedup_lines(docs, min_docs=3, line_key="text").collect()}
+    dig = {tuple(r[c] for c in cols)
+           for r in CU.dedup_lines(docs, min_docs=3, line_key="digest").collect()}
+    assert raw == dig and len(raw) == 5
+
+
+def test_dedup_lines_digest_plan_exchanges_on_md5(spark):
+    """The production variant's distinct/count/mark-join exchanges key
+    on the 32-byte md5, never the raw line text (what every shuffle
+    MOVES at web scale, where boilerplate lines are long)."""
+    docs = _df(spark, [(i, f"HDR\nbody {i}") for i in range(10)])
+    plan = (CU.dedup_lines(docs, min_docs=3, line_key="digest")
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+
+    keys = re.findall(r"hashpartitioning\(([^,)]+)", plan)
+    assert keys, "expected exchanges in the plan"
+    # the line-keyed exchanges are the lk (md5) ones; the only other
+    # exchange key is the final doc_id reassembly
+    assert all(k.startswith(("lk", "doc_id")) for k in keys), keys
+    assert any(k.startswith("lk") for k in keys), keys
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
