@@ -226,6 +226,61 @@ def _ivf_centroids(embeddings: DataFrame, n_centroids: int):
     return np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
 
 
+def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                        n_iters: int = 5):
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer —
+    data-DEPENDENT centroids (unlike the seed-vector default), without
+    giving up cross-engine/cross-partitioning reproducibility:
+
+    * init: the seed vectors (``_ivf_centroids`` — fixed, id-ordered);
+    * assignment: the exact rounded-cosine argmax ``ivf_assign`` uses
+      (half-up 1e-6 grid, ties -> smallest centroid id);
+    * update: each centroid component is the mean of its members'
+      components SUMMED ON A 1e-6 INTEGER GRID — BIGINT addition is
+      associative, so the result is identical on any partitioning
+      (a plain float mean is summation-order dependent, which is why
+      naive distributed k-means is not reproducible) — then
+      floor-divided by the member count, back to the grid;
+    * an emptied centroid keeps its previous position.
+
+    Fixed ``n_iters`` (no data-dependent stopping), so the whole
+    training is a pure function of (embeddings, n_centroids, n_iters).
+    Returns the ndarray every IVF entry point accepts as ``cents``.
+    Per iteration: one assignment pass (matmul per Arrow batch) + one
+    (centroid, dim)-keyed map-side-combining agg of k*dim rows — at
+    1e12 vectors the shuffle is k*dim*partitions rows, trivial."""
+    import numpy as np
+
+    cents = _ivf_centroids(embeddings, n_centroids)
+    dim = cents.shape[1]
+    for _ in range(n_iters):
+        rows = (
+            ivf_assign(embeddings, n_centroids, cents=cents)
+            .select("centroid_id",
+                    F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.sum(F.floor(F.col("v").cast("double") * 1e6 + 0.5)
+                      .cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        sums = np.zeros((n_centroids, dim), dtype=np.int64)
+        counts = np.zeros(n_centroids, dtype=np.int64)
+        for r in rows:
+            sums[r["centroid_id"], r["pos"]] = r["s"]
+            counts[r["centroid_id"]] = r["c"]
+        for cid in range(n_centroids):
+            if counts[cid]:
+                # python-style floor division (toward -inf) per
+                # component — deterministic for negative sums too
+                new[cid] = (sums[cid] // counts[cid]) / 1e6
+        cents = new
+    return cents
+
+
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
                cents=None) -> DataFrame:
     """(vec_id, centroid_id, embedding): each vector assigned to its
@@ -274,12 +329,15 @@ def ivf_probe_centroids(embeddings: DataFrame, query_vec: list[float],
 
 
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
-             n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
+             n_centroids: int = 16, nprobe: int = 4, cents=None) -> DataFrame:
     """IVF ANN top-k: exact cosine top-k restricted to the vectors
     assigned to the query's ``nprobe`` nearest centroids — probes
     ~nprobe/n_centroids of the corpus.  Deterministic, so the DuckDB
-    oracle recomputes it exactly; recall floor pinned in pytest."""
-    cents = _ivf_centroids(embeddings, n_centroids)  # one collect, shared
+    oracle recomputes it exactly; recall floor pinned in pytest.
+    Pass ``cents`` from :func:`train_ivf_centroids` for the trained
+    quantizer (higher recall at the same nprobe on clustered data)."""
+    if cents is None:
+        cents = _ivf_centroids(embeddings, n_centroids)  # one collect, shared
     probe = ivf_probe_centroids(embeddings, query_vec, n_centroids, nprobe, cents=cents)
     assigned = ivf_assign(embeddings, n_centroids, cents=cents)
     pruned = assigned.filter(F.col("centroid_id").isin(probe))
@@ -287,21 +345,27 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
 
 def write_ivf_index(embeddings: DataFrame, path: str,
-                    n_centroids: int = 16) -> None:
+                    n_centroids: int = 16, cents=None) -> None:
     """The stored IVF layout: embeddings partitioned by centroid_id —
-    a probe reads only its nprobe partition directories."""
-    (ivf_assign(embeddings, n_centroids)
+    a probe reads only its nprobe partition directories.  Pass
+    ``cents`` (e.g. from :func:`train_ivf_centroids`) to bake the
+    trained quantizer into the layout; queries must then probe with
+    the same cents."""
+    (ivf_assign(embeddings, n_centroids, cents=cents)
      .repartition(F.col("centroid_id"))
      .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
 
 
 def ivf_topk_pruned(spark, path: str, embeddings: DataFrame,
                     query_vec: list[float], k: int = 10,
-                    n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
+                    n_centroids: int = 16, nprobe: int = 4,
+                    cents=None) -> DataFrame:
     """IVF top-k over the stored layout (centroid filter becomes a
     PartitionFilter on the scan).  ``embeddings`` is only consulted
-    for the centroid seed vectors."""
-    probe = ivf_probe_centroids(embeddings, query_vec, n_centroids, nprobe)
+    for the centroid seed vectors when ``cents`` isn't given; pass
+    the layout's own trained cents for a trained index."""
+    probe = ivf_probe_centroids(embeddings, query_vec, n_centroids, nprobe,
+                                cents=cents)
     pruned = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe))
     return cosine_topk(pruned, query_vec, k)
 

@@ -541,3 +541,59 @@ def test_lineage_df_ignores_tmp_files(spark, tmp_dir):
         fh.write('{"stage": "bogus", "key": "x"}\n')
     assert len(read_lineage(paths)) == 2
     assert lineage_df(spark, paths).count() == 2
+
+
+def _clustered_embeddings(spark, n_clusters=8, per_cluster=40, dim=16):
+    """Deterministic clustered vector set whose FIRST 8 ids all sit in
+    cluster 0 — the seed-vector quantizer's worst case (all its
+    centroids start inside one cluster), which trained k-means must
+    escape.  Cluster means are scaled one-hot axes; members perturb
+    the mean on two fixed extra axes (LCG-free, pure arithmetic)."""
+    rows = []
+    vid = 0
+    # first 8 vectors: cluster 0 (the seeds), then round-robin
+    order = [0] * 8 + [c for i in range(per_cluster - 8 + (n_clusters - 1) * per_cluster)
+                       for c in [i % n_clusters]]
+    counts = {c: 0 for c in range(n_clusters)}
+    for c in order:
+        if counts[c] >= per_cluster:
+            continue
+        j = counts[c]
+        v = [0.0] * dim
+        v[c] = 10.0
+        v[(c + 1) % dim] = 1.0 + (j % 5) * 0.1   # within-cluster spread
+        v[(c + 3) % dim] = 0.5 + (j % 3) * 0.1
+        rows.append((vid, v))
+        vid += 1
+        counts[c] += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_trained_ivf_centroids_beat_seed_recall(spark):
+    """train_ivf_centroids (deterministic integer-grid Lloyd's) must
+    raise recall@10 over the seed-vector quantizer at the same nprobe
+    on clustered data, and must be partitioning-independent."""
+    emb = _clustered_embeddings(spark)
+    ids_m = sorted((r["vec_id"], list(r["embedding"])) for r in emb.collect())
+    m = np.array([v for _, v in ids_m])
+    # query near cluster 5's mean
+    qvec = [0.0] * 16
+    qvec[5] = 10.0
+    qvec[6] = 1.2
+    exact = {r["vec_id"] for r in SIM.cosine_topk(emb, qvec, k=10).collect()}
+
+    trained = SIM.train_ivf_centroids(emb, n_centroids=8, n_iters=4)
+    seed_hits = {r["vec_id"] for r in
+                 SIM.ivf_topk(emb, qvec, k=10, n_centroids=8, nprobe=2).collect()}
+    trained_hits = {r["vec_id"] for r in
+                    SIM.ivf_topk(emb, qvec, k=10, n_centroids=8, nprobe=2,
+                                 cents=trained).collect()}
+    seed_recall = len(seed_hits & exact) / 10
+    trained_recall = len(trained_hits & exact) / 10
+    assert trained_recall >= seed_recall
+    assert trained_recall >= 0.9, (seed_recall, trained_recall)
+
+    # partitioning independence: same cents from a different layout
+    again = SIM.train_ivf_centroids(emb.repartition(7, "vec_id"),
+                                    n_centroids=8, n_iters=4)
+    assert np.array_equal(trained, again)
