@@ -960,6 +960,33 @@ def q_search_facets(spark, sf):
     return TW.compare_topk(e, t, ["facet"], exact_cols=["n_docs"], approx_cols=[])
 
 
+def q_search_facets_multi(spark, sf):
+    """Every sidebar dimension in ONE candidate pass
+    (searcher.search_facets_multi: one pruned scan + one labeled dim
+    union + one (dim, facet) hash agg) ≡ a per-dimension
+    search_facets loop, across three heterogeneous dimensions (lang,
+    source, a numeric doc_id%7 bucket exercising the string cast)."""
+    eng = _engine_for(spark, sf)
+    docs = _tbl(spark, sf, "documents")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("url"), "lang", "source",
+        (F.col("doc_id") % 7).alias("b7"),
+    )
+    specs = [("lang", base, "lang"), ("source", base, "source"),
+             ("bucket7", base, "b7")]
+    multi = eng.search_facets_multi(ENGINE_QUERY, specs)
+    per = None
+    for name, dims, col in specs:
+        one = eng.search_facets(ENGINE_QUERY, dims, col).select(
+            F.lit(name).alias("dim"),
+            F.col("facet").cast("string").alias("facet"),
+            "n_docs",
+        )
+        per = one if per is None else per.unionByName(one)
+    return TW.compare_topk(multi, per, ["dim", "facet"],
+                           exact_cols=["n_docs"], approx_cols=[])
+
+
 def q_ir_search_eval(spark, sf):
     """END-TO-END TREC loop over the PACKED index — the composition
     the reference runs as Searcher -> run file -> external trec_eval
@@ -1436,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_city_filtered": q_search_city_filtered,
         "search_phrase": q_search_phrase,
         "search_facets": q_search_facets,
+        "search_facets_multi": q_search_facets_multi,
         "trec_run_lines": q_trec_run_lines,
         "city_enrich": q_city_enrich,
         "entities_top5": q_entities_top5,
@@ -2610,5 +2638,15 @@ FROM (VALUES ('q1'), ('q2')) AS t(qid)
         "search_facets": """
 SELECT lang AS facet, true AS n_docs_match
 FROM (SELECT DISTINCT lang FROM documents)
+""",
+        "search_facets_multi": """
+SELECT 'lang' AS dim, lang AS facet, true AS n_docs_match
+FROM (SELECT DISTINCT lang FROM documents)
+UNION ALL
+SELECT 'source', source, true
+FROM (SELECT DISTINCT source FROM documents)
+UNION ALL
+SELECT 'bucket7', CAST(b AS VARCHAR), true
+FROM (SELECT DISTINCT doc_id % 7 AS b FROM documents)
 """,
     }

@@ -515,3 +515,47 @@ class SearchEngine:
         )
         return pairs.groupBy("facet").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+    def search_facets_multi(self, query: str,
+                            dims_list: list[tuple]) -> DataFrame:
+        """Every sidebar dimension in ONE pass — a result page renders
+        several facet groups (language, host, year, …) per query, and
+        re-running :meth:`search_facets` per dimension re-scans the
+        candidate set each time.  ``dims_list`` entries are
+        ``(dim_name, dims_df, dim_col)`` or ``(dim_name, dims_df,
+        dim_col, url_col)``; returns ``(dim, facet, n_docs)`` with
+        ``facet`` cast to string (the union of heterogeneous dimension
+        types needs one column type; counts are unaffected).
+
+        Plan shape at scale: the pruned index scan -> distinct
+        candidates -> doc_map runs ONCE; the dimension tables union
+        behind a literal ``dim`` label (cheap — dimension tables are
+        url-keyed projections) into a single join + a single
+        (dim, facet) hash agg.  Equivalent per dimension to
+        :meth:`search_facets` (driver row ``search_facets_multi``)."""
+        labeled = None
+        for spec in dims_list:
+            name, dims, dim_col = spec[0], spec[1], spec[2]
+            url_col = spec[3] if len(spec) > 3 else "url"
+            part = dims.select(
+                F.lit(name).alias("dim"),
+                F.col(url_col).alias("url"),
+                F.col(dim_col).cast("string").alias("facet"),
+            )
+            labeled = part if labeled is None else labeled.unionByName(part)
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty or labeled is None:
+            return self.spark.createDataFrame(
+                [], "dim string, facet string, n_docs long")
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        cand = (
+            self._drop_deleted(self._unpack(self._scan_index(resolved), idf_by_key))
+            .select("shard", "local_id").distinct()
+        )
+        urls = cand.join(self._doc_map(), ["shard", "local_id"]).select("url")
+        pairs = (
+            urls.join(labeled, "url")
+            .select("dim", "url", "facet").distinct()
+        )
+        return pairs.groupBy("dim", "facet").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"))

@@ -144,3 +144,43 @@ def test_search_facets_empty_query(spark, built_index):
     urls = spark.read.parquet(f"{out}/doc_stats").select("url")
     dims = urls.select("url", F.lit("x").alias("v"))
     assert eng.search_facets("the and of", dims, "v").count() == 0  # stop-only
+
+
+def test_search_facets_multi_equals_per_dim(spark, built_index):
+    """One-pass multi-dimension facets == a per-dim search_facets
+    loop across heterogeneous dim types (string + int, the int facet
+    string-cast), honoring tombstones, with stop-only queries empty
+    and a single shared candidate scan in the plan."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.searcher import SearchEngine
+
+    out, cfg, meta = built_index
+    urls = spark.read.parquet(f"{out}/doc_stats").select("url")
+    parity = urls.select(
+        "url",
+        F.when(F.crc32(F.col("url")) % 2 == 0, "even").otherwise("odd").alias("v"),
+    )
+    tri = urls.select("url", (F.crc32(F.col("url")) % 3).alias("t"))
+    victims = [r["url"] for r in
+               SearchEngine(spark, out, cfg).search("world trade", 2).collect()]
+    eng = SearchEngine(spark, out, cfg, deleted_urls=victims)
+    specs = [("parity", parity, "v"), ("tri", tri, "t")]
+    multi = {(r["dim"], r["facet"]): r["n_docs"]
+             for r in eng.search_facets_multi("world trade", specs).collect()}
+    per = {}
+    for name, dims, col in specs:
+        for r in eng.search_facets("world trade", dims, col).collect():
+            per[(name, str(r["facet"]))] = r["n_docs"]
+    assert multi == per and len(multi) == 5
+    assert eng.search_facets_multi("the and of", specs).count() == 0
+    # ONE index scan feeds all dimensions: the posting-unpack kernel
+    # (MapInPandas) appears exactly once in the MAIN plan — a copy
+    # inside a SubqueryAdaptiveBroadcast is dynamic partition pruning
+    # of the doc_stats scan (the candidate set reused as a DPP filter,
+    # a win), not a duplicated candidate pass
+    plan = (eng.search_facets_multi("world trade", specs)
+            ._jdf.queryExecution().executedPlan().toString())
+    n_unpack = plan.count("MapInPandas unpack_batch")
+    n_dpp = plan.count("SubqueryAdaptiveBroadcast")
+    assert n_unpack - n_dpp == 1, (n_unpack, n_dpp)
