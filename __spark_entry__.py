@@ -1409,76 +1409,25 @@ def q_multimodal_resize(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
-    covers every row that lacks an earlier driver stamp: the round-3
-    curation/eval/embed/multimodal suite plus round-4's ir_search_eval
-    come FIRST; the rows past the window (25 after round 4's late
-    dedup_lines/pagerank_blend additions) all carry earlier driver
-    stamps (green in CORRECTNESS_r01/r02/r03) AND
+    stamps every row that needs a FRESH stamp this round: round 5's
+    six new rows first, then the 25 rows whose latest driver stamp is
+    r01-r03 (round 4's tail — rotated back in so no row's stamp ages
+    past two rounds), then 19 r04-stamped rows covering the full
+    packed-engine family (whose read paths this round's
+    generation-aware tombstones touched).  The 31 rows past the
+    window all carry CORRECTNESS_r04 stamps AND
     tests/test_entry_oracle.py re-runs the ACTUAL tail
     (list(queries())[50:]) against DuckDB every CI run."""
     return {
-        # --- driver window, part 1: rows never driver-stamped before
-        # round 4 (new operators first, then the rows registered past
-        # the 50-row window in round 3)
-        "dedup_lines": q_dedup_lines,
-        "dedup_lines_digest": q_dedup_lines_digest,
-        "url_normalize": q_url_normalize,
-        "url_dedup_latest": q_url_dedup_latest,
-        "url_host_rollup": q_url_host_rollup,
-        "nb_classify": q_nb_classify,
-        "pagerank": q_pagerank,
-        "pagerank_blend": q_pagerank_blend,
-        "link_graph": q_link_graph,
-        "pagerank_links": q_pagerank_links,
-        "text_bpe_stats": q_text_bpe_stats,
-        "text_gopher_quality": q_text_gopher_quality,
-        "text_contamination": q_text_contamination,
-        "dedup_crossdoc_grams": q_dedup_crossdoc_grams,
-        "training_mix": q_training_mix,
-        "text_snippets": q_text_snippets,
-        "text_suggest": q_text_suggest,
-        "embed_docs": q_embed_docs,
-        "text_surprisal": q_text_surprisal,
-        "text_more_like_this": q_text_more_like_this,
-        "ir_eval": q_ir_eval,
-        "ir_eval_summary": q_ir_eval_summary,
-        "ir_search_eval": q_ir_search_eval,
-        "sample_stratified": q_sample_stratified,
-        "source_rollup": q_source_rollup,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_features": q_multimodal_features,
-        # --- driver window, part 2: the full packed engine
-        # (equivalence rows) + every operator whose only other oracle
-        # coverage is indirect
-        "search_bm25_topk": q_search_bm25_topk,
-        "search_wand_topk": q_search_wand_topk,
-        "search_batch": q_search_batch,
-        "search_wand_batch": q_search_wand_batch,
-        "search_incremental": q_search_incremental,
-        "search_incremental_wand": q_search_incremental_wand,
+        # --- window, part 1: round-5 rows (never driver-stamped)
         "search_updates": q_search_updates,
         "search_updates_wand": q_search_updates_wand,
-        "search_deletes": q_search_deletes,
-        "search_deletes_wand": q_search_deletes_wand,
-        "search_city_filtered": q_search_city_filtered,
-        "search_phrase": q_search_phrase,
-        "search_facets": q_search_facets,
+        "link_graph": q_link_graph,
+        "pagerank_links": q_pagerank_links,
+        "dedup_lines_digest": q_dedup_lines_digest,
         "search_facets_multi": q_search_facets_multi,
-        "trec_run_lines": q_trec_run_lines,
-        "city_enrich": q_city_enrich,
-        "entities_top5": q_entities_top5,
-        "events_sessionize": q_events_sessionize,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_events_hourly": q_streaming_events_hourly,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_near_pairs": q_dedup_near_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_dup_pairs": q_ann_dup_pairs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        # --- window, part 2: last stamped r01-r03 (round 4's tail),
+        # rotated back inside
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "knn_join_first5": q_knn_join_first5,
@@ -1486,9 +1435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
-        # --- past the 50-row window: triple-driver-stamped rows
-        # (CORRECTNESS_r01/r02/r03) that tests/test_entry_oracle.py
-        # additionally pins against their DuckDB oracles in pytest
         "text_winnow_fingerprint": q_text_winnow_fingerprint,
         "ft_doc_stats": q_ft_doc_stats,
         "ft_term_stats": q_ft_term_stats,
@@ -1507,6 +1453,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except_nations": q_set_except_nations,
         "distinct_langs": q_distinct_langs,
         "events_hourly": q_events_hourly,
+        # --- window, part 3: r04-stamped rows kept inside — the
+        # packed-engine equivalence family (this round's gen-aware
+        # tombstone changes run through every one of these read
+        # paths) and the operators round 5 touched
+        "search_bm25_topk": q_search_bm25_topk,
+        "search_wand_topk": q_search_wand_topk,
+        "search_batch": q_search_batch,
+        "search_wand_batch": q_search_wand_batch,
+        "search_incremental": q_search_incremental,
+        "search_incremental_wand": q_search_incremental_wand,
+        "search_deletes": q_search_deletes,
+        "search_deletes_wand": q_search_deletes_wand,
+        "search_city_filtered": q_search_city_filtered,
+        "search_phrase": q_search_phrase,
+        "search_facets": q_search_facets,
+        "entities_top5": q_entities_top5,
+        "dedup_lines": q_dedup_lines,
+        "pagerank": q_pagerank,
+        "pagerank_blend": q_pagerank_blend,
+        "url_normalize": q_url_normalize,
+        "nb_classify": q_nb_classify,
+        "text_more_like_this": q_text_more_like_this,
+        "text_suggest": q_text_suggest,
+        # --- past the 50-row window: every row below is green in
+        # CORRECTNESS_r04 (driver-stamped last round) and
+        # tests/test_entry_oracle.py re-pins the actual tail against
+        # its DuckDB oracle every CI run
+        "url_dedup_latest": q_url_dedup_latest,
+        "url_host_rollup": q_url_host_rollup,
+        "text_bpe_stats": q_text_bpe_stats,
+        "text_gopher_quality": q_text_gopher_quality,
+        "text_contamination": q_text_contamination,
+        "dedup_crossdoc_grams": q_dedup_crossdoc_grams,
+        "training_mix": q_training_mix,
+        "text_snippets": q_text_snippets,
+        "embed_docs": q_embed_docs,
+        "text_surprisal": q_text_surprisal,
+        "ir_eval": q_ir_eval,
+        "ir_eval_summary": q_ir_eval_summary,
+        "ir_search_eval": q_ir_search_eval,
+        "sample_stratified": q_sample_stratified,
+        "source_rollup": q_source_rollup,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_features": q_multimodal_features,
+        "trec_run_lines": q_trec_run_lines,
+        "city_enrich": q_city_enrich,
+        "events_sessionize": q_events_sessionize,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_events_hourly": q_streaming_events_hourly,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_near_pairs": q_dedup_near_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_dup_pairs": q_ann_dup_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_cosine_topk": q_ann_cosine_topk,
     }
 
 
@@ -2559,12 +2563,17 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
 FROM per
 """,
         "sample_stratified": _sql_sample_stratified(),
+        # avg on the integer micro grid (half-up 4dp as pure BIGINT
+        # arithmetic) — a float round(avg(q),4) flips when a group
+        # mean lands exactly on a grid edge (seen at sf0.001)
         "source_rollup": f"""
 WITH perdoc AS ({_sql_quality()})
 SELECT d.source, d.lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
-       round(avg(p.quality), 4) AS avg_quality
+       CAST((2 * sum(CAST(floor(p.quality * 1000000 + 0.5) AS BIGINT))
+             + 100 * count(*)) // (200 * count(*)) AS BIGINT) / 10000.0
+         AS avg_quality
 FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
 GROUP BY d.source, d.lang
 """,

@@ -122,6 +122,7 @@ def main() -> None:
         "dedup_near_pairs",
         "dedup_crossdoc_grams",
         "dedup_lines",
+        "dedup_lines_digest",
         "dedup_simhash",
         "ann_dup_pairs",
         "ann_lsh_topk",
@@ -141,6 +142,8 @@ def main() -> None:
         "url_dedup_latest",
         "nb_classify",
         "pagerank",
+        "link_graph",
+        "pagerank_links",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir))
 
@@ -166,6 +169,26 @@ def main() -> None:
     s1, j1 = _cpu_sample()
     steal["incremental_add_5pct"] = round(100 * (s1 - s0) / max(1, j1 - j0), 2)
 
+    # -- recrawl supersede: the SAME O(delta) claim for updates -------------
+    # re-crawl 5% of the corpus's EXISTING urls with changed text through
+    # ONE update_documents call (version-tombstone + replacement segment,
+    # latest-wins immediately).  Before round 5 this operation cost
+    # delete -> compact -> add, i.e. a full corpus-priced rebuild.
+    from search_engine_spark.incremental import update_documents
+
+    recrawl = (
+        pages.filter(F.pmod(F.xxhash64("url"), F.lit(20)) == 7)
+        .withColumn("text", F.concat(F.lit("recrawled revision "),
+                                     F.substring(F.col("text"), 1, 256)))
+    )
+    n_recrawl = recrawl.count()
+    s0, j0 = _cpu_sample()
+    t0 = time.time()
+    update_documents(spark, recrawl, ix_dir, cfg)
+    timings["incremental_update_5pct"] = round(time.time() - t0, 3)
+    s1, j1 = _cpu_sample()
+    steal["incremental_update_5pct"] = round(100 * (s1 - s0) / max(1, j1 - j0), 2)
+
     total = round(time.time() - t_all, 3)
     n_docs = meta.get("n_docs", 0)
     out = {
@@ -178,6 +201,7 @@ def main() -> None:
         "n_docs_indexed": n_docs,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
         "incremental_delta_docs": n_delta,
+        "recrawl_update_docs": n_recrawl,
         "cpus": int(cpus),
     }
     # end of campaign: release the persisted shared frames the dedup /

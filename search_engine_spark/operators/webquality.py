@@ -215,15 +215,25 @@ def surprisal_buckets(docs: DataFrame) -> DataFrame:
 def source_rollup(docs: DataFrame) -> DataFrame:
     """Per-(source, lang) corpus rollup — document count, total
     tokens, mean quality — the aggregate view a domain-level filter
-    ranks origins by.  One map-side-combining groupBy; avg rounded at
-    4dp (per-row quality is on a 1e-6 grid, so summation-order noise
-    ~1e-12 can never reach the 4th decimal)."""
+    ranks origins by.  One map-side-combining groupBy.
+
+    The mean is computed ON THE INTEGER MICRO GRID: per-row quality
+    sits exactly on a 1e-6 grid, so ``floor(q*1e6 + 0.5)`` recovers
+    its integer exactly, the BIGINT sum is order-independent, and the
+    half-up 4dp average is pure integer arithmetic
+    (``(2*sum + 100*n) div (200*n)``) — a float ``round(avg(q), 4)``
+    flips when a group's true mean lands ON a grid edge and the two
+    engines' differently-ordered double sums straddle it (observed at
+    sf0.001: one (source, lang) group hit exactly x.xxxx5)."""
     per_doc = quality_score(docs, keep=("source", "lang"))
-    return (
-        per_doc.groupBy("source", "lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
-        )
+    agg = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.floor(F.col("quality") * 1e6 + F.lit(0.5)).cast("long"))
+        .alias("q_micro"),
+    )
+    return agg.select(
+        "source", "lang", "n_docs", "total_tokens",
+        (F.expr("(2*q_micro + 100*n_docs) div (200*n_docs)") / F.lit(1e4))
+        .alias("avg_quality"),
     )
