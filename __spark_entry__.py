@@ -1168,6 +1168,14 @@ def q_link_graph(spark, sf):
     return GR.extract_links(GR.synthetic_linked_crawl(docs))
 
 
+def q_link_host_graph(spark, sf):
+    """Host-level rollup of the extracted page graph — the bounded-
+    cardinality edge set host PageRank (the cheaper, skew-resistant
+    prior) runs on: cross-host edges only, one hash agg."""
+    docs = _tbl(spark, sf, "documents")
+    return GR.host_graph(GR.extract_links(GR.synthetic_linked_crawl(docs)))
+
+
 def q_pagerank_links(spark, sf):
     """The full URL-hygiene -> link-graph -> authority pipeline on
     the input-hint schema: integer-grid PageRank over the edges
@@ -1410,11 +1418,11 @@ def q_multimodal_resize(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    six new rows first, then the 25 rows whose latest driver stamp is
+    seven new rows first, then the 25 rows whose latest driver stamp is
     r01-r03 (round 4's tail — rotated back in so no row's stamp ages
-    past two rounds), then 19 r04-stamped rows covering the full
+    past two rounds), then r04-stamped rows covering the full
     packed-engine family (whose read paths this round's
-    generation-aware tombstones touched).  The 31 rows past the
+    generation-aware tombstones touched).  The rows past the
     window all carry CORRECTNESS_r04 stamps AND
     tests/test_entry_oracle.py re-runs the ACTUAL tail
     (list(queries())[50:]) against DuckDB every CI run."""
@@ -1423,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_updates": q_search_updates,
         "search_updates_wand": q_search_updates_wand,
         "link_graph": q_link_graph,
+        "link_host_graph": q_link_host_graph,
         "pagerank_links": q_pagerank_links,
         "dedup_lines_digest": q_dedup_lines_digest,
         "search_facets_multi": q_search_facets_multi,
@@ -2105,6 +2114,14 @@ GROUP BY host
         "pagerank": GR.duckdb_pagerank_sql(n_iters=8),
         "link_graph": GR.duckdb_linked_edges_sql(
             UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql),
+        "link_host_graph": f"""
+WITH e AS ({GR.duckdb_linked_edges_sql(UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql)}),
+he AS (SELECT regexp_extract(src, '^[^:]+://([^/?]*)', 1) AS src,
+              regexp_extract(dst, '^[^:]+://([^/?]*)', 1) AS dst
+       FROM e)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n_links
+FROM he WHERE src <> dst GROUP BY src, dst
+""",
         "pagerank_links": GR.duckdb_pagerank_sql(
             n_iters=8,
             edges_sql=GR.duckdb_linked_edges_sql(
