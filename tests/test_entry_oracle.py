@@ -41,6 +41,15 @@ def duck():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     yield con
     con.close()
+    # release the campaign-scoped persisted frames the tail rows may
+    # have created (shared shingle / doc-tf caches) — a later test
+    # pinning a RAW operator plan must not meet an InMemoryRelation
+    # substituted by the CacheManager (same hygiene as bench.py)
+    from search_engine_spark.operators.dedup import clear_shingle_cache
+    from search_engine_spark.operators.textstats import clear_doc_tf_cache
+
+    clear_shingle_cache()
+    clear_doc_tf_cache()
 
 
 def test_every_tail_row_is_triple_stamped_and_oracled():

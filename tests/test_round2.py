@@ -57,6 +57,13 @@ def test_shingle_rows_plan_has_no_keyed_exchange(spark):
     """Shingling must never shuffle token/shingle rows by key; the
     only permissible exchange is the round-robin input-balance pass
     that un-serializes a single-row-group parquet input."""
+    # this test pins the RAW operator's plan: an earlier test may have
+    # populated the shared shingle cache over this corpus, and Spark's
+    # CacheManager would then substitute the InMemoryRelation (whose
+    # stored build plan carries its own Exchange string) into the
+    # fragment — a different (beneficial) serving regime, not the
+    # shape under test
+    D.clear_shingle_cache()
     docs = spark.read.parquet(os.path.join(SF_001, "documents.parquet"))
     plan = D.shingle_rows(docs)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
