@@ -123,7 +123,10 @@ def _wand_topk(terms: list[dict], k: int, shard: int) -> pd.DataFrame:
     # 3. block-level pruning; collect surviving candidate doc ids
     cand_parts = []
     for ti, t in enumerate(terms):
-        others = total_upper - uppers[ti]
+        # inf - inf (a bound_scale-inf term) is handled explicitly just
+        # below; errstate silences numpy's warning for that defined case
+        with np.errstate(invalid="ignore"):
+            others = total_upper - uppers[ti]
         if np.isnan(others):
             # inf - inf: this row's own upper is inf, so its block_max
             # are inf too and every block survives regardless of others
