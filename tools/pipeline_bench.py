@@ -119,6 +119,25 @@ def main() -> None:
         docs.select("doc_id"), GR.synthetic_links(docs),
         n_iters=8, id_col="doc_id"))
 
+    # round-5 operators at the same corpus
+    linked = GR.synthetic_linked_crawl(docs,
+                                       n_resources=max(100, args.docs // 5))
+    run("link_extract", lambda: GR.extract_links(linked))
+    run("link_host_graph", lambda: GR.host_graph(GR.extract_links(linked)))
+
+    def _pagerank_links():
+        nodes = (UR.normalize_url(linked)
+                 .select(F.col("norm_url").alias("id")).distinct())
+        return GR.pagerank(nodes, GR.extract_links(linked), n_iters=8,
+                           id_col="id")
+
+    run("pagerank_links_8iter", _pagerank_links)
+    lined = CU.synthetic_lined(docs)
+    run("dedup_lines_raw", lambda: CU.dedup_lines(
+        lined, min_docs=30, line_key="text"))
+    run("dedup_lines_digest", lambda: CU.dedup_lines(
+        lined, min_docs=30, line_key="digest"))
+
     print(json.dumps({
         "metric": "pipeline ops at scale corpus",
         "docs": args.docs,
