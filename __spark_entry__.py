@@ -1168,6 +1168,21 @@ def q_link_graph(spark, sf):
     return GR.extract_links(GR.synthetic_linked_crawl(docs))
 
 
+def q_link_anchor_terms(spark, sf):
+    """Anchor-text signal over the crawl table: the words OTHER pages
+    use when linking to a resource (pooled across its six surface
+    spellings by the URL normalizer) counted per (target, term) — the
+    BM25F anchor stream the purely-lexical reference ranker never
+    had.  Extraction + normalization + term split ride the scan; the
+    only shuffle is one map-side-combining (dst, term) agg.  The
+    oracle derives the planted anchors analytically, so a match
+    certifies tag extraction, href normalization, tokenization and
+    counting all recovered exactly what was planted."""
+    docs = _tbl(spark, sf, "documents")
+    return GR.anchor_term_stats(
+        GR.extract_anchors(GR.synthetic_linked_crawl(docs)))
+
+
 def q_link_host_graph(spark, sf):
     """Host-level rollup of the extracted page graph — the bounded-
     cardinality edge set host PageRank (the cheaper, skew-resistant
@@ -1428,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (list(queries())[50:]) against DuckDB every CI run."""
     return {
         # --- window, part 1: round-5 rows (never driver-stamped)
+        "link_anchor_terms": q_link_anchor_terms,
         "search_updates": q_search_updates,
         "search_updates_wand": q_search_updates_wand,
         "link_graph": q_link_graph,
@@ -2113,6 +2129,8 @@ GROUP BY host
 """,
         "pagerank": GR.duckdb_pagerank_sql(n_iters=8),
         "link_graph": GR.duckdb_linked_edges_sql(
+            UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql),
+        "link_anchor_terms": GR.duckdb_anchor_terms_sql(
             UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql),
         "link_host_graph": f"""
 WITH e AS ({GR.duckdb_linked_edges_sql(UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql)}),

@@ -178,6 +178,85 @@ def host_graph(edges: DataFrame) -> DataFrame:
     )
 
 
+def extract_anchors(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Anchor-text pairs ``(dst, term)`` from the crawl table — the
+    classic web-ranking signal the reference's purely-lexical ranker
+    (Ranker.java) never had: the words OTHER pages use when linking to
+    a resource describe it, often better than its own body.  One
+    codegen ``regexp_extract_all`` pass pulls every full
+    ``<a href="…">text</a>`` tag, the href goes through the URL
+    hygiene normalizer (rules 1-5, same as ``extract_links``) so all
+    surface spellings of a target pool their anchor evidence, and the
+    anchor text splits on whitespace into terms.  Multiplicity is
+    KEPT (no distinct): each linking occurrence is one unit of
+    evidence, which is what ``anchor_term_stats`` counts.
+
+    Scale shape (100 TB): extraction, normalization and the term
+    split all ride the scan (two Generates + expression chain, no
+    UDF, no shuffle at all in this operator)."""
+    from .urls import _norm_expr
+
+    tags = F.regexp_extract_all(
+        F.col(text_col), F.lit('<a href="[^"]*">[^<]*</a>'), F.lit(0))
+    tag = F.col("tag")
+    return (
+        pages.select(F.explode(tags).alias("tag"))
+        .select(
+            _norm_expr(F.regexp_extract(tag, '<a href="([^"]*)">', 1))
+            .alias("dst"),
+            F.explode(F.split(
+                F.regexp_extract(tag, '>([^<]*)</a>', 1), r"\s+"))
+            .alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def anchor_term_stats(anchors: DataFrame) -> DataFrame:
+    """Per-target anchor-term frequencies ``(dst, term, n_links)`` —
+    the table an indexer joins in as an extra scored field (anchor
+    terms boost the TARGET document; BM25F's anchor stream).  ONE
+    map-side-combining hash agg keyed (dst, term); output cardinality
+    is bounded by distinct targets x their anchor vocabularies, tiny
+    next to the crawl."""
+    return (anchors.groupBy("dst", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_links")))
+
+
+def duckdb_anchor_terms_sql(synth_sql: str, norm) -> str:
+    """Analytic oracle of
+    ``anchor_term_stats(extract_anchors(synthetic_linked_crawl()))``:
+    the planted anchors derived directly — page s (s%10<>0) links to
+    t=(s*p+k)%N with anchor text 'about topic<t%7>', WITHOUT distinct
+    (multiplicity is evidence), dst = the DuckDB-normalized spelling
+    of t.  A Spark/oracle match certifies the tag extraction, href
+    normalization, term split and counting all recovered exactly what
+    was planted."""
+    unions = " UNION ALL ".join(
+        f"""SELECT s.doc_id AS sid, t.doc_id AS tid
+        FROM syn s JOIN syn t
+          ON t.doc_id = (s.doc_id * {p} + {k})
+                        % (SELECT count(*) FROM documents)
+        WHERE s.doc_id % 10 <> 0"""
+        for p, k in ((7, 1), (13, 2), (29, 3))
+    )
+    return f"""
+WITH syn AS ({synth_sql}),
+pairs AS ({unions}),
+terms AS (
+  SELECT {norm('t.url')} AS dst, w.term
+  FROM pairs
+  JOIN syn t ON t.doc_id = pairs.tid
+  CROSS JOIN LATERAL (
+    SELECT 'about' AS term
+    UNION ALL SELECT 'topic' || CAST(pairs.tid % 7 AS VARCHAR)
+  ) w
+)
+SELECT dst, term, CAST(count(*) AS BIGINT) AS n_links
+FROM terms GROUP BY dst, term
+"""
+
+
 def synthetic_linked_crawl(docs: DataFrame,
                            n_resources: int = 100) -> DataFrame:
     """The synthetic crawl (``urls.synthetic_crawl``: raw spellings
@@ -194,12 +273,18 @@ def synthetic_linked_crawl(docs: DataFrame,
 
     n = docs.count()
     d = F.col("doc_id")
-    anchors = F.concat(*[
-        F.concat(F.lit(' <a href="'),
-                 synth_url((d * p + k) % n, n_resources),
-                 F.lit('">link</a>'))
-        for p, k in ((7, 1), (13, 2), (29, 3))
-    ])
+    def tag(p: int, k: int):
+        t = (d * p + k) % n
+        # anchor text DESCRIBES the target ("about topic<t%7>") so the
+        # extract_anchors -> anchor_term_stats signal is analytically
+        # derivable the same way the edge set is
+        return F.concat(F.lit(' <a href="'),
+                        synth_url(t, n_resources),
+                        F.lit('">about topic'),
+                        (t % 7).cast("string"),
+                        F.lit('</a>'))
+
+    anchors = F.concat(*[tag(p, k) for p, k in ((7, 1), (13, 2), (29, 3))])
     text = F.when(d % 10 == 0, F.col("text")).otherwise(
         F.concat(F.col("text"), anchors))
     return (

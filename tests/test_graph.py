@@ -162,3 +162,35 @@ def test_extracted_links_feed_pagerank(spark):
         for r in GR.pagerank(nodes, planted, n_iters=4, id_col="id").collect()
     }
     assert via_extract == via_planted and len(via_extract) == 20
+
+
+def test_extract_anchors_planted(spark):
+    """Planted anchor text recovered exactly: every target's anchor
+    terms are 'about' + 'topic<t%7>', counted WITH multiplicity and
+    pooled across the target's surface spellings by the normalizer —
+    asserted against an independent pure-Python derivation."""
+    from search_engine_spark.operators import urls as UR
+
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(n)], "doc_id long, text string")
+    pages = GR.synthetic_linked_crawl(docs, n_resources=10)
+    got = {
+        (r["dst"], r["term"]): r["n_links"]
+        for r in GR.anchor_term_stats(GR.extract_anchors(pages)).collect()
+    }
+    norm = {
+        r["doc_id"]: r["norm_url"]
+        for r in UR.normalize_url(UR.synthetic_crawl(docs, 10))
+        .select("doc_id", "norm_url").collect()
+    }
+    exp: dict[tuple[str, str], int] = {}
+    for s in range(n):
+        if s % 10 == 0:
+            continue
+        for p, k in ((7, 1), (13, 2), (29, 3)):
+            t = (s * p + k) % n
+            for term in ("about", f"topic{t % 7}"):
+                key = (norm[t], term)
+                exp[key] = exp.get(key, 0) + 1
+    assert got == exp
