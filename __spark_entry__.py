@@ -1183,6 +1183,45 @@ def q_link_anchor_terms(spark, sf):
         GR.extract_anchors(GR.synthetic_linked_crawl(docs)))
 
 
+# anchor-field query for the search_anchor_* rows: one rare-ish
+# planted topic term per band plus the ubiquitous 'about' (df = every
+# anchored target), so the idf weighting visibly separates them
+ANCHOR_QUERY_TERMS = ("topic2", "topic5", "about")
+
+
+def q_search_anchor_topk(spark, sf):
+    """Anchor-field retrieval: targets ranked by what OTHER pages say
+    when linking to them (n_links x integer-idf weight, BIGINT all
+    the way — exact oracle).  The term filter is pushed into the
+    anchor-stats scan; df is computable on the filtered slice; one
+    map-side-combining per-target sum; deterministic top-k."""
+    docs = _tbl(spark, sf, "documents")
+    stats = GR.anchor_term_stats(
+        GR.extract_anchors(GR.synthetic_linked_crawl(docs)))
+    return GR.anchor_search(stats, ANCHOR_QUERY_TERMS, k=10)
+
+
+def q_search_anchor_authority(spark, sf):
+    """Rank the web without reading the page: anchor-field top-20
+    blended 3:1 with the PageRank prior over the link graph EXTRACTED
+    from the same crawl — both signals derive entirely from OTHER
+    pages' links, composed on the integer micro grid (run-sized join
+    + two O(1) scalar maxes), so the whole two-signal pipeline is
+    exact-oracled end to end."""
+    docs = _tbl(spark, sf, "documents")
+    pages = GR.synthetic_linked_crawl(docs)
+    stats = GR.anchor_term_stats(GR.extract_anchors(pages))
+    run = (GR.anchor_search(stats, ANCHOR_QUERY_TERMS, k=20)
+           .select(F.col("dst").alias("doc_id"),
+                   F.col("anchor_score").alias("score")))
+    nodes = (UR.normalize_url(pages).select(F.col("norm_url").alias("id"))
+             .distinct())
+    prior = GR.pagerank(nodes, GR.extract_links(pages), n_iters=8,
+                        id_col="id")
+    return (GR.blend_prior(run, prior, alpha_num=1, alpha_den=4, k=10)
+            .withColumnRenamed("doc_id", "url"))
+
+
 def q_link_host_graph(spark, sf):
     """Host-level rollup of the extracted page graph — the bounded-
     cardinality edge set host PageRank (the cheaper, skew-resistant
@@ -1444,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- window, part 1: round-5 rows (never driver-stamped)
         "link_anchor_terms": q_link_anchor_terms,
+        "search_anchor_topk": q_search_anchor_topk,
+        "search_anchor_authority": q_search_anchor_authority,
         "search_updates": q_search_updates,
         "search_updates_wand": q_search_updates_wand,
         "link_graph": q_link_graph,
@@ -2132,6 +2173,37 @@ GROUP BY host
             UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql),
         "link_anchor_terms": GR.duckdb_anchor_terms_sql(
             UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql),
+        "search_anchor_topk": GR.duckdb_anchor_search_sql(
+            GR.duckdb_anchor_terms_sql(UR.DUCKDB_SYNTH_SQL,
+                                       UR.duckdb_norm_sql),
+            ANCHOR_QUERY_TERMS, k=10),
+        "search_anchor_authority": f"""
+WITH run AS ({GR.duckdb_anchor_search_sql(
+            GR.duckdb_anchor_terms_sql(UR.DUCKDB_SYNTH_SQL,
+                                       UR.duckdb_norm_sql),
+            ANCHOR_QUERY_TERMS, k=20)}),
+pr AS ({GR.duckdb_pagerank_sql(
+            n_iters=8,
+            edges_sql=GR.duckdb_linked_edges_sql(UR.DUCKDB_SYNTH_SQL,
+                                                 UR.duckdb_norm_sql),
+            nodes_sql=(f"SELECT DISTINCT {UR.duckdb_norm_sql('url')} AS id "
+                       f"FROM ({UR.DUCKDB_SYNTH_SQL})"))}),
+ms AS (SELECT max(anchor_score) AS ms FROM run),
+mp AS (SELECT max(rank_nano) AS mp FROM pr),
+rel AS (SELECT r.dst,
+          CAST(floor(r.anchor_score * 1000000 / (SELECT ms FROM ms) + 0.5)
+               AS BIGINT) AS rs,
+          CAST(floor(p.rank_nano * 1000000 / (SELECT mp FROM mp) + 0.5)
+               AS BIGINT) AS rp
+        FROM run r JOIN pr p ON p.id = r.dst),
+b AS (SELECT dst, CAST((3 * rs + 1 * rp) // 4 AS BIGINT) AS blended_micro
+      FROM rel),
+rk AS (SELECT dst AS url, blended_micro,
+         CAST(row_number() OVER (ORDER BY blended_micro DESC, dst ASC)
+              AS BIGINT) AS rank
+       FROM b)
+SELECT url, blended_micro, rank FROM rk WHERE rank <= 10
+""",
         "link_host_graph": f"""
 WITH e AS ({GR.duckdb_linked_edges_sql(UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql)}),
 he AS (SELECT regexp_extract(src, '^[^:]+://([^/?]*)', 1) AS src,

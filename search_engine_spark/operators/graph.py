@@ -223,6 +223,64 @@ def anchor_term_stats(anchors: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_links")))
 
 
+def anchor_search(stats: DataFrame, terms: list[str] | tuple[str, ...],
+                  k: int = 10) -> DataFrame:
+    """Anchor-field retrieval: rank targets by the words OTHER pages
+    use when linking to them — the field web engines weight hardest
+    for navigational queries (the target page may not even contain
+    its own best query terms).  Input is :func:`anchor_term_stats`
+    ``(dst, term, n_links)``; score is pure BIGINT arithmetic so the
+    oracle comparison is exact:
+
+        weight(term)  = NANO_REL // df(term)       (rarer terms count more)
+        score(dst)    = sum over matching terms of n_links * weight
+
+    with df(term) = distinct targets carrying the term (computable on
+    the term-filtered slice alone).  Output ``(dst, anchor_score,
+    rank)``, ties (score desc, dst asc), cut at ``k``.
+
+    Scale shape (100 TB): the literal ``term IN (...)`` filter is
+    pushed into the scan of the (stored) anchor-stats table, so the
+    whole query touches only the query terms' rows — the df agg is
+    |terms| rows, its join back is AQE-broadcast, and the per-target
+    sum is one map-side-combining agg over the filtered slice."""
+    from ..ranking import ranked
+
+    q = stats.filter(F.col("term").isin(list(terms)))
+    dfq = q.groupBy("term").agg(F.countDistinct("dst").alias("df"))
+    scored = (
+        q.join(dfq, "term")
+        .select("dst",
+                (F.col("n_links") * F.expr(f"{NANO_REL} div df")).alias("w"))
+        .groupBy("dst")
+        .agg(F.sum("w").cast("long").alias("anchor_score"))
+    )
+    top = scored.orderBy(F.desc("anchor_score"), F.asc("dst")).limit(k)
+    return ranked(top, [("anchor_score", "desc"), ("dst", "asc")])
+
+
+def duckdb_anchor_search_sql(anchor_sql: str, terms, k: int = 10) -> str:
+    """Oracle twin of :func:`anchor_search` over any anchor-stats SQL
+    (normally :func:`duckdb_anchor_terms_sql`): the same BIGINT
+    weight/score/rank arithmetic, so the comparison is exact."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH ast AS ({anchor_sql}),
+q AS (SELECT * FROM ast WHERE term IN ({tl})),
+dfq AS (SELECT term, CAST(count(DISTINCT dst) AS BIGINT) AS df
+        FROM q GROUP BY term),
+s AS (SELECT q.dst,
+        CAST(sum(q.n_links * ({NANO_REL} // dfq.df)) AS BIGINT)
+          AS anchor_score
+      FROM q JOIN dfq ON q.term = dfq.term GROUP BY q.dst),
+rk AS (SELECT dst, anchor_score,
+         CAST(row_number() OVER (ORDER BY anchor_score DESC, dst ASC)
+              AS BIGINT) AS rank
+       FROM s)
+SELECT dst, anchor_score, rank FROM rk WHERE rank <= {k}
+"""
+
+
 def duckdb_anchor_terms_sql(synth_sql: str, norm) -> str:
     """Analytic oracle of
     ``anchor_term_stats(extract_anchors(synthetic_linked_crawl()))``:

@@ -194,3 +194,48 @@ def test_extract_anchors_planted(spark):
                 key = (norm[t], term)
                 exp[key] = exp.get(key, 0) + 1
     assert got == exp
+
+
+def test_anchor_search_planted(spark):
+    """Anchor-field retrieval matches an independent pure-Python
+    scorer on the planted corpus: integer-idf weights (NANO_REL //
+    df), per-target sums, deterministic (score desc, dst asc) top-k
+    with 1-based ranks."""
+    from search_engine_spark.operators import urls as UR
+
+    n = 40
+    terms = ("topic1", "topic4", "about")
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(n)], "doc_id long, text string")
+    pages = GR.synthetic_linked_crawl(docs, n_resources=10)
+    stats = GR.anchor_term_stats(GR.extract_anchors(pages))
+    got = [
+        (r["dst"], r["anchor_score"], r["rank"])
+        for r in GR.anchor_search(stats, terms, k=5)
+        .orderBy("rank").collect()
+    ]
+
+    norm = {
+        r["doc_id"]: r["norm_url"]
+        for r in UR.normalize_url(UR.synthetic_crawl(docs, 10))
+        .select("doc_id", "norm_url").collect()
+    }
+    cnt: dict[tuple[str, str], int] = {}
+    for s in range(n):
+        if s % 10 == 0:
+            continue
+        for p, k in ((7, 1), (13, 2), (29, 3)):
+            t = (s * p + k) % n
+            for term in ("about", f"topic{t % 7}"):
+                key = (norm[t], term)
+                cnt[key] = cnt.get(key, 0) + 1
+    df_by_term: dict[str, int] = {}
+    for (dst, term), _c in cnt.items():
+        if term in terms:
+            df_by_term[term] = df_by_term.get(term, 0) + 1
+    scores: dict[str, int] = {}
+    for (dst, term), c in cnt.items():
+        if term in terms:
+            scores[dst] = scores.get(dst, 0) + c * (GR.NANO_REL // df_by_term[term])
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == [(d, s, i + 1) for i, (d, s) in enumerate(exp)]
