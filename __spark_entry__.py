@@ -356,6 +356,56 @@ def q_ft_bm25_topk(spark, sf):
     )
 
 
+# boolean clauses for the ft_boolean_topk row (simple tokenization)
+BOOL_MUST = ("data",)
+BOOL_SHOULD = ("join", "query")
+BOOL_MUST_NOT = ("dup",)
+
+
+def q_ft_boolean_topk(spark, sf):
+    """Relational Lucene-BooleanQuery top-20, fully SQL-checkable:
+    MUST terms gate candidates (countDistinct == |must| over the
+    must-filtered slice), SHOULD terms add BM25 score alongside the
+    MUST terms, MUST_NOT excludes via a distinct-doc anti-join.  Every
+    clause touches only its own terms' rows."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    score_terms = sorted(set(BOOL_MUST) | set(BOOL_SHOULD))
+    qtf = tf.filter(F.col("tok").isin(*score_terms))
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    cand = (
+        tf.filter(F.col("tok").isin(*BOOL_MUST))
+        .groupBy("doc_id").agg(F.countDistinct("tok").alias("nm"))
+        .filter(F.col("nm") == len(BOOL_MUST)).select("doc_id")
+    )
+    excl = (tf.filter(F.col("tok").isin(*BOOL_MUST_NOT))
+            .select("doc_id").distinct())
+    scored = (
+        contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+        .join(cand, "doc_id", "leftsemi")
+        .join(excl, "doc_id", "left_anti")
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return (
+        ranked(topk, [("score", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "score", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — full engine equivalence rows.  The packed-index paths are
 # not SQL-expressible (the N1-N15 parser + Porter stemming feed them),
@@ -380,6 +430,23 @@ def q_search_bm25_topk(spark, sf):
     return _rank_eq(
         eng.search(ENGINE_QUERY, 20),
         TW.twin_bm25_topk(spark, eng, ENGINE_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
+
+
+def q_search_boolean(spark, sf):
+    """Lucene-BooleanQuery semantics on the packed index ≡ the
+    plain-postings twin, per rank: MUST ('data') required via a
+    countDistinct gate on the already-unpacked rows, SHOULD
+    ('table row') adds score, MUST_NOT ('dup') excluded by an
+    anti-join that reads only its own posting list.  Scoring reads
+    only the must+should postings — no clause touches non-matching
+    documents."""
+    eng = _engine_for(spark, sf)
+    return _rank_eq(
+        eng.boolean_search(must="data", should="table row",
+                           must_not="dup", k=20),
+        TW.twin_boolean_topk(spark, eng, "data", "table row", "dup", 20),
         exact=["url"], approx=["score"],
     )
 
@@ -1485,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_anchor_terms": q_link_anchor_terms,
         "search_anchor_topk": q_search_anchor_topk,
         "search_anchor_authority": q_search_anchor_authority,
+        "search_boolean": q_search_boolean,
+        "ft_boolean_topk": q_ft_boolean_topk,
         "search_updates": q_search_updates,
         "search_updates_wand": q_search_updates_wand,
         "link_graph": q_link_graph,
@@ -2307,6 +2376,31 @@ ranked AS (SELECT doc_id, phrase_tf,
 SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 20
 """,
         "ft_bm25_topk": _FT_BM25_SQL,
+        "ft_boolean_topk": f"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n FROM dl),
+qtf AS (SELECT * FROM tf
+        WHERE tok IN ({", ".join(f"'{t}'" for t in sorted(set(BOOL_MUST) | set(BOOL_SHOULD)))})),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY tok),
+contrib AS (
+  SELECT qtf.doc_id, log2((SELECT n FROM stats) / dfreq.df) AS idf, qtf.tf, dl.dl
+  FROM qtf JOIN dfreq ON qtf.tok = dfreq.tok JOIN dl ON qtf.doc_id = dl.doc_id
+),
+cand AS (SELECT doc_id FROM tf
+         WHERE tok IN ({", ".join(f"'{t}'" for t in BOOL_MUST)})
+         GROUP BY doc_id HAVING count(DISTINCT tok) = {len(BOOL_MUST)}),
+excl AS (SELECT DISTINCT doc_id FROM tf
+         WHERE tok IN ({", ".join(f"'{t}'" for t in BOOL_MUST_NOT)})),
+scored AS (SELECT c.doc_id, round(sum({_BM25_EXPR}), 6) AS score
+           FROM contrib c JOIN cand USING (doc_id)
+           WHERE c.doc_id NOT IN (SELECT doc_id FROM excl)
+           GROUP BY c.doc_id),
+rk AS (SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       FROM scored)
+SELECT doc_id, score, rank FROM rk WHERE rank <= 20
+""",
         "pagerank_blend": f"""
 WITH run AS ({_FT_BM25_SQL}),
 pr AS ({GR.duckdb_pagerank_sql(8)}),
@@ -2700,6 +2794,10 @@ SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
 """,
         "search_wand_topk": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "search_boolean": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
 """,

@@ -5,6 +5,7 @@
     python query.py --index /tmp/ix --wand "world trade"     # block-max WAND
     python query.py --index /tmp/ix --batch --wand q1:"..." q2:"..."  # batched WAND
     python query.py --index /tmp/ix --phrase "world trade"   # exact phrase
+    python query.py --index /tmp/ix --must nation --must-not growth "policy"  # boolean
     python query.py --index /tmp/ix --loop 20 "world trade"  # q/s measurement
 
 Cluster: ``spark-submit --py-files engine.zip query.py ...``.
@@ -34,6 +35,10 @@ def main() -> None:
     ap.add_argument("--phrase", action="store_true",
                     help="exact phrase query (index must be built with "
                          "keep_positions=True)")
+    ap.add_argument("--must", default="",
+                    help="boolean search: terms every result must contain")
+    ap.add_argument("--must-not", dest="must_not", default="",
+                    help="boolean search: terms no result may contain")
     ap.add_argument("--loop", type=int, default=0,
                     help="repeat the query N times and report q/s")
     ap.add_argument("query", nargs="+")
@@ -65,8 +70,13 @@ def main() -> None:
             print(f"q1 {r['rank']} {r['url']} {r['phrase_tf']}")
     else:
         text = " ".join(args.query)
-        run = (lambda: wand_search(eng, text, args.k)) if args.wand else (
-            lambda: eng.search(text, args.k))
+        if args.must or args.must_not:
+            run = lambda: eng.boolean_search(  # noqa: E731
+                must=args.must, should=text, must_not=args.must_not,
+                k=args.k)
+        else:
+            run = (lambda: wand_search(eng, text, args.k)) if args.wand else (
+                lambda: eng.search(text, args.k))
         if args.loop:
             run().collect()  # warm
             t0 = time.time()

@@ -288,15 +288,20 @@ class SearchEngine:
             # the driver at scale.  AQE broadcasts it when it is
             # actually small and shuffle-joins otherwise.
             per_posting = per_posting.join(allowed, ["shard", "local_id"], "left_semi")
+        return self._score_topk(per_posting, k)
+
+    def _score_topk(self, per_posting: DataFrame, k: int) -> DataFrame:
+        """Shared scoring tail: per-doc BM25 + importance-bonus blend,
+        deterministic (score desc, url asc) top-k with window-free
+        ranks.  orderBy+limit plans as TakeOrderedAndProject
+        (per-partition heaps, k rows total); the rank is then attached
+        over only those k rows (ranking.ranked)."""
         blend_a, blend_b = self.meta["blend_bm25"], self.meta["blend_bonus"]
         scores = (
             per_posting.groupBy("shard", "local_id")
             .agg(F.sum("contrib").alias("bm25"), F.sum("bonus").alias("bonus"))
             .withColumn("score", F.lit(blend_a) * F.col("bm25") + F.lit(blend_b) * F.col("bonus"))
         )
-        # orderBy+limit plans as TakeOrderedAndProject (per-partition
-        # heaps, k rows total); the rank is then attached window-free
-        # over only those k rows (ranking.ranked).
         topk = (
             scores.join(self._doc_map(), ["shard", "local_id"])
             .orderBy(F.desc("score"), F.asc("url"))
@@ -306,6 +311,67 @@ class SearchEngine:
             ranked(topk.select("url", "score"), [("score", "desc"), ("url", "asc")])
             .select("url", "score", "rank")
         )
+
+    def boolean_search(self, must: str = "", should: str = "",
+                       must_not: str = "", k: int | None = None) -> DataFrame:
+        """Lucene-BooleanQuery semantics over the packed index: MUST
+        terms are all required (a MUST term absent from the dictionary
+        means no document can satisfy the query — empty result),
+        SHOULD terms add score, MUST_NOT terms exclude.  MUST and
+        SHOULD matches both score (the same BM25 + importance blend as
+        :meth:`search`); MUST_NOT never contributes score.  Clauses
+        are parsed with the full shared kernel (N1-N15 + stop filter +
+        Porter), like every query path.
+
+        Scale shape (10^12 docs): scoring reads ONLY the must+should
+        terms' posting lists (bucket- and row-group-pruned scan, same
+        as search); the MUST gate is one countDistinct-over-matched-
+        keys agg on the already-unpacked rows — no second scan; the
+        exclusion reads only the must_not terms' postings and
+        anti-joins on (shard, local_id).  No clause ever touches
+        non-matching documents."""
+        k = k or self.cfg.top_k
+
+        def empty() -> DataFrame:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int")
+
+        must_keys = self.parse_query(must) if must.strip() else []
+        should_keys = self.parse_query(should) if should.strip() else []
+        score_keys = sorted(set(must_keys) | set(should_keys))
+        if not score_keys:
+            return empty()
+        resolved = self.resolve_terms(score_keys)
+        if resolved.empty:
+            return empty()
+        have = set(resolved["term_key"])
+        if any(mk not in have for mk in must_keys):
+            return empty()
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        per_posting = self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key))
+        if must_keys:
+            cand = (
+                per_posting.filter(F.col("term_key").isin(must_keys))
+                .groupBy("shard", "local_id")
+                .agg(F.countDistinct("term_key").alias("nm"))
+                .filter(F.col("nm") == len(must_keys))
+                .select("shard", "local_id")
+            )
+            per_posting = per_posting.join(cand, ["shard", "local_id"], "left_semi")
+        not_keys = self.parse_query(must_not) if must_not.strip() else []
+        if not_keys:
+            not_resolved = self.resolve_terms(not_keys)
+            if not not_resolved.empty:
+                nidf = dict(zip(not_resolved["term_key"],
+                                not_resolved["idf"].astype(float)))
+                excl = (
+                    self._unpack(self._scan_index(not_resolved), nidf)
+                    .select("shard", "local_id").distinct()
+                )
+                per_posting = per_posting.join(
+                    excl, ["shard", "local_id"], "left_anti")
+        return self._score_topk(per_posting, k)
 
     # -- phrase search (positions path; requires keep_positions build) -------
     def parse_phrase(self, phrase: str) -> list[tuple[str, int]]:

@@ -135,6 +135,39 @@ def twin_bm25_topk(spark: SparkSession, engine, query: str, k: int) -> DataFrame
     return ranked(topk, [("score", "desc"), ("url", "asc")])
 
 
+def twin_boolean_topk(spark: SparkSession, engine, must: str, should: str,
+                      must_not: str, k: int) -> DataFrame:
+    """Plain twin of ``SearchEngine.boolean_search``: BM25 scores over
+    the must+should keys recomputed from postings_raw, the MUST gate a
+    countDistinct-over-must-keys HAVING on the live rows (a MUST key
+    with no live rows keeps every doc below the count — the same empty
+    result the engine's dictionary check produces), MUST_NOT a
+    distinct-url anti-join."""
+    must_keys = engine.parse_query(must) if must.strip() else []
+    should_keys = engine.parse_query(should) if should.strip() else []
+    score_keys = sorted(set(must_keys) | set(should_keys))
+    if not score_keys:
+        return spark.createDataFrame([], "url string, score double, rank int")
+    scores = twin_bm25_scores(spark, engine, score_keys)
+    live = live_raw_postings(spark, engine)
+    if must_keys:
+        cand = (
+            live.filter(F.col("term_key").isin(must_keys))
+            .groupBy("url")
+            .agg(F.countDistinct("term_key").alias("nm"))
+            .filter(F.col("nm") == len(must_keys))
+            .select("url")
+        )
+        scores = scores.join(cand, "url", "left_semi")
+    not_keys = engine.parse_query(must_not) if must_not.strip() else []
+    if not_keys:
+        excl = (live.filter(F.col("term_key").isin(not_keys))
+                .select("url").distinct())
+        scores = scores.join(excl, "url", "left_anti")
+    topk = scores.orderBy(F.desc("score"), F.asc("url")).limit(k)
+    return ranked(topk, [("score", "desc"), ("url", "asc")])
+
+
 def twin_city_filtered_topk(spark: SparkSession, engine, query: str,
                             cities: list[str], k: int) -> DataFrame:
     """Plain twin of the city-filtered search: allowed docs = (urls on

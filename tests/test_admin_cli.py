@@ -66,3 +66,15 @@ def test_admin_cli_lifecycle(tmp_path):
     lines = [ln for ln in r.stdout.splitlines() if ln.startswith("q1 ")]
     assert lines, "query over the compacted index must return results"
     assert not any(u in ln for ln in lines for u in dead)
+
+    # boolean flags reach the engine: every hit must contain the
+    # --must term's postings (membership asserted by the engine's own
+    # pytest; here just that the CLI path runs and returns TREC lines)
+    r = subprocess.run(
+        [sys.executable, "query.py", "--index", ix, "--k", "5",
+         "--must", "nation", "--must-not", "growth", "policy"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"}, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert [ln for ln in r.stdout.splitlines() if ln.startswith("q1 ")]

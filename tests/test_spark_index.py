@@ -112,3 +112,51 @@ def test_pruned_scan_plan(spark, built_index):
     assert "PartitionFilters" in plan or "bucket" in plan
     explained = scan._jdf.queryExecution().toString()
     assert "PushedFilters" in explained or "term_key" in explained
+
+
+def test_boolean_search_semantics(spark, built_index):
+    """Lucene-BooleanQuery contract on the packed index: should-only
+    ranks identically to search(); MUST results all contain every
+    must term and none contain a must_not term (membership checked
+    against the engine's own pre-pack postings); the boolean ranking
+    equals the plain search over must+should terms restricted to the
+    gate sets; a must term missing from the dictionary and a
+    stop-word-only query both return empty."""
+    from search_engine_spark import twin as TW
+
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg)
+
+    q = "water river flood"
+    got = [(r["url"], round(r["score"], 9))
+           for r in eng.boolean_search(should=q, k=15).collect()]
+    want = [(r["url"], round(r["score"], 9))
+            for r in eng.search(q, 15).collect()]
+    assert got == want and got
+
+    raw = TW.raw_postings(spark, eng)
+
+    def docs_with(word: str) -> set[str]:
+        keys = eng.parse_query(word)
+        return {
+            r["url"]
+            for r in raw.filter(F.col("term_key").isin(keys))
+            .select("url").distinct().collect()
+        }
+
+    res = [(r["url"], round(r["score"], 9))
+           for r in eng.boolean_search(must="nation",
+                                       should="policy report",
+                                       must_not="growth", k=50).collect()]
+    assert res
+    with_must, with_not = docs_with("nation"), docs_with("growth")
+    assert all(u in with_must for u, _ in res)
+    assert all(u not in with_not for u, _ in res)
+
+    comb = eng.search("nation policy report", N_DOCS).collect()
+    expect = [(r["url"], round(r["score"], 9)) for r in comb
+              if r["url"] in with_must and r["url"] not in with_not][:50]
+    assert res == expect
+
+    assert eng.boolean_search(must="zzqzzq", should="policy", k=5).count() == 0
+    assert eng.boolean_search(should="the of and", k=5).count() == 0

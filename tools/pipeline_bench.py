@@ -132,6 +132,14 @@ def main() -> None:
                            id_col="id")
 
     run("pagerank_links_8iter", _pagerank_links)
+    run("anchor_term_stats", lambda: GR.anchor_term_stats(
+        GR.extract_anchors(linked)))
+
+    def _anchor_search():
+        stats = GR.anchor_term_stats(GR.extract_anchors(linked))
+        return GR.anchor_search(stats, ("topic2", "topic5", "about"), k=10)
+
+    run("anchor_search_topk", _anchor_search)
     lined = CU.synthetic_lined(docs)
     run("dedup_lines_raw", lambda: CU.dedup_lines(
         lined, min_docs=30, line_key="text"))
