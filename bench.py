@@ -110,6 +110,8 @@ def main() -> None:
     timed("bm25_batch_top10", lambda: eng.search_batch(batch, 10))
     timed("wand_top10", lambda: wand_search(eng, "world trade market", 10))
     timed("wand_batch_top10", lambda: wand_search_batch(eng, batch, 10))
+    timed("boolean_top10", lambda: eng.boolean_search(
+        must="data", should="table row", must_not="dup", k=10))
 
     # -- relational / pipeline operators (driver-contract queries) -----------
     qs = entry.queries()
@@ -144,6 +146,8 @@ def main() -> None:
         "pagerank",
         "link_graph",
         "pagerank_links",
+        "link_anchor_terms",
+        "search_anchor_topk",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir))
 
