@@ -79,6 +79,7 @@ _UPD_CACHE: dict[str, str] = {}
 _ANN_CACHE: dict[str, str] = {}
 _MLT_CACHE: dict[str, str] = {}
 _SUGGEST_CACHE: dict[str, str] = {}
+_ANCHOR_CACHE: dict[str, str] = {}
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1268,6 +1269,38 @@ def q_search_anchor_topk(spark, sf):
     return GR.anchor_search(stats, ANCHOR_QUERY_TERMS, k=10)
 
 
+def _anchor_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir, cached on disk) the term-bucketed
+    stored anchor-stats layout so the driver row serves the pruned
+    per-query plan (PartitionFilters on the query terms' buckets +
+    term-IN pushdown), not a per-query crawl pass."""
+    key = os.path.abspath(sf_dir)
+    if key not in _ANCHOR_CACHE:
+        tag = hashlib.md5(f"{key}|anchorv1-64".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_anchor_{tag}")
+
+        def build(tmp: str) -> None:
+            docs = _tbl(spark, key, "documents")
+            stats = GR.anchor_term_stats(
+                GR.extract_anchors(GR.synthetic_linked_crawl(docs)))
+            GR.write_anchor_index(stats, tmp, n_buckets=64)
+
+        _ANCHOR_CACHE[key] = _atomic_publish(out, build)
+    return _ANCHOR_CACHE[key]
+
+
+def q_search_anchor_indexed(spark, sf):
+    """Anchor-field retrieval served from the STORED term-bucketed
+    layout (built once per corpus, cached): identical results to
+    search_anchor_topk — same SQL oracle — but the serving scan
+    touches only the query terms' bucket partitions and row groups
+    (PartitionFilters + PushedFilters; plan-asserted in
+    tests/test_graph.py) instead of recomputing the stats from the
+    crawl."""
+    return GR.anchor_search_indexed(
+        spark, _anchor_index_for(spark, sf), ANCHOR_QUERY_TERMS, k=10)
+
+
 def q_search_anchor_authority(spark, sf):
     """Rank the web without reading the page: anchor-field top-20
     blended 3:1 with the PageRank prior over the link graph EXTRACTED
@@ -1554,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_anchor_authority": q_search_anchor_authority,
         "search_boolean": q_search_boolean,
         "ft_boolean_topk": q_ft_boolean_topk,
+        "search_anchor_indexed": q_search_anchor_indexed,
         "search_updates": q_search_updates,
         "search_updates_wand": q_search_updates_wand,
         "link_graph": q_link_graph,
@@ -2243,6 +2277,12 @@ GROUP BY host
         "link_anchor_terms": GR.duckdb_anchor_terms_sql(
             UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql),
         "search_anchor_topk": GR.duckdb_anchor_search_sql(
+            GR.duckdb_anchor_terms_sql(UR.DUCKDB_SYNTH_SQL,
+                                       UR.duckdb_norm_sql),
+            ANCHOR_QUERY_TERMS, k=10),
+        # stored-layout serve must equal the direct computation — the
+        # SAME analytic oracle pins both
+        "search_anchor_indexed": GR.duckdb_anchor_search_sql(
             GR.duckdb_anchor_terms_sql(UR.DUCKDB_SYNTH_SQL,
                                        UR.duckdb_norm_sql),
             ANCHOR_QUERY_TERMS, k=10),

@@ -246,17 +246,76 @@ def anchor_search(stats: DataFrame, terms: list[str] | tuple[str, ...],
     sum is one map-side-combining agg over the filtered slice."""
     from ..ranking import ranked
 
+    top = (_anchor_scored(stats, terms)
+           .orderBy(F.desc("anchor_score"), F.asc("dst")).limit(k))
+    return ranked(top, [("anchor_score", "desc"), ("dst", "asc")])
+
+
+def _anchor_scored(stats: DataFrame, terms) -> DataFrame:
+    """Pre-top-k anchor scoring (kept separate so plan tests can
+    assert on the un-checkpointed frame — ``ranked`` localCheckpoints
+    its input and hides the upstream scan)."""
     q = stats.filter(F.col("term").isin(list(terms)))
     dfq = q.groupBy("term").agg(F.countDistinct("dst").alias("df"))
-    scored = (
+    return (
         q.join(dfq, "term")
         .select("dst",
                 (F.col("n_links") * F.expr(f"{NANO_REL} div df")).alias("w"))
         .groupBy("dst")
         .agg(F.sum("w").cast("long").alias("anchor_score"))
     )
-    top = scored.orderBy(F.desc("anchor_score"), F.asc("dst")).limit(k)
-    return ranked(top, [("anchor_score", "desc"), ("dst", "asc")])
+
+
+def write_anchor_index(stats: DataFrame, path: str,
+                       n_buckets: int = 64) -> dict:
+    """Materialize :func:`anchor_term_stats` once per crawl snapshot
+    as a term-bucketed serving layout — the anchor analogue of the
+    stored MLT/suggest layouts: ``stats/`` partitioned by the md5
+    term bucket (same portable bucket fn as the MLT dictionary) and
+    range-sorted by ``term`` inside each partition so parquet
+    row-group min/max stats prune within the bucket too.  Build cost
+    is one shuffle of the (already tiny next to the crawl) stats
+    table; afterwards a query's ``term IN`` filter reaches the scan
+    as PartitionFilters (bucket) + PushedFilters (term) and touches
+    only its own terms' rows — no corpus pass, no full-stats scan."""
+    import json
+    import os
+
+    from .mlt import _bucket_expr
+
+    (stats.withColumn("bucket", _bucket_expr("term", n_buckets))
+     .repartition("bucket")
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(path, "stats")))
+    meta = {"n_buckets": n_buckets}
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def read_anchor_stats(spark, path: str, terms) -> DataFrame:
+    """The stored anchor-stats rows a query needs: bucket ids computed
+    driver-side (literal PartitionFilters — only the query terms'
+    partition dirs are listed) plus the ``term IN`` pushdown."""
+    import json
+    import os
+
+    from .mlt import _py_bucket
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    buckets = sorted({_py_bucket(t, meta["n_buckets"]) for t in terms})
+    return (spark.read.parquet(os.path.join(path, "stats"))
+            .filter(F.col("bucket").isin(buckets)))
+
+
+def anchor_search_indexed(spark, path: str, terms, k: int = 10) -> DataFrame:
+    """:func:`anchor_search` served from the stored layout: identical
+    results, but the scan reads only the query terms' bucket
+    partitions / row groups instead of recomputing the stats from the
+    crawl."""
+    return anchor_search(read_anchor_stats(spark, path, terms), terms, k)
 
 
 def duckdb_anchor_search_sql(anchor_sql: str, terms, k: int = 10) -> str:

@@ -239,3 +239,32 @@ def test_anchor_search_planted(spark):
             scores[dst] = scores.get(dst, 0) + c * (GR.NANO_REL // df_by_term[term])
     exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert got == [(d, s, i + 1) for i, (d, s) in enumerate(exp)]
+
+
+def test_anchor_index_serves_pruned(spark, tmp_path):
+    """The stored anchor layout serves identical results to the
+    direct computation, and the serving scan is pruned: the query
+    terms' md5 buckets appear as PartitionFilters and the term IN
+    list is pushed to the parquet scan."""
+    n = 40
+    terms = ("topic1", "topic4", "about")
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(n)], "doc_id long, text string")
+    stats = GR.anchor_term_stats(GR.extract_anchors(
+        GR.synthetic_linked_crawl(docs, n_resources=10)))
+    path = str(tmp_path / "anchor_ix")
+    GR.write_anchor_index(stats, path, n_buckets=8)
+
+    direct = [(r["dst"], r["anchor_score"], r["rank"])
+              for r in GR.anchor_search(stats, terms, k=5)
+              .orderBy("rank").collect()]
+    served = [(r["dst"], r["anchor_score"], r["rank"])
+              for r in GR.anchor_search_indexed(spark, path, terms, k=5)
+              .orderBy("rank").collect()]
+    assert served == direct and served
+
+    scored = GR._anchor_scored(
+        GR.read_anchor_stats(spark, path, terms), terms)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "PushedFilters" in plan and "term" in plan
