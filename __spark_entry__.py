@@ -1346,6 +1346,25 @@ def q_pagerank_links(spark, sf):
                        id_col="id")
 
 
+def q_pagerank_hosts(spark, sf):
+    """Weighted host-level PageRank — the cheaper, skew-resistant
+    authority prior most pipelines rank first: the extracted page
+    graph rolled up to (src_host, dst_host, n_links) edges, shares
+    weighted by link multiplicity ((rank*w) div out_weight — BIGINT
+    integer division, exact on both engines), nodes = every crawl
+    host.  Host cardinality is bounded (~1e8 hosts vs 1e12 pages), so
+    the whole ranking state fits where page-level PageRank shuffles
+    terabytes."""
+    docs = _tbl(spark, sf, "documents")
+    pages = GR.synthetic_linked_crawl(docs)
+    hedges = GR.host_graph(GR.extract_links(pages))
+    hosts = (UR.normalize_url(pages)
+             .select(UR.host_of(F.col("norm_url")).alias("id"))
+             .distinct())
+    return GR.pagerank(hosts, hedges, n_iters=8, id_col="id",
+                       weight_col="n_links")
+
+
 def q_nb_classify(spark, sf):
     """Multinomial NB lang classifier, trained on the even-doc_id
     split and scored on the odd split: two map-side-combining
@@ -1588,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boolean": q_search_boolean,
         "ft_boolean_topk": q_ft_boolean_topk,
         "search_anchor_indexed": q_search_anchor_indexed,
+        "pagerank_hosts": q_pagerank_hosts,
         "search_updates": q_search_updates,
         "search_updates_wand": q_search_updates_wand,
         "link_graph": q_link_graph,
@@ -2321,6 +2341,22 @@ he AS (SELECT regexp_extract(src, '^[^:]+://([^/?]*)', 1) AS src,
 SELECT src, dst, CAST(count(*) AS BIGINT) AS n_links
 FROM he WHERE src <> dst GROUP BY src, dst
 """,
+        "pagerank_hosts": GR.duckdb_pagerank_sql(
+            n_iters=8,
+            weighted=True,
+            edges_sql=f"""
+WITH e AS ({GR.duckdb_linked_edges_sql(UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql)}),
+he AS (SELECT regexp_extract(src, '^[^:]+://([^/?]*)', 1) AS src,
+              regexp_extract(dst, '^[^:]+://([^/?]*)', 1) AS dst
+       FROM e)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+FROM he WHERE src <> dst GROUP BY src, dst
+""",
+            nodes_sql=(
+                "SELECT DISTINCT regexp_extract("
+                f"{UR.duckdb_norm_sql('url')}, '^[^:]+://([^/?]*)', 1) AS id "
+                f"FROM ({UR.DUCKDB_SYNTH_SQL})"),
+        ),
         "pagerank_links": GR.duckdb_pagerank_sql(
             n_iters=8,
             edges_sql=GR.duckdb_linked_edges_sql(

@@ -47,27 +47,35 @@ DAMP_NUM, DAMP_DEN = 17, 20     # damping 0.85 as a rational
 
 
 def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = 8,
-             id_col: str = "id") -> DataFrame:
+             id_col: str = "id", weight_col: str | None = None) -> DataFrame:
     """Integer-grid PageRank: ``(id, rank_nano)`` after ``n_iters``
     synchronous iterations over ``edges(src, dst)``.
 
     rank'_v = ((DEN-NUM) * (NANO // N)) // DEN
               + (NUM * (contrib_v + dangling // N)) // DEN
-    with contrib_v = sum over in-edges of (rank_u // out_deg_u) and
-    dangling = sum of ranks of nodes with no out-edges.  Every term
-    is BIGINT; magnitudes stay < 2e10, far inside exact-double and
-    int64 range on both engines."""
+    with contrib_v = sum over in-edges of ((rank_u * w) // out_wt_u)
+    and dangling = sum of ranks of nodes with no out-edges.  With no
+    ``weight_col`` every edge has w = 1 and out_wt = out-degree (the
+    classic page-level form); with ``weight_col`` (e.g. the host
+    graph's ``n_links``) each edge carries its multiplicity — the
+    weighted PageRank host-level priors use.  Every term is BIGINT
+    and the share uses SQL integer division (``div``), so the result
+    is bit-identical on any engine and partitioning; magnitudes stay
+    < 1e15 (rank < 2e10, weights realistically < 1e5 per edge), far
+    inside int64 on both engines."""
     n = nodes.count()
     if n == 0:
         return nodes.select(F.col(id_col).alias("id"),
                             F.lit(0).cast("long").alias("rank_nano"))
     # the graph is STATIC across iterations: materialize the
-    # (src, dst, deg) frame and the sink-node set once, or every
+    # (src, dst, w, deg) frame and the sink-node set once, or every
     # iteration re-runs the upstream edge derivation (distinct /
     # union / scan) three times over
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    ew = edges.select("src", "dst", w.alias("w"))
     edged = (
-        edges.join(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
-                   "src")
+        ew.join(ew.groupBy("src").agg(F.sum("w").alias("deg")), "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     edged.count()
@@ -93,8 +101,11 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = 8,
         ) or 0
         contrib = (
             ranks.join(edged, ranks["id"] == edged["src"])
-            .select("dst", F.floor(F.col("r") / F.col("deg"))
-                    .cast("long").alias("share"))
+            # SQL integer division: exact on BIGINT at any magnitude
+            # (a double floor(a/b) can flip one ulp below an integer
+            # once deg reaches web-scale out-weights)
+            .select("dst", F.expr("CAST((r * w) DIV deg AS LONG)")
+                    .alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("c"))
         )
@@ -473,19 +484,25 @@ SELECT DISTINCT src, dst FROM (
 
 
 def duckdb_pagerank_sql(n_iters: int = 8, edges_sql: str | None = None,
-                        nodes_sql: str | None = None) -> str:
+                        nodes_sql: str | None = None,
+                        weighted: bool = False) -> str:
     """The oracle twin: the same integer-grid iterations unrolled as
     chained CTEs (one pair per iteration).  ``edges_sql``/``nodes_sql``
     default to the synthetic doc-id link table; pass the extracted
     link-graph SQL (``duckdb_linked_edges_sql`` + a normalized-url
     node set) to oracle PageRank over the crawl table itself — node
     ids may be any comparable type (BIGINT doc ids, VARCHAR urls):
-    the iterations only ever join and aggregate on them."""
+    the iterations only ever join and aggregate on them.  With
+    ``weighted`` the edges SQL must expose a BIGINT ``w`` column
+    (edge multiplicity); out-weight and shares then mirror the
+    weighted Spark form exactly."""
     edges_sql = edges_sql or DUCKDB_LINKS_SQL
     nodes_sql = nodes_sql or "SELECT doc_id AS id FROM documents"
+    deg_expr = "sum(w)" if weighted else "count(*)"
+    share_expr = "(r.r * e.w) // g.deg" if weighted else "r.r // g.deg"
     head = f"""
 edges AS MATERIALIZED ({edges_sql}),
-deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+deg AS MATERIALIZED (SELECT src, CAST({deg_expr} AS BIGINT) AS deg FROM edges GROUP BY src),
 nodes AS MATERIALIZED ({nodes_sql}),
 nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
 r0 AS MATERIALIZED (SELECT id,
@@ -497,7 +514,7 @@ r0 AS MATERIALIZED (SELECT id,
         blocks.append(f"""
 d{i} AS MATERIALIZED (SELECT coalesce(sum(r), 0) AS dang FROM r{p}
          WHERE id NOT IN (SELECT src FROM deg)),
-c{i} AS MATERIALIZED (SELECT e.dst AS id, sum(r.r // g.deg) AS c
+c{i} AS MATERIALIZED (SELECT e.dst AS id, sum({share_expr}) AS c
          FROM r{p} r JOIN edges e ON e.src = r.id
          JOIN deg g ON g.src = e.src
          GROUP BY e.dst),

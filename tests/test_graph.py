@@ -268,3 +268,35 @@ def test_anchor_index_serves_pruned(spark, tmp_path):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
     assert "PushedFilters" in plan and "term" in plan
+
+
+def test_pagerank_weighted(spark):
+    """Weighted PageRank: unit weights reproduce the unweighted form
+    bit-for-bit, and doubling EVERY weight leaves ranks unchanged
+    (shares are w/out_weight ratios) — while an asymmetric weighting
+    must shift rank toward the heavier target."""
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 1), (1, 2, 1), (2, 0, 1), (3, 2, 1)],
+        "src long, dst long, w long")
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    plain = {(r["id"], r["rank_nano"])
+             for r in GR.pagerank(nodes, edges, n_iters=6).collect()}
+    unit = {(r["id"], r["rank_nano"])
+            for r in GR.pagerank(nodes, edges, n_iters=6,
+                                 weight_col="w").collect()}
+    assert unit == plain
+    from pyspark.sql import functions as F
+
+    doubled = edges.withColumn("w", F.col("w") * 2)
+    scaled = {(r["id"], r["rank_nano"])
+              for r in GR.pagerank(nodes, doubled, n_iters=6,
+                                   weight_col="w").collect()}
+    assert scaled == plain
+    skew = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 1), (1, 2, 1), (2, 0, 1), (3, 2, 1)],
+        "src long, dst long, w long")
+    ranks = {r["id"]: r["rank_nano"]
+             for r in GR.pagerank(nodes, skew, n_iters=6,
+                                  weight_col="w").collect()}
+    plain_by = dict(plain)
+    assert ranks[1] > plain_by[1]  # node 1 now receives 9/10 of node 0
