@@ -140,6 +140,28 @@ def main() -> None:
         return GR.anchor_search(stats, ("topic2", "topic5", "about"), k=10)
 
     run("anchor_search_topk", _anchor_search)
+
+    if args.only is None or "anchor_search_indexed" in args.only:
+        # build the stored layout OUTSIDE the timer: it is a
+        # once-per-corpus artifact; the measured number is the
+        # per-query serve from the pruned bucket partitions
+        import tempfile as _tf
+
+        anchor_ix = _tf.mkdtemp(prefix="pb_anchor_ix_")
+        GR.write_anchor_index(GR.anchor_term_stats(
+            GR.extract_anchors(linked)), anchor_ix)
+        run("anchor_search_indexed", lambda: GR.anchor_search_indexed(
+            spark, anchor_ix, ("topic2", "topic5", "about"), k=10))
+
+    def _pagerank_hosts():
+        hedges = GR.host_graph(GR.extract_links(linked))
+        hosts = (UR.normalize_url(linked)
+                 .select(UR.host_of(F.col("norm_url")).alias("id"))
+                 .distinct())
+        return GR.pagerank(hosts, hedges, n_iters=8, id_col="id",
+                           weight_col="n_links")
+
+    run("pagerank_hosts_8iter", _pagerank_hosts)
     lined = CU.synthetic_lined(docs)
     run("dedup_lines_raw", lambda: CU.dedup_lines(
         lined, min_docs=30, line_key="text"))
