@@ -1346,6 +1346,16 @@ def q_pagerank_links(spark, sf):
                        id_col="id")
 
 
+def q_text_related_terms(spark, sf):
+    """Corpus-driven related terms ("related searches" / automatic
+    query expansion): terms ranked by document-set Jaccard with the
+    seed on the half-up 1e-6 integer grid (exact on both engines).
+    The seed's doc set is one posting list (semi-join); co-counts are
+    one map-side-combining agg over the seed docs' rows only."""
+    docs = _tbl(spark, sf, "documents")
+    return TS.related_terms(docs, "join", k=15)
+
+
 def q_pagerank_hosts(spark, sf):
     """Weighted host-level PageRank — the cheaper, skew-resistant
     authority prior most pipelines rank first: the extracted page
@@ -1608,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boolean_topk": q_ft_boolean_topk,
         "search_anchor_indexed": q_search_anchor_indexed,
         "pagerank_hosts": q_pagerank_hosts,
+        "text_related_terms": q_text_related_terms,
         "search_updates": q_search_updates,
         "search_updates_wand": q_search_updates_wand,
         "link_graph": q_link_graph,
@@ -2452,6 +2463,25 @@ ranked AS (SELECT doc_id, phrase_tf,
 SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 20
 """,
         "ft_bm25_topk": _FT_BM25_SQL,
+        "text_related_terms": f"""
+WITH {_TF_CTE},
+sd AS (SELECT DISTINCT doc_id FROM tf WHERE tok = 'join'),
+co AS (SELECT tok, CAST(count(*) AS BIGINT) AS co_df
+       FROM tf JOIN sd USING (doc_id) WHERE tok <> 'join'
+       GROUP BY tok HAVING count(*) >= 2),
+dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS df_seed FROM sd),
+s AS (SELECT co.tok AS term, co.co_df,
+        CAST((1000000 * co.co_df)
+             // ((SELECT df_seed FROM ns) + dfs.df - co.co_df)
+           AS BIGINT) AS jaccard_micro
+      FROM co JOIN dfs ON co.tok = dfs.tok),
+rk AS (SELECT term, co_df, jaccard_micro,
+         CAST(row_number() OVER (ORDER BY jaccard_micro DESC, term ASC)
+              AS BIGINT) AS rank
+       FROM s)
+SELECT term, co_df, jaccard_micro, rank FROM rk WHERE rank <= 15
+""",
         "ft_boolean_topk": f"""
 WITH {_TF_CTE},
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),

@@ -79,6 +79,55 @@ def shared_doc_tf(docs: DataFrame) -> DataFrame:
     return tf
 
 
+def related_terms(docs: DataFrame, seed: str, k: int = 15,
+                  min_co: int = 2) -> DataFrame:
+    """Corpus-driven related terms for ``seed`` — the data behind
+    "related searches" / automatic query expansion (the corpus-learned
+    counterpart of the engine's offline synonym table): terms ranked
+    by document-set Jaccard with the seed on the half-up 1e-6 INTEGER
+    grid, so the ranking is exact on any engine.
+
+        jaccard_micro(t) = (1e6 * co_df) div (df_seed + df_t - co_df)
+
+    with co_df = docs containing both, df from the same tokenization.
+    ``min_co`` drops hapax coincidences.  Output (term, co_df,
+    jaccard_micro, rank), ties (score desc, term asc), cut at ``k``.
+
+    Scale shape (10^12 docs): the seed's doc set is one posting list
+    (semi-join, never a corpus pass); co-counts are ONE map-side-
+    combining agg over the seed docs' rows only; df comes from the
+    corpus-wide term stats a real deployment already stores (the
+    dictionary) — recomputed here from tf so the row is closed over
+    the driver tables."""
+    from ..ranking import ranked
+
+    tf = shared_doc_tf(docs)
+    seed_docs = tf.filter(F.col("tok") == seed).select("doc_id")
+    df_seed = seed_docs.count()
+    if df_seed == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "term string, co_df long, jaccard_micro long, rank int")
+    co = (
+        tf.join(seed_docs, "doc_id", "leftsemi")
+        .filter(F.col("tok") != seed)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_df"))
+        .filter(F.col("co_df") >= min_co)
+    )
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        co.join(dfs, "tok")
+        .select(
+            F.col("tok").alias("term"),
+            "co_df",
+            F.expr(f"CAST((1000000 * co_df) DIV ({df_seed} + df - co_df) "
+                   "AS LONG)").alias("jaccard_micro"),
+        )
+    )
+    top = scored.orderBy(F.desc("jaccard_micro"), F.asc("term")).limit(k)
+    return ranked(top, [("jaccard_micro", "desc"), ("term", "asc")])
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: total tokens, distinct tokens, mean token
     length per document (whitespace+punct tokenization)."""

@@ -604,3 +604,30 @@ def test_trained_ivf_centroids_beat_seed_recall(spark):
     again = SIM.train_ivf_centroids(emb.repartition(7, "vec_id"),
                                     n_centroids=8, n_iters=4)
     assert np.array_equal(trained, again)
+
+
+def test_related_terms_planted(spark):
+    """Integer-Jaccard related terms on a planted co-occurrence
+    corpus: 'alpha' always co-occurs with 'beta' (jaccard 1e6), half
+    the time with 'gamma', never with 'delta'; hapax coincidences
+    (min_co) are dropped."""
+    from search_engine_spark.operators import textstats as TS
+
+    rows = []
+    for i in range(12):
+        words = ["alpha", "beta"]
+        if i % 2 == 0:
+            words.append("gamma")
+        rows.append((i, " ".join(words)))
+    for i in range(12, 18):
+        rows.append((i, "delta gamma"))
+    rows.append((18, "alpha beta epsilon"))  # epsilon co-occurs once
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["term"], r["co_df"], r["jaccard_micro"], r["rank"])
+           for r in TS.related_terms(docs, "alpha", k=10, min_co=2)
+           .orderBy("rank").collect()]
+    # df(alpha)=13, df(beta)=13, co=13 -> 1e6; gamma: co=6, df=12,
+    # union=19 -> 315789; delta: co=0 (absent); epsilon: co=1 < min_co
+    assert got == [("beta", 13, 1_000_000, 1),
+                   ("gamma", 6, 315_789, 2)]
+    assert TS.related_terms(docs, "nosuchterm").count() == 0
