@@ -45,6 +45,7 @@ from search_engine_spark.config import EngineConfig
 from search_engine_spark.incremental import add_documents
 from search_engine_spark.indexer import build_index
 from search_engine_spark.operators import classify as CL
+from search_engine_spark.operators import collapse as CO
 from search_engine_spark.operators import curation as CU
 from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import embed as EM
@@ -80,6 +81,10 @@ _ANN_CACHE: dict[str, str] = {}
 _MLT_CACHE: dict[str, str] = {}
 _SUGGEST_CACHE: dict[str, str] = {}
 _ANCHOR_CACHE: dict[str, str] = {}
+_AC_CACHE: dict[str, str] = {}
+
+# suggest-box prefixes for the autocomplete rows (typed first letters)
+AC_PREFIXES = ("c", "d", "s")
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -231,6 +236,26 @@ def _mlt_index_for(spark: SparkSession, sf_dir: str) -> str:
         _MLT_CACHE[key] = _atomic_publish(
             out, lambda tmp: MLT.write_mlt_index(_tbl(spark, key, "documents"), tmp))
     return _MLT_CACHE[key]
+
+
+def _autocomplete_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir, cached on disk) the range-sorted
+    autocomplete vocabulary over the documents dictionary, so the
+    driver row serves the suggest box from a startswith-pruned stored
+    scan instead of recomputing the dictionary per keystroke."""
+    key = os.path.abspath(sf_dir)
+    if key not in _AC_CACHE:
+        tag = hashlib.md5(f"{key}|acomp1".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_ac_{tag}")
+
+        def build(tmp: str) -> None:
+            dic = _doc_tf(_tbl(spark, key, "documents")).groupBy("tok").agg(
+                F.sum("tf").cast("long").alias("cf"))
+            SN.write_autocomplete_index(dic, os.path.join(tmp, "ix"),
+                                        term_col="tok", cf_col="cf")
+
+        _AC_CACHE[key] = _atomic_publish(out, build)
+    return os.path.join(_AC_CACHE[key], "ix")
 
 
 def _suggest_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -407,6 +432,61 @@ def q_ft_boolean_topk(spark, sf):
     )
 
 
+def q_ft_diversified_topk(spark, sf):
+    """R4 + host-collapse: the relational BM25 scored set diversified
+    to at most 2 results per source (the classic two-per-host result
+    page rule), then the global top-10 — fully SQL-checkable.  The
+    per-source cap is a row_number window PARTITIONED BY source
+    (bounded cardinality — never a global single-partition sort); the
+    final cut plans as TakeOrderedAndProject."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    qtf = tf.filter(F.col("tok").isin(*FT_QUERY_TERMS))
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    src = scored.join(docs.select("doc_id", "source"), "doc_id")
+    out = CO.collapse_run(src, group_col="source", per_group=2, k=10,
+                          score_col="score", id_col="doc_id")
+    return (out.withColumn("rank", F.col("rank").cast("long"))
+            .select("doc_id", "source", "score", "rank"))
+
+
+def q_text_autocomplete(spark, sf):
+    """Suggest box: top-4 completions per typed prefix by collection
+    frequency (BIGINT — exact), completion asc under ties.  The plan
+    broadcasts the handful of prefixes against the dictionary; the
+    stored serving layout is exercised by search_autocomplete_indexed
+    against the SAME oracle."""
+    dic = _doc_tf(_tbl(spark, sf, "documents")).groupBy("tok").agg(
+        F.sum("tf").cast("long").alias("cf"))
+    return SN.autocomplete(dic, list(AC_PREFIXES), k=4,
+                           term_col="tok", cf_col="cf")
+
+
+def q_search_autocomplete_indexed(spark, sf):
+    """The suggest box served from the STORED range-sorted vocabulary
+    (built once per corpus, cached): identical output to
+    text_autocomplete — same SQL oracle — but the scan is a
+    startswith pushdown over term-range-sorted parquet, so only row
+    groups overlapping the typed prefixes decompress
+    (plan-asserted in tests/test_autocomplete.py)."""
+    return SN.autocomplete_indexed(
+        spark, _autocomplete_index_for(spark, sf), list(AC_PREFIXES), k=4)
+
+
 # ---------------------------------------------------------------------------
 # queries — full engine equivalence rows.  The packed-index paths are
 # not SQL-expressible (the N1-N15 parser + Porter stemming feed them),
@@ -448,6 +528,31 @@ def q_search_boolean(spark, sf):
         eng.boolean_search(must="data", should="table row",
                            must_not="dup", k=20),
         TW.twin_boolean_topk(spark, eng, "data", "table row", "dup", 20),
+        exact=["url"], approx=["score"],
+    )
+
+
+def q_search_collapse(spark, sf):
+    """Two-per-source result-page collapse over the packed-index BM25
+    top-50 pool ≡ the SAME collapse over the plain-postings twin pool
+    — through two DIFFERENT physical plans (window row_number vs
+    sort_array/slice aggregation, collapse.py), per rank.  The pool
+    cut is deterministic on both sides ((score desc, url asc) total
+    order), so the equivalence pins pool + grouping join + cap +
+    re-rank end to end."""
+    eng = _engine_for(spark, sf)
+    src = _tbl(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "source")
+    pool_e = (eng.search(ENGINE_QUERY, 50).select("url", "score")
+              .join(src, "url"))
+    e = CO.collapse_run(pool_e, group_col="source", per_group=2, k=10,
+                        score_col="score", id_col="url")
+    pool_t = (TW.twin_bm25_topk(spark, eng, ENGINE_QUERY, 50)
+              .select("url", "score").join(src, "url"))
+    t = CO.collapse_run_agg(pool_t, group_col="source", per_group=2, k=10,
+                            score_col="score", id_col="url")
+    return _rank_eq(
+        e.select("url", "score", "rank"), t.select("url", "score", "rank"),
         exact=["url"], approx=["score"],
     )
 
@@ -1601,16 +1706,20 @@ def q_multimodal_resize(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    seven new rows first, then the 25 rows whose latest driver stamp is
-    r01-r03 (round 4's tail — rotated back in so no row's stamp ages
-    past two rounds), then r04-stamped rows covering the full
-    packed-engine family (whose read paths this round's
+    new rows first (never driver-stamped), then the 25 rows whose
+    latest driver stamp is r01-r03 (round 4's tail — rotated back in
+    so no row's stamp ages past two rounds), then r04-stamped rows
+    covering the packed-engine family (whose read paths this round's
     generation-aware tombstones touched).  The rows past the
     window all carry CORRECTNESS_r04 stamps AND
     tests/test_entry_oracle.py re-runs the ACTUAL tail
     (list(queries())[50:]) against DuckDB every CI run."""
     return {
         # --- window, part 1: round-5 rows (never driver-stamped)
+        "ft_diversified_topk": q_ft_diversified_topk,
+        "search_collapse": q_search_collapse,
+        "text_autocomplete": q_text_autocomplete,
+        "search_autocomplete_indexed": q_search_autocomplete_indexed,
         "link_anchor_terms": q_link_anchor_terms,
         "search_anchor_topk": q_search_anchor_topk,
         "search_anchor_authority": q_search_anchor_authority,
@@ -2251,9 +2360,9 @@ def _oracle_sql_base() -> dict[str, str]:
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     )
     blocked = ", ".join(f"'{h}'" for h in BLOCKED_HOSTS)
-    # shared by the ft_bm25_topk row and the pagerank_blend re-ranker
-    _FT_BM25_SQL = f"""
-WITH {_TF_CTE},
+    # scored-set CTE chain shared by the ft_bm25_topk row, the
+    # pagerank_blend re-ranker, and the diversified-collapse row
+    _FT_SCORED = f"""{_TF_CTE},
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
 stats AS (SELECT avg(dl) AS avgdl, (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n FROM dl),
 qtf AS (SELECT * FROM tf WHERE tok IN ({qt})),
@@ -2262,11 +2371,43 @@ contrib AS (
   SELECT qtf.doc_id, log2((SELECT n FROM stats) / dfreq.df) AS idf, qtf.tf, dl.dl
   FROM qtf JOIN dfreq ON qtf.tok = dfreq.tok JOIN dl ON qtf.doc_id = dl.doc_id
 ),
-scored AS (SELECT doc_id, round(sum({_BM25_EXPR}), 6) AS score FROM contrib GROUP BY doc_id),
+scored AS (SELECT doc_id, round(sum({_BM25_EXPR}), 6) AS score FROM contrib GROUP BY doc_id)"""
+    _FT_BM25_SQL = f"""
+WITH {_FT_SCORED},
 ranked AS (SELECT doc_id, score,
                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
            FROM scored)
 SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
+"""
+    # two-per-source collapse of the same scored set, then top-10
+    _FT_DIVERSIFIED_SQL = f"""
+WITH {_FT_SCORED},
+src AS (SELECT s.doc_id, d.source, s.score
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+capped AS (SELECT doc_id, source, score,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY score DESC, doc_id ASC) AS gpos
+           FROM src),
+rk AS (SELECT doc_id, source, score,
+              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       FROM capped WHERE gpos <= 2)
+SELECT doc_id, source, score, rank FROM rk WHERE rank <= 10
+"""
+    _AC_PREF = ", ".join(f"'{p}'" for p in AC_PREFIXES)
+    # suggest box: top-4 completions per prefix by cf desc, term asc
+    # (all-BIGINT ranking — exact); shared by the fresh-scan row and
+    # the stored-layout row, which must produce identical output
+    _AC_SQL = f"""
+WITH {_TF_CTE},
+dict AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY tok),
+pref AS (SELECT unnest([{_AC_PREF}]) AS prefix),
+cand AS (SELECT p.prefix, d.tok AS completion, d.cf
+         FROM dict d JOIN pref p ON d.tok LIKE p.prefix || '%'),
+rk AS (SELECT prefix, completion, cf,
+              CAST(row_number() OVER (PARTITION BY prefix
+                                      ORDER BY cf DESC, completion ASC) AS BIGINT) AS rank
+       FROM cand)
+SELECT prefix, completion, cf, rank FROM rk WHERE rank <= 4
 """
     return {
         "dedup_lines": _DEDUP_LINES_SQL,
@@ -2463,6 +2604,11 @@ ranked AS (SELECT doc_id, phrase_tf,
 SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 20
 """,
         "ft_bm25_topk": _FT_BM25_SQL,
+        "ft_diversified_topk": _FT_DIVERSIFIED_SQL,
+        "text_autocomplete": _AC_SQL,
+        # stored-layout serve must equal the fresh dictionary scan —
+        # the SAME oracle pins both
+        "search_autocomplete_indexed": _AC_SQL,
         "text_related_terms": f"""
 WITH {_TF_CTE},
 sd AS (SELECT DISTINCT doc_id FROM tf WHERE tok = 'join'),
@@ -2902,6 +3048,10 @@ FROM range(1, 21)
         "search_wand_topk": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
+""",
+        "search_collapse": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 11)
 """,
         "search_boolean": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match

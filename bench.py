@@ -148,6 +148,8 @@ def main() -> None:
         "pagerank_links",
         "link_anchor_terms",
         "search_anchor_topk",
+        "search_autocomplete_indexed",
+        "search_collapse",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir))
 

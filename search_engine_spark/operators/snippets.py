@@ -29,6 +29,13 @@ variant equality join has FULL RECALL and the per-candidate
 levenshtein verify makes the output identical to the brute scan —
 but the per-query plan is a pushdown-pruned lookup of a few hundred
 variant keys, not a vocab scan.
+
+``autocomplete`` / ``write_autocomplete_index`` /
+``autocomplete_indexed`` — the suggest box: top-k completions of a
+typed prefix by collection frequency, served from a range-sorted
+stored vocabulary whose ``startswith`` filter prunes parquet row
+groups (string min/max stats), with the same index-lineage
+staleness stamp as the MLT/suggest layouts.
 """
 
 from __future__ import annotations
@@ -36,7 +43,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # the ONE ML-pipeline tokenization every documents-table operator
@@ -274,3 +281,112 @@ def suggest_terms_indexed(spark: SparkSession, path: str, terms: list[str],
         F.col("b.dist").cast("long").alias("dist"),
         (-F.col("b.neg_df")).cast("long").alias("df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix autocomplete ("search as you type")
+
+
+def autocomplete(dictionary: DataFrame, prefixes: list[str], k: int = 8,
+                 term_col: str = "term_key",
+                 cf_col: str = "cf") -> DataFrame:
+    """(prefix, completion, cf, rank) — for each query prefix, the
+    top-``k`` vocabulary completions ordered by collection frequency
+    desc, completion asc (total order: deterministic under cf ties).
+
+    The suggest-box operator every search front-end fires on each
+    keystroke.  Plan: broadcast the HANDFUL of typed prefixes against
+    the dictionary scan (``startswith`` is a codegen predicate — at
+    most a few prefix rows per vocab row, never a corpus pass), then
+    one per-prefix ``row_number`` window over the surviving
+    candidates.  The window partitions by prefix — a few partitions
+    of vocab-subset size, no global sort.  ``cf`` stays BIGINT all
+    the way, so ranking is exact and engine-independent.
+
+    Serving at scale reads the STORED range-sorted layout instead
+    (:func:`write_autocomplete_index` / :func:`autocomplete_indexed`)
+    — same output, pruned scan.
+    """
+    spark = dictionary.sparkSession
+    q = spark.createDataFrame(
+        [(p,) for p in sorted(set(prefixes))], "prefix string")
+    vocab = dictionary.select(
+        F.col(term_col).alias("completion"),
+        F.col(cf_col).cast("long").alias("cf"),
+    )
+    cand = vocab.join(
+        F.broadcast(q), F.col("completion").startswith(F.col("prefix")))
+    w = Window.partitionBy("prefix").orderBy(
+        F.desc("cf"), F.asc("completion"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("prefix", "completion", "cf", "rank")
+    )
+
+
+def write_autocomplete_index(dictionary: DataFrame, path: str,
+                             term_col: str = "term_key",
+                             cf_col: str = "cf", n_files: int = 8,
+                             index_dir: str | None = None) -> None:
+    """Materialize the (completion, cf) vocabulary range-sorted by
+    completion so a prefix query's ``startswith`` filter prunes at
+    the parquet row-group level (min/max string stats — Spark pushes
+    ``StringStartsWith`` to the parquet reader): the suggest-box
+    lookup touches only the row groups whose term range overlaps the
+    prefix, never the whole vocabulary.
+
+    Pass ``index_dir`` (the packed index whose dictionary fed this
+    layout) to stamp its lineage position, exactly like the stored
+    MLT/suggest layouts: the vocabulary is a corpus snapshot, and
+    after an index mutation the box would silently complete to
+    deleted terms (or miss new ones) — with the stamp,
+    :func:`autocomplete_indexed` refuses instead until a rebuild."""
+    vocab = dictionary.select(
+        F.col(term_col).alias("completion"),
+        F.col(cf_col).cast("long").alias("cf"),
+    )
+    (vocab.repartitionByRange(n_files, "completion")
+     .sortWithinPartitions("completion")
+     .write.mode("overwrite").parquet(os.path.join(path, "vocab")))
+    meta: dict = {"term_col": term_col}
+    if index_dir is not None:
+        from ..indexer import index_fingerprint
+
+        meta["index_dir"] = os.path.abspath(index_dir)
+        meta["index_fingerprint"] = index_fingerprint(index_dir)
+    with open(os.path.join(path, "_autocomplete_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def autocomplete_indexed(spark: SparkSession, path: str,
+                         prefixes: list[str], k: int = 8) -> DataFrame:
+    """Autocomplete served from the STORED layout — output identical
+    to :func:`autocomplete` on the same vocabulary, but the scan is a
+    literal ``startswith`` pushdown over the range-sorted files (row
+    groups outside every prefix's term range never decompress).
+
+    Refuses to serve when the layout was stamped against a packed
+    index that has since moved (stale vocabulary), like the stored
+    MLT/suggest layouts."""
+    meta_path = os.path.join(path, "_autocomplete_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("index_fingerprint") is not None:
+            from ..indexer import index_fingerprint
+
+            current = index_fingerprint(meta["index_dir"])
+            if current != meta["index_fingerprint"]:
+                raise RuntimeError(
+                    f"autocomplete index at {path} is STALE: built at "
+                    f"index position {meta['index_fingerprint']}, index "
+                    f"is now at {current} — its vocabulary no longer "
+                    "matches; rebuild with write_autocomplete_index "
+                    "after index mutations")
+    ps = sorted(set(prefixes))
+    cond = F.col("completion").startswith(ps[0])
+    for p in ps[1:]:
+        cond = cond | F.col("completion").startswith(p)
+    vocab = spark.read.parquet(os.path.join(path, "vocab")).filter(cond)
+    return autocomplete(vocab, ps, k, term_col="completion", cf_col="cf")
