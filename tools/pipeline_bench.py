@@ -168,6 +168,35 @@ def main() -> None:
     run("dedup_lines_digest", lambda: CU.dedup_lines(
         lined, min_docs=30, line_key="digest"))
 
+    # result-page collapse over a FULL corpus-sized scored set (the
+    # offline re-rank shape: window partitioned by host, never a
+    # global sort) — the serving path collapses a pool cut instead
+    from search_engine_spark.operators import collapse as CP
+
+    def _collapse_full():
+        scored = docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            (F.col("doc_id") % 997).cast("string").alias("host"),
+            (F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+                    F.lit(1_000_000))).cast("double").alias("score"))
+        return CP.collapse_run(scored, group_col="host", per_group=2, k=10)
+
+    run("collapse_full_corpus", _collapse_full)
+
+    if args.only is None or "autocomplete_indexed" in args.only:
+        # layout built OUTSIDE the timer (once-per-corpus artifact);
+        # measured: the startswith-pruned suggest-box serve
+        import tempfile as _tf2
+
+        from search_engine_spark.operators import snippets as SNP
+
+        dic = (docs.select(F.explode(TS.simple_tokens()).alias("tok"))
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("cf")))
+        ac_ix = _tf2.mkdtemp(prefix="pb_ac_ix_")
+        SNP.write_autocomplete_index(dic, ac_ix, term_col="tok", cf_col="cf")
+        run("autocomplete_indexed", lambda: SNP.autocomplete_indexed(
+            spark, ac_ix, ["s", "c", "d"], k=4))
+
     print(json.dumps({
         "metric": "pipeline ops at scale corpus",
         "docs": args.docs,
