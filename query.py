@@ -7,6 +7,8 @@
     python query.py --index /tmp/ix --phrase "world trade"   # exact phrase
     python query.py --index /tmp/ix --must nation --must-not growth "policy"  # boolean
     python query.py --index /tmp/ix --loop 20 "world trade"  # q/s measurement
+    python query.py --index /tmp/ix --collapse 2 "world trade" # <=2 hits/host
+    python query.py --index /tmp/ix --complete wor tra       # suggest box
 
 Cluster: ``spark-submit --py-files engine.zip query.py ...``.
 Outputs TREC-style lines ``qid rank url score`` (real scores — the
@@ -41,6 +43,12 @@ def main() -> None:
                     help="boolean search: terms no result may contain")
     ap.add_argument("--loop", type=int, default=0,
                     help="repeat the query N times and report q/s")
+    ap.add_argument("--complete", action="store_true",
+                    help="args are typed prefixes; print top-k dictionary "
+                         "completions by collection frequency")
+    ap.add_argument("--collapse", type=int, default=0, metavar="N",
+                    help="diversify the result page: at most N results per "
+                         "host (pool = max(50, 5k), then top-k)")
     ap.add_argument("query", nargs="+")
     args = ap.parse_args()
 
@@ -50,6 +58,16 @@ def main() -> None:
 
     spark = get_spark(app="query", master=args.master)
     eng = SearchEngine(spark, args.index)
+
+    if args.complete:
+        from search_engine_spark.operators.snippets import autocomplete
+
+        out = autocomplete(eng.dictionary, args.query, args.k,
+                           term_col="term_key", cf_col="cf")
+        for r in out.collect():
+            print(f"{r['prefix']} {r['rank']} {r['completion']} {r['cf']}")
+        spark.stop()
+        return
 
     if args.batch:
         pairs = []
@@ -85,6 +103,22 @@ def main() -> None:
             dt = time.time() - t0
             print(json.dumps({"queries": args.loop, "seconds": round(dt, 3),
                               "qps": round(args.loop / dt, 2)}))
+        elif args.collapse:
+            from pyspark.sql import functions as F
+
+            from search_engine_spark.operators.collapse import collapse_run
+            from search_engine_spark.operators.urls import _norm_expr, host_of
+
+            pool_k = max(50, 5 * args.k)
+            pool = (
+                (wand_search(eng, text, pool_k) if args.wand
+                 else eng.search(text, pool_k))
+                .withColumn("host", host_of(_norm_expr(F.col("url"))))
+            )
+            out = collapse_run(pool, group_col="host",
+                               per_group=args.collapse, k=args.k)
+            for r in out.collect():
+                print(f"q1 {r['rank']} {r['url']} {r['score']:.6f}")
         else:
             for r in run().collect():
                 print(f"q1 {r['rank']} {r['url']} {r['score']:.6f}")

@@ -45,6 +45,10 @@ def collapse_run(run: DataFrame, group_col: str = "host",
 
     Returns the surviving run columns plus a fresh ``rank``.
     """
+    # scored runs commonly arrive with their own rank column (e.g.
+    # SearchEngine.search output); the collapse re-ranks, so drop it
+    if "rank" in run.columns:
+        run = run.drop("rank")
     w = Window.partitionBy(group_col).orderBy(
         F.desc(score_col), F.asc(id_col))
     kept = (
@@ -69,6 +73,8 @@ def collapse_run_agg(run: DataFrame, group_col: str = "host",
     equivalence row so the two engines do not share a code path;
     also the better shape when ``per_group`` is tiny and groups are
     hot (one combine-capable agg, no window state)."""
+    if "rank" in run.columns:
+        run = run.drop("rank")
     packed = run.select(
         F.col(group_col),
         F.struct(

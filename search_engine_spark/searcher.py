@@ -159,6 +159,16 @@ class SearchEngine:
             return df
         return df.join(dead, ["shard", "local_id"], "left_anti")
 
+    @property
+    def dictionary(self) -> DataFrame:
+        """The packed index's term dictionary (term_key, df, cf, idf,
+        capital, display, ...) as a lazy DataFrame — the S5 source
+        surfaced for read-only consumers (suggest box, spell index,
+        vocabulary exports).  Point lookups should go through
+        resolve_terms (bucket-pruned); full-vocab derivations (e.g.
+        write_autocomplete_index / write_suggest_index) read this."""
+        return self._dictionary
+
     # -- term resolution ----------------------------------------------------
     def parse_query(self, query: str) -> list[str]:
         """title@desc split + the shared parse kernels; returns the
