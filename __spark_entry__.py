@@ -70,6 +70,11 @@ from search_engine_spark.wand import wand_search
 BM25_K1, BM25_B = 1.2, 0.75          # Ranker.java:33 constants
 FT_QUERY_TERMS = ("table", "join", "query")
 ENGINE_QUERY = "data table row"
+# typo-tolerant retrieval: misspellings whose corrections are stable
+# across scales ('merge' exact-hits at dist 0, 'qery'→'query' at 1,
+# 'tabel'→'table' at 2, 'xqzv' has no candidate within 2 and drops)
+FT_FUZZY_TERMS = ("tabel", "qery", "merge", "xqzv")
+FUZZY_ENGINE_QUERY = "data tabel qery zzzzqqq"
 SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8h session gap (median per-user gap ~7.3h)
 
 _ENTRY_CFG = EngineConfig(n_doc_shards=8, n_term_buckets=8, n_bucket_groups=2,
@@ -382,6 +387,58 @@ def q_ft_bm25_topk(spark, sf):
     )
 
 
+def q_ft_fuzzy_topk(spark, sf):
+    """Typo-tolerant relational BM25 top-20, fully SQL-checkable: each
+    misspelled query term corrects to its single closest vocabulary
+    term within 2 edits (ties: higher df, then term asc — the
+    spell-suggest rule), exact hits self-correct at distance 0,
+    hopeless terms drop out, and the corrected term set feeds the SAME
+    BM25 chain as ft_bm25_topk.  The correction joins the 4-row query
+    broadcast against the term-level vocabulary (length-prefiltered
+    codegen levenshtein — vocab-linear, never corpus-linear) and stays
+    in ONE plan: no collect between correction and scoring."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    vocab = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("vdf"))
+    q = spark.createDataFrame([(t,) for t in FT_FUZZY_TERMS], "term string")
+    cand = (
+        vocab.join(F.broadcast(q),
+                   F.abs(F.length("tok") - F.length("term")) <= 2)
+        .withColumn("dist", F.levenshtein("term", "tok"))
+        .filter(F.col("dist") <= 2)
+    )
+    best = (
+        cand.groupBy("term")
+        .agg(F.min(F.struct(
+            F.col("dist"), (-F.col("vdf")).alias("neg_df"), F.col("tok")
+        )).alias("b"))
+        .select(F.col("b.tok").alias("tok")).distinct()
+    )
+    # provably <= |query terms| rows — broadcast is safe by construction
+    qtf = tf.join(F.broadcast(best), "tok")
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return (
+        ranked(topk, [("score", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "score", "rank")
+    )
+
+
 # boolean clauses for the ft_boolean_topk row (simple tokenization)
 BOOL_MUST = ("data",)
 BOOL_SHOULD = ("join", "query")
@@ -511,6 +568,23 @@ def q_search_bm25_topk(spark, sf):
     return _rank_eq(
         eng.search(ENGINE_QUERY, 20),
         TW.twin_bm25_topk(spark, eng, ENGINE_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
+
+
+def q_search_fuzzy(spark, sf):
+    """Typo-tolerant packed-index search ≡ plain-postings twin, per
+    rank: 'data' resolves exactly, the misspellings correct through
+    the dictionary's (dist asc, df desc, term asc) rule — engine via a
+    min_by struct over the levenshtein-filtered vocabulary scan
+    (snippets.suggest_terms), twin via a row_number window over
+    stats-as-packed raw-posting df (a DIFFERENT physical plan) — and
+    the hopeless term drops out on both sides before the shared BM25
+    tail scores the corrected keys."""
+    eng = _engine_for(spark, sf)
+    return _rank_eq(
+        eng.fuzzy_search(FUZZY_ENGINE_QUERY, 20),
+        TW.twin_fuzzy_topk(spark, eng, FUZZY_ENGINE_QUERY, 20),
         exact=["url"], approx=["score"],
     )
 
@@ -1716,6 +1790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (list(queries())[50:]) against DuckDB every CI run."""
     return {
         # --- window, part 1: round-5 rows (never driver-stamped)
+        "ft_fuzzy_topk": q_ft_fuzzy_topk,
+        "search_fuzzy": q_search_fuzzy,
         "ft_diversified_topk": q_ft_diversified_topk,
         "search_collapse": q_search_collapse,
         "text_autocomplete": q_text_autocomplete,
@@ -2379,6 +2455,36 @@ ranked AS (SELECT doc_id, score,
            FROM scored)
 SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
 """
+    # typo-tolerant retrieval: correct each misspelling to its closest
+    # vocabulary term (dist asc, df desc, term asc), then the same
+    # BM25 chain over the corrected term set
+    _fz = ", ".join(f"('{t}')" for t in FT_FUZZY_TERMS)
+    _FT_FUZZY_SQL = f"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n FROM dl),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS vdf FROM tf GROUP BY tok),
+q(term) AS (VALUES {_fz}),
+cand AS (SELECT q.term, v.tok, v.vdf, levenshtein(q.term, v.tok) AS dist
+         FROM q, vocab v
+         WHERE abs(length(v.tok) - length(q.term)) <= 2
+           AND levenshtein(q.term, v.tok) <= 2),
+best AS (SELECT DISTINCT tok FROM (
+           SELECT tok, row_number() OVER (PARTITION BY term
+                                          ORDER BY dist, vdf DESC, tok) AS rn
+           FROM cand) WHERE rn = 1),
+qtf AS (SELECT tf.* FROM tf JOIN best USING (tok)),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY tok),
+contrib AS (
+  SELECT qtf.doc_id, log2((SELECT n FROM stats) / dfreq.df) AS idf, qtf.tf, dl.dl
+  FROM qtf JOIN dfreq ON qtf.tok = dfreq.tok JOIN dl ON qtf.doc_id = dl.doc_id
+),
+scored AS (SELECT doc_id, round(sum({_BM25_EXPR}), 6) AS score FROM contrib GROUP BY doc_id),
+rk AS (SELECT doc_id, score,
+              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       FROM scored)
+SELECT doc_id, score, rank FROM rk WHERE rank <= 20
+"""
     # two-per-source collapse of the same scored set, then top-10
     _FT_DIVERSIFIED_SQL = f"""
 WITH {_FT_SCORED},
@@ -2604,6 +2710,11 @@ ranked AS (SELECT doc_id, phrase_tf,
 SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 20
 """,
         "ft_bm25_topk": _FT_BM25_SQL,
+        "ft_fuzzy_topk": _FT_FUZZY_SQL,
+        "search_fuzzy": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
         "ft_diversified_topk": _FT_DIVERSIFIED_SQL,
         "text_autocomplete": _AC_SQL,
         # stored-layout serve must equal the fresh dictionary scan —

@@ -112,6 +112,9 @@ def main() -> None:
     timed("wand_batch_top10", lambda: wand_search_batch(eng, batch, 10))
     timed("boolean_top10", lambda: eng.boolean_search(
         must="data", should="table row", must_not="dup", k=10))
+    # typo-tolerant path: correction (fresh vocab-scan suggester) +
+    # the ordinary pruned-scan BM25 tail
+    timed("fuzzy_top10", lambda: eng.fuzzy_search("wrld tade market", 10))
 
     # -- relational / pipeline operators (driver-contract queries) -----------
     qs = entry.queries()

@@ -282,8 +282,14 @@ class SearchEngine:
         for stop-word-only / out-of-dictionary queries (F5).  With
         ``cities``, results are semi-joined to docs containing a city
         term (F2/J4)."""
+        return self._search_keys(self.parse_query(query), k, cities)
+
+    def _search_keys(self, term_keys: list[str], k: int | None = None,
+                     cities: list[str] | None = None) -> DataFrame:
+        """:meth:`search` body below the query parse — shared with
+        :meth:`fuzzy_search`, which substitutes corrected keys."""
         k = k or self.cfg.top_k
-        resolved = self.resolve_terms(self.parse_query(query))
+        resolved = self.resolve_terms(term_keys)
         if resolved.empty:
             return self.spark.createDataFrame([], "url string, score double, rank int")
         idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
@@ -321,6 +327,52 @@ class SearchEngine:
             ranked(topk.select("url", "score"), [("score", "desc"), ("url", "asc")])
             .select("url", "score", "rank")
         )
+
+    def fuzzy_search(self, query: str, k: int | None = None,
+                     max_dist: int = 2,
+                     suggest_path: str | None = None) -> DataFrame:
+        """Typo-tolerant search: parse the query, keep the term keys
+        the dictionary knows, and correct each out-of-vocabulary key
+        to its single closest dictionary term within ``max_dist``
+        edits (ties: higher df, then term asc — the spell-suggest rule
+        shared with ``operators/snippets.suggest_terms``) before
+        scoring through the ordinary pruned-scan path.  Keys with no
+        candidate in range are dropped, never searched verbatim — the
+        engine's dictionary-membership filter (F3, Searcher.java
+        silently drops unknown terms) upgraded to the standard
+        "did you mean → searched for" behavior the reference lacks.
+
+        Scale shape: correction moves only the QUERY's own terms.
+        The fresh path broadcasts the misses against the dictionary
+        scan (length-prefiltered codegen levenshtein — vocab-linear,
+        never corpus-linear); with ``suggest_path`` the correction is
+        a literal-IN lookup into the stored SymSpell deletion
+        neighborhood (``snippets.write_suggest_index``), touching only
+        the query terms' own variants.  The collected correction set
+        is <= |query terms| rows (the resolve_terms pattern); scoring
+        is the unchanged :meth:`search` tail."""
+        from .operators.snippets import suggest_terms, suggest_terms_indexed
+
+        k = k or self.cfg.top_k
+        keys = self.parse_query(query)
+        resolved = self.resolve_terms(keys)
+        hits = set(resolved["term_key"])
+        misses = sorted(set(keys) - hits)
+        corrected = set(hits)
+        if misses:
+            if suggest_path is not None:
+                sugg = suggest_terms_indexed(
+                    self.spark, suggest_path, misses, max_dist=max_dist)
+            else:
+                sugg = suggest_terms(
+                    self._dictionary, misses, max_dist=max_dist)
+            # <= |query terms| rows — the same driver-side footprint
+            # as resolve_terms
+            corrected |= {r.suggestion for r in sugg.collect()}
+        if not corrected:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int")
+        return self._search_keys(sorted(corrected), k)
 
     def boolean_search(self, must: str = "", should: str = "",
                        must_not: str = "", k: int | None = None) -> DataFrame:
@@ -481,6 +533,80 @@ class SearchEngine:
         return (
             ranked(topk.select("url", "phrase_tf"), [("phrase_tf", "desc"), ("url", "asc")])
             .select("url", "phrase_tf", "rank")
+        )
+
+    def proximity_search(self, query: str, k: int | None = None,
+                         max_window: int | None = None) -> DataFrame:
+        """Proximity-ranked top-k: documents containing at least two
+        DISTINCT query terms, ranked by the smallest token distance
+        between any pair of distinct terms (min_dist asc), then the
+        usual BM25 + importance blend (score desc), then url asc —
+        the Lucene sloppy-phrase idea without requiring phrase order.
+        ``max_window`` drops documents whose closest pair sits farther
+        apart.  Requires an index built with ``keep_positions=True``.
+
+        Relational plan: ONE pruned scan per query term (bucket dir +
+        row-group stats, as phrase_search), positions unpacked once
+        per term; the pairwise minimum is a self-equi-join on (shard,
+        local_id) restricted to term_a < term_b — per-doc work is
+        tf(a)·tf(b) over candidate docs only, the same per-document
+        cost Lucene's sloppy-phrase scorer pays, never a corpus pass.
+        Scoring reuses the ordinary posting unpack; both paths prune
+        to the query's own terms."""
+        if not self.meta.get("keep_positions"):
+            raise ValueError(
+                "proximity_search requires an index built with keep_positions=True")
+        k = k or self.cfg.top_k
+        keys = sorted(set(self.parse_query(query)))
+        empty = self.spark.createDataFrame(
+            [], "url string, min_dist long, score double, rank int")
+        resolved = self.resolve_terms(keys)
+        if len(resolved) < 2:
+            return empty  # proximity needs two distinct matchable terms
+        # positions, one pruned unpack per resolved term
+        pos = None
+        for key in sorted(resolved["term_key"]):
+            part = self._unpack_positions(
+                self._scan_index(resolved[resolved["term_key"] == key]))
+            pos = part if pos is None else pos.unionByName(part)
+        pos = self._drop_deleted(pos)
+        a, b = pos.alias("a"), pos.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.shard") == F.col("b.shard"))
+            & (F.col("a.local_id") == F.col("b.local_id"))
+            & (F.col("a.term_key") < F.col("b.term_key")),
+        )
+        mind = (
+            pairs.groupBy(F.col("a.shard").alias("shard"),
+                          F.col("a.local_id").alias("local_id"))
+            .agg(F.min(F.abs(F.col("a.pos") - F.col("b.pos")))
+                 .cast("long").alias("min_dist"))
+        )
+        if max_window is not None:
+            mind = mind.filter(F.col("min_dist") <= max_window)
+        # BM25-blend scores over the same resolved terms (the
+        # _score_topk aggregation, without its final cut)
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        per_posting = self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key))
+        blend_a, blend_b = self.meta["blend_bm25"], self.meta["blend_bonus"]
+        scores = (
+            per_posting.groupBy("shard", "local_id")
+            .agg(F.sum("contrib").alias("bm25"), F.sum("bonus").alias("bonus"))
+            .withColumn("score", F.lit(blend_a) * F.col("bm25")
+                        + F.lit(blend_b) * F.col("bonus"))
+        )
+        topk = (
+            mind.join(scores, ["shard", "local_id"])
+            .join(self._doc_map(), ["shard", "local_id"])
+            .orderBy(F.asc("min_dist"), F.desc("score"), F.asc("url"))
+            .limit(k)
+        )
+        return (
+            ranked(topk.select("url", "min_dist", "score"),
+                   [("min_dist", "asc"), ("score", "desc"), ("url", "asc")])
+            .select("url", "min_dist", "score", "rank")
         )
 
     def entities_top5(self, urls: list[str] | None = None, k: int = 5) -> DataFrame:

@@ -135,6 +135,49 @@ def twin_bm25_topk(spark: SparkSession, engine, query: str, k: int) -> DataFrame
     return ranked(topk, [("score", "desc"), ("url", "asc")])
 
 
+def twin_fuzzy_topk(spark: SparkSession, engine, query: str, k: int,
+                    max_dist: int = 2) -> DataFrame:
+    """(url, score, rank) — the plain twin of
+    ``SearchEngine.fuzzy_search``.  Vocabulary membership and the
+    correction's df tie-break are recomputed stats-as-packed from
+    postings_raw (EVERY generation counts, matching the engine's
+    additively merged dictionary — the same convention as
+    ``twin_bm25_scores``), and the argmin-correction runs through a
+    DIFFERENT physical plan (a row_number window over (dist, df desc,
+    term asc) instead of the engine's min_by struct aggregation), so
+    the equivalence pins tie-breaks as well as distances."""
+    from pyspark.sql import Window
+
+    keys = engine.parse_query(query)
+    vocab = (
+        raw_postings(spark, engine)
+        .groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+    )
+    hits = {
+        r.term_key
+        for r in vocab.filter(F.col("term_key").isin(keys)).collect()
+    }
+    corrected = set(hits)
+    misses = sorted(set(keys) - hits)
+    if misses:
+        q = spark.createDataFrame([(t,) for t in misses], "term string")
+        cand = (
+            vocab.crossJoin(F.broadcast(q))
+            .withColumn("dist", F.levenshtein("term", "term_key"))
+            .filter(F.col("dist") <= max_dist)
+        )
+        w = Window.partitionBy("term").orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("term_key"))
+        best = cand.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1)
+        corrected |= {r.term_key for r in best.select("term_key").collect()}
+    if not corrected:
+        return spark.createDataFrame([], "url string, score double, rank int")
+    scores = twin_bm25_scores(spark, engine, sorted(corrected))
+    topk = scores.orderBy(F.desc("score"), F.asc("url")).limit(k)
+    return ranked(topk, [("score", "desc"), ("url", "asc")])
+
+
 def twin_boolean_topk(spark: SparkSession, engine, must: str, should: str,
                       must_not: str, k: int) -> DataFrame:
     """Plain twin of ``SearchEngine.boolean_search``: BM25 scores over
@@ -229,6 +272,51 @@ def twin_phrase_topk(spark: SparkSession, engine, phrase: str, k: int) -> DataFr
     matches = base.groupBy("url").agg(F.count(F.lit(1)).cast("long").alias("phrase_tf"))
     topk = matches.orderBy(F.desc("phrase_tf"), F.asc("url")).limit(k)
     return ranked(topk, [("phrase_tf", "desc"), ("url", "asc")])
+
+
+def twin_proximity_topk(spark: SparkSession, engine, query: str, k: int,
+                        max_window: int | None = None) -> DataFrame:
+    """(url, min_dist, score, rank) — plain twin of
+    ``SearchEngine.proximity_search``: positions exploded from the raw
+    ``positions`` arrays (live rows only), the pairwise minimum over
+    distinct query terms recomputed through a per-url self-join, BM25
+    scores via ``twin_bm25_scores``, and the same (min_dist asc,
+    score desc, url asc) cut."""
+    keys = sorted(set(engine.parse_query(query)))
+    empty = spark.createDataFrame(
+        [], "url string, min_dist long, score double, rank int")
+    live = live_raw_postings(spark, engine)
+    present = sorted(
+        r["term_key"]
+        for r in live.filter(F.col("term_key").isin(keys))
+        .select("term_key").distinct().collect()
+    )
+    if len(present) < 2:
+        return empty
+    pos = (
+        live.filter(F.col("term_key").isin(present))
+        .select("url", "term_key", F.explode("positions").alias("pos"))
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    mind = (
+        a.join(b, (F.col("a.url") == F.col("b.url"))
+               & (F.col("a.term_key") < F.col("b.term_key")))
+        .groupBy(F.col("a.url").alias("url"))
+        .agg(F.min(F.abs(F.col("a.pos") - F.col("b.pos")))
+             .cast("long").alias("min_dist"))
+    )
+    if max_window is not None:
+        mind = mind.filter(F.col("min_dist") <= max_window)
+    scores = twin_bm25_scores(spark, engine, present)
+    topk = (
+        mind.join(scores, "url")
+        .orderBy(F.asc("min_dist"), F.desc("score"), F.asc("url"))
+        .limit(k)
+    )
+    return (
+        ranked(topk, [("min_dist", "asc"), ("score", "desc"), ("url", "asc")])
+        .select("url", "min_dist", "score", "rank")
+    )
 
 
 def compare_topk(engine_out: DataFrame, twin_out: DataFrame,
