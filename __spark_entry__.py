@@ -439,6 +439,58 @@ def q_ft_fuzzy_topk(spark, sf):
     )
 
 
+def q_ft_proximity_topk(spark, sf):
+    """Proximity-ranked relational top-20, fully SQL-checkable: docs
+    containing at least two DISTINCT query terms, ranked by the
+    smallest token distance between any pair of distinct terms
+    (min_dist asc), then BM25 (score desc), then doc_id — the Lucene
+    sloppy-phrase idea without phrase order.  The pairwise minimum is
+    a self-equi-join on doc_id restricted to tok_a < tok_b over the
+    query terms' position rows only — per-doc work is tf(a)·tf(b) on
+    candidate docs, never a corpus pass."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    ex = docs.select(
+        "doc_id", F.posexplode(TS.simple_tokens()).alias("pos0", "tok")
+    ).withColumn("pos", (F.col("pos0") + 1).cast("long"))
+    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    qpos = ex.filter(F.col("tok").isin(*FT_QUERY_TERMS)).select(
+        "doc_id", "tok", "pos")
+    a, b = qpos.alias("a"), qpos.alias("b")
+    mind = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.min(F.abs(F.col("a.pos") - F.col("b.pos")))
+             .cast("long").alias("min_dist"))
+    )
+    qtf = tf.filter(F.col("tok").isin(*FT_QUERY_TERMS))
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    topk = (
+        mind.join(scored, "doc_id")
+        .orderBy(F.asc("min_dist"), F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return (
+        ranked(topk, [("min_dist", "asc"), ("score", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "min_dist", "score", "rank")
+    )
+
+
 # boolean clauses for the ft_boolean_topk row (simple tokenization)
 BOOL_MUST = ("data",)
 BOOL_SHOULD = ("join", "query")
@@ -586,6 +638,22 @@ def q_search_fuzzy(spark, sf):
         eng.fuzzy_search(FUZZY_ENGINE_QUERY, 20),
         TW.twin_fuzzy_topk(spark, eng, FUZZY_ENGINE_QUERY, 20),
         exact=["url"], approx=["score"],
+    )
+
+
+def q_search_proximity(spark, sf):
+    """Proximity-ranked packed-index search ≡ plain-postings twin, per
+    rank: min pairwise token distance between distinct query terms
+    (exact BIGINT — primary sort key), BM25 blend as the tiebreak.
+    Engine unpacks the packed ``poss`` blobs per term through the
+    pruned positional scan; the twin explodes the raw ``positions``
+    arrays — two independent position decodings pinned against each
+    other."""
+    eng = _engine_for(spark, sf)
+    return _rank_eq(
+        eng.proximity_search(ENGINE_QUERY, 20),
+        TW.twin_proximity_topk(spark, eng, ENGINE_QUERY, 20),
+        exact=["url", "min_dist"], approx=["score"],
     )
 
 
@@ -1792,6 +1860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window, part 1: round-5 rows (never driver-stamped)
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "search_fuzzy": q_search_fuzzy,
+        "ft_proximity_topk": q_ft_proximity_topk,
+        "search_proximity": q_search_proximity,
         "ft_diversified_topk": q_ft_diversified_topk,
         "search_collapse": q_search_collapse,
         "text_autocomplete": q_text_autocomplete,
@@ -2485,6 +2555,34 @@ rk AS (SELECT doc_id, score,
        FROM scored)
 SELECT doc_id, score, rank FROM rk WHERE rank <= 20
 """
+    # proximity ranking: min pairwise token distance between distinct
+    # query terms (BIGINT, exact), BM25 as the tiebreak
+    _FT_PROX_SQL = f"""
+WITH {_TOK_CTE},
+exp AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> {{'pos': i, 'tok': toks[i]}})) AS e
+        FROM tok),
+post AS (SELECT doc_id, e.tok AS tok, CAST(e.pos AS BIGINT) AS pos FROM exp),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM post GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n FROM dl),
+qpos AS (SELECT * FROM post WHERE tok IN ({qt})),
+mind AS (SELECT a.doc_id, CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_dist
+         FROM qpos a JOIN qpos b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         GROUP BY a.doc_id),
+qtf AS (SELECT * FROM tf WHERE tok IN ({qt})),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY tok),
+contrib AS (
+  SELECT qtf.doc_id, log2((SELECT n FROM stats) / dfreq.df) AS idf, qtf.tf, dl.dl
+  FROM qtf JOIN dfreq ON qtf.tok = dfreq.tok JOIN dl ON qtf.doc_id = dl.doc_id
+),
+scored AS (SELECT doc_id, round(sum({_BM25_EXPR}), 6) AS score FROM contrib GROUP BY doc_id),
+rk AS (SELECT m.doc_id, m.min_dist, s.score,
+              CAST(row_number() OVER (ORDER BY m.min_dist ASC, s.score DESC, m.doc_id ASC) AS BIGINT) AS rank
+       FROM mind m JOIN scored s ON m.doc_id = s.doc_id)
+SELECT doc_id, min_dist, score, rank FROM rk WHERE rank <= 20
+"""
     # two-per-source collapse of the same scored set, then top-10
     _FT_DIVERSIFIED_SQL = f"""
 WITH {_FT_SCORED},
@@ -2713,6 +2811,12 @@ SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 20
         "ft_fuzzy_topk": _FT_FUZZY_SQL,
         "search_fuzzy": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "ft_proximity_topk": _FT_PROX_SQL,
+        "search_proximity": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match,
+       true AS min_dist_match, true AS score_match
 FROM range(1, 21)
 """,
         "ft_diversified_topk": _FT_DIVERSIFIED_SQL,

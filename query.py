@@ -9,6 +9,8 @@
     python query.py --index /tmp/ix --loop 20 "world trade"  # q/s measurement
     python query.py --index /tmp/ix --collapse 2 "world trade" # <=2 hits/host
     python query.py --index /tmp/ix --complete wor tra       # suggest box
+    python query.py --index /tmp/ix --fuzzy "wrold tade"      # typo correction
+    python query.py --index /tmp/ix --proximity "world trade" # closest-pair rank
 
 Cluster: ``spark-submit --py-files engine.zip query.py ...``.
 Outputs TREC-style lines ``qid rank url score`` (real scores — the
@@ -49,6 +51,15 @@ def main() -> None:
     ap.add_argument("--collapse", type=int, default=0, metavar="N",
                     help="diversify the result page: at most N results per "
                          "host (pool = max(50, 5k), then top-k)")
+    ap.add_argument("--fuzzy", action="store_true",
+                    help="correct out-of-vocabulary query terms to their "
+                         "closest dictionary term (<=2 edits) before scoring")
+    ap.add_argument("--proximity", action="store_true",
+                    help="rank by min pairwise token distance between "
+                         "distinct query terms (needs keep_positions)")
+    ap.add_argument("--window", type=int, default=None, metavar="W",
+                    help="with --proximity: drop docs whose closest pair "
+                         "is farther than W tokens")
     ap.add_argument("query", nargs="+")
     args = ap.parse_args()
 
@@ -86,6 +97,11 @@ def main() -> None:
         text = " ".join(args.query)
         for r in eng.phrase_search(text, args.k).collect():
             print(f"q1 {r['rank']} {r['url']} {r['phrase_tf']}")
+    elif args.proximity:
+        text = " ".join(args.query)
+        for r in eng.proximity_search(text, args.k,
+                                      max_window=args.window).collect():
+            print(f"q1 {r['rank']} {r['url']} {r['min_dist']} {r['score']:.6f}")
     else:
         text = " ".join(args.query)
         if args.must or args.must_not:
@@ -94,6 +110,7 @@ def main() -> None:
                 k=args.k)
         else:
             run = (lambda: wand_search(eng, text, args.k)) if args.wand else (
+                (lambda: eng.fuzzy_search(text, args.k)) if args.fuzzy else
                 lambda: eng.search(text, args.k))
         if args.loop:
             run().collect()  # warm

@@ -1,0 +1,111 @@
+"""Proximity-ranked search (SearchEngine.proximity_search,
+twin_proximity_topk).
+
+Pins the semantics behind the search_proximity / ft_proximity_topk
+driver rows: the per-document min pairwise token distance matches a
+single-node recomputation from ``parse_doc`` positions (golden), the
+engine ≡ raw-postings twin per rank (independent position decodings),
+``max_window`` is exactly a min_dist filter, degenerate queries
+return empty, and a positions-free index refuses loudly.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def prox_index(spark, tmp_path_factory):
+    """150-page positional index + the raw page dicts (for the
+    single-node golden)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.fixtures import make_pages, pages_schema_arrow
+    from search_engine_spark.indexer import build_index
+    from search_engine_spark.searcher import SearchEngine
+
+    tmp = str(tmp_path_factory.mktemp("proxix"))
+    pages = make_pages(150, seed=13)
+    src = os.path.join(tmp, "pages.parquet")
+    pq.write_table(pa.Table.from_pylist(pages, schema=pages_schema_arrow()), src)
+    cfg = EngineConfig(n_doc_shards=4, n_term_buckets=4, n_bucket_groups=2,
+                       keep_positions=True)
+    ix = os.path.join(tmp, "ix")
+    build_index(spark, spark.read.parquet(src), ix, cfg, resume=False)
+    return SearchEngine(spark, ix, cfg), pages, cfg
+
+
+QUERY = "world trade market"
+
+
+def _golden_min_dist(eng, pages, cfg) -> dict[str, int]:
+    """url -> min pairwise token distance over distinct query terms,
+    recomputed single-node from the build parse kernel."""
+    from search_engine_spark.textproc import parse_doc
+
+    keys = sorted(set(eng.parse_query(QUERY)))
+    stop = cfg.stop_set()
+    out: dict[str, int] = {}
+    for p in pages:
+        posmap = {k.lower(): list(v.positions)
+                  for k, v in parse_doc(p["text"], stop, cfg.stem).items()}
+        best = None
+        for ta, tb in itertools.combinations(keys, 2):
+            for pa_, pb in itertools.product(posmap.get(ta, ()), posmap.get(tb, ())):
+                d = abs(pa_ - pb)
+                if best is None or d < best:
+                    best = d
+        if best is not None:
+            out[p["url"]] = best
+    return out
+
+
+def test_min_dist_matches_single_node_golden(spark, prox_index):
+    eng, pages, cfg = prox_index
+    golden = _golden_min_dist(eng, pages, cfg)
+    got = {r["url"]: r["min_dist"]
+           for r in eng.proximity_search(QUERY, 200).collect()}
+    assert got == golden  # every candidate doc, exact distances
+
+
+def test_engine_matches_twin_per_rank(spark, prox_index):
+    from search_engine_spark import twin as TW
+
+    eng, _, _ = prox_index
+    e = eng.proximity_search(QUERY, 20).orderBy("rank").collect()
+    t = TW.twin_proximity_topk(spark, eng, QUERY, 20).orderBy("rank").collect()
+    assert [(r["rank"], r["url"], r["min_dist"]) for r in e] == \
+           [(r["rank"], r["url"], r["min_dist"]) for r in t]
+    for a, b in zip(e, t):
+        assert math.isclose(a["score"], b["score"], rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_max_window_is_exact_filter(spark, prox_index):
+    eng, _, _ = prox_index
+    full = eng.proximity_search(QUERY, 500).collect()
+    want = sorted(
+        ((r["min_dist"], -r["score"], r["url"]) for r in full if r["min_dist"] <= 3),
+    )
+    got = eng.proximity_search(QUERY, 500, max_window=3).orderBy("rank").collect()
+    assert [(r["min_dist"], -r["score"], r["url"]) for r in got] == want
+
+
+def test_degenerate_queries_empty(spark, prox_index):
+    eng, _, _ = prox_index
+    assert eng.proximity_search("trade", 10).count() == 0      # one term
+    assert eng.proximity_search("zzzqqqxxx wwwheiioo", 10).count() == 0
+
+
+def test_requires_positions(spark, built_index):
+    out, cfg, _ = built_index  # conftest index: keep_positions=False
+    from search_engine_spark.searcher import SearchEngine
+
+    eng = SearchEngine(spark, out, cfg)
+    with pytest.raises(ValueError, match="keep_positions"):
+        eng.proximity_search("world trade", 10)
