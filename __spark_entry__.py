@@ -439,6 +439,23 @@ def q_ft_fuzzy_topk(spark, sf):
     )
 
 
+def q_ft_highlight_topk(spark, sf):
+    """The assembled result page, fully SQL-checkable: BM25 top-10
+    (the ft_bm25_topk chain) joined to the keyword-in-context excerpt
+    around the earliest query-term hit (the text_snippets kernel) —
+    retrieval and presentation composed in ONE plan.  The snippet pass
+    tokenizes the top-10 documents only (semi-joined to the cut before
+    tokenization, broadcast: provably 10 rows), never the corpus."""
+    docs = _tbl(spark, sf, "documents")
+    topk = q_ft_bm25_topk(spark, sf).filter(F.col("rank") <= 10)
+    hits = docs.join(F.broadcast(topk.select("doc_id")), "doc_id")
+    snip = SN.best_snippet(hits, list(FT_QUERY_TERMS), 5)
+    return (
+        topk.join(snip, "doc_id")
+        .select("doc_id", "score", "rank", "match_pos", "snippet")
+    )
+
+
 def q_ft_proximity_topk(spark, sf):
     """Proximity-ranked relational top-20, fully SQL-checkable: docs
     containing at least two DISTINCT query terms, ranked by the
@@ -1862,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fuzzy": q_search_fuzzy,
         "ft_proximity_topk": q_ft_proximity_topk,
         "search_proximity": q_search_proximity,
+        "ft_highlight_topk": q_ft_highlight_topk,
         "ft_diversified_topk": q_ft_diversified_topk,
         "search_collapse": q_search_collapse,
         "text_autocomplete": q_text_autocomplete,
@@ -2583,6 +2601,23 @@ rk AS (SELECT m.doc_id, m.min_dist, s.score,
        FROM mind m JOIN scored s ON m.doc_id = s.doc_id)
 SELECT doc_id, min_dist, score, rank FROM rk WHERE rank <= 20
 """
+    # result-page assembly: the BM25 top-10 cut joined to the KWIC
+    # excerpt around the earliest query-term hit
+    _pos_list = ", ".join(
+        f"list_position(toks, '{t}')" for t in FT_QUERY_TERMS)
+    _FT_HIGHLIGHT_SQL = f"""
+WITH {_FT_SCORED},
+rk AS (SELECT doc_id, score,
+              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       FROM scored),
+top10 AS (SELECT * FROM rk WHERE rank <= 10),
+p AS (SELECT t.doc_id, t.score, t.rank, k.toks,
+             list_min(list_filter([{_pos_list}], x -> x > 0)) AS match_pos
+      FROM top10 t JOIN tok k ON t.doc_id = k.doc_id)
+SELECT doc_id, score, rank, CAST(match_pos AS BIGINT) AS match_pos,
+       array_to_string(toks[greatest(match_pos - 5, 1) : match_pos + 5], ' ') AS snippet
+FROM p
+"""
     # two-per-source collapse of the same scored set, then top-10
     _FT_DIVERSIFIED_SQL = f"""
 WITH {_FT_SCORED},
@@ -2814,6 +2849,7 @@ SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
 """,
         "ft_proximity_topk": _FT_PROX_SQL,
+        "ft_highlight_topk": _FT_HIGHLIGHT_SQL,
         "search_proximity": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match,
        true AS min_dist_match, true AS score_match

@@ -535,6 +535,37 @@ class SearchEngine:
             .select("url", "phrase_tf", "rank")
         )
 
+    def _unpack_position_arrays(self, scan: DataFrame) -> DataFrame:
+        """(term_key, shard, local_id, poss) — one row per POSTING
+        (not per occurrence), the document's position list for the
+        term as an array.  The proximity join moves these rows, so
+        the exchange size is tf-independent; the tf(a)·tf(b) pairwise
+        work happens inside a codegen expression after the join."""
+
+        def unpack_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .codec import decode_positions
+
+            for pdf in it:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    tfs = varint_decode(bytes(row.tfs)).astype(np.int64)
+                    ids = delta_decode(bytes(row.doc_ids)).astype(np.int64)
+                    pos = decode_positions(bytes(row.poss), tfs).astype(np.int64)
+                    splits = np.split(pos, np.cumsum(tfs)[:-1])
+                    outs.append(pd.DataFrame({
+                        "term_key": np.repeat(row.term_key, len(ids)),
+                        "shard": np.repeat(np.int32(row.shard), len(ids)),
+                        "local_id": ids,
+                        "poss": [s.tolist() for s in splits],
+                    }))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return scan.select("term_key", "shard", "doc_ids", "tfs", "poss").mapInPandas(
+            unpack_batch,
+            schema="term_key string, shard int, local_id long, poss array<long>",
+        )
+
     def proximity_search(self, query: str, k: int | None = None,
                          max_window: int | None = None) -> DataFrame:
         """Proximity-ranked top-k: documents containing at least two
@@ -546,13 +577,16 @@ class SearchEngine:
         apart.  Requires an index built with ``keep_positions=True``.
 
         Relational plan: ONE pruned scan per query term (bucket dir +
-        row-group stats, as phrase_search), positions unpacked once
-        per term; the pairwise minimum is a self-equi-join on (shard,
-        local_id) restricted to term_a < term_b — per-doc work is
-        tf(a)·tf(b) over candidate docs only, the same per-document
-        cost Lucene's sloppy-phrase scorer pays, never a corpus pass.
-        Scoring reuses the ordinary posting unpack; both paths prune
-        to the query's own terms."""
+        row-group stats, as phrase_search), positions unpacked to ONE
+        row per (term, doc) with the position list as an array; the
+        pairwise minimum is a self-equi-join on (shard, local_id)
+        filtered to term_a < term_b, with the tf(a)·tf(b) scan inside
+        a nested codegen ``aggregate`` — the exchange moves
+        occurrence-count-independent rows (head terms ship one array
+        per doc, not one row per occurrence), and the per-doc work is
+        the same cost Lucene's sloppy-phrase scorer pays, never a
+        corpus pass.  Scoring reuses the ordinary posting unpack; both
+        paths prune to the query's own terms."""
         if not self.meta.get("keep_positions"):
             raise ValueError(
                 "proximity_search requires an index built with keep_positions=True")
@@ -563,25 +597,31 @@ class SearchEngine:
         resolved = self.resolve_terms(keys)
         if len(resolved) < 2:
             return empty  # proximity needs two distinct matchable terms
-        # positions, one pruned unpack per resolved term
+        # position arrays, one pruned unpack per resolved term
         pos = None
         for key in sorted(resolved["term_key"]):
-            part = self._unpack_positions(
+            part = self._unpack_position_arrays(
                 self._scan_index(resolved[resolved["term_key"] == key]))
             pos = part if pos is None else pos.unionByName(part)
         pos = self._drop_deleted(pos)
-        a, b = pos.alias("a"), pos.alias("b")
-        pairs = a.join(
-            b,
-            (F.col("a.shard") == F.col("b.shard"))
-            & (F.col("a.local_id") == F.col("b.local_id"))
-            & (F.col("a.term_key") < F.col("b.term_key")),
+        a = pos.select("shard", "local_id",
+                       F.col("term_key").alias("ta"), F.col("poss").alias("pa"))
+        b = pos.select("shard", "local_id",
+                       F.col("term_key").alias("tb"), F.col("poss").alias("pb"))
+        # equi-join on the doc key; the strict term order halves the
+        # pairs and removes self-pairs
+        pair_min = F.expr(
+            "aggregate(pa, CAST(4611686018427387904 AS BIGINT),"
+            " (acc, x) -> least(acc, aggregate(pb,"
+            " CAST(4611686018427387904 AS BIGINT),"
+            " (acc2, y) -> least(acc2, abs(x - y)))))"
         )
         mind = (
-            pairs.groupBy(F.col("a.shard").alias("shard"),
-                          F.col("a.local_id").alias("local_id"))
-            .agg(F.min(F.abs(F.col("a.pos") - F.col("b.pos")))
-                 .cast("long").alias("min_dist"))
+            a.join(b, ["shard", "local_id"])
+            .filter(F.col("ta") < F.col("tb"))
+            .select("shard", "local_id", pair_min.alias("pair_min"))
+            .groupBy("shard", "local_id")
+            .agg(F.min("pair_min").cast("long").alias("min_dist"))
         )
         if max_window is not None:
             mind = mind.filter(F.col("min_dist") <= max_window)

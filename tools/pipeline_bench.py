@@ -197,6 +197,37 @@ def main() -> None:
         run("autocomplete_indexed", lambda: SNP.autocomplete_indexed(
             spark, ac_ix, ["s", "c", "d"], k=4))
 
+    _QP = {"fuzzy_top10", "fuzzy_top10_indexed", "proximity_top10"}
+    if args.only is None or _QP & set(args.only):
+        # packed POSITIONAL index over the same corpus, built once
+        # OUTSIDE the timers (a per-corpus artifact, like the anchor
+        # and autocomplete layouts above); measured: the per-query
+        # serving cost of the round-5 typo-correction and proximity
+        # paths at 48x the per-round bench corpus
+        import tempfile as _tf3
+
+        from search_engine_spark.config import EngineConfig
+        from search_engine_spark.indexer import build_index
+        from search_engine_spark.searcher import SearchEngine
+
+        qp_cfg = EngineConfig(n_doc_shards=32, n_term_buckets=16,
+                              n_bucket_groups=1, keep_positions=True)
+        qp_ix = _tf3.mkdtemp(prefix="pb_qp_ix_")
+        build_index(spark, spark.read.parquet(corpus), qp_ix, qp_cfg,
+                    resume=False)
+        eng = SearchEngine(spark, qp_ix, qp_cfg)
+        # two misses (corrected via the fresh vocab-scan suggester) +
+        # one exact hit — the realistic typo mix
+        run("fuzzy_top10", lambda: eng.fuzzy_search("wrold tade market", 10))
+        from search_engine_spark.operators import snippets as SNP2
+
+        sug_ix = _tf3.mkdtemp(prefix="pb_sug_ix_")
+        SNP2.write_suggest_index(eng._dictionary, sug_ix, max_dist=2)
+        run("fuzzy_top10_indexed", lambda: eng.fuzzy_search(
+            "wrold tade market", 10, suggest_path=sug_ix))
+        run("proximity_top10", lambda: eng.proximity_search(
+            "world trade market", 10))
+
     print(json.dumps({
         "metric": "pipeline ops at scale corpus",
         "docs": args.docs,
