@@ -87,6 +87,7 @@ _MLT_CACHE: dict[str, str] = {}
 _SUGGEST_CACHE: dict[str, str] = {}
 _ANCHOR_CACHE: dict[str, str] = {}
 _AC_CACHE: dict[str, str] = {}
+_DOCSTORE_CACHE: dict[str, str] = {}
 
 # suggest-box prefixes for the autocomplete rows (typed first letters)
 AC_PREFIXES = ("c", "d", "s")
@@ -241,6 +242,29 @@ def _mlt_index_for(spark: SparkSession, sf_dir: str) -> str:
         _MLT_CACHE[key] = _atomic_publish(
             out, lambda tmp: MLT.write_mlt_index(_tbl(spark, key, "documents"), tmp))
     return _MLT_CACHE[key]
+
+
+def _docstore_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir, cached on disk) the url-bucketed
+    stored-fields docstore beside the entry index, stamped with its
+    lineage position (operators/docstore.py), so the result-page row
+    serves text from a bucket+url-pruned fetch instead of a corpus
+    scan."""
+    from search_engine_spark.operators import docstore as DS
+
+    key = os.path.abspath(sf_dir)
+    if key not in _DOCSTORE_CACHE:
+        _engine_for(spark, key)  # ensure the index exists for the stamp
+        tag = hashlib.md5(f"{key}|docs1|{_ENTRY_CFG}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_docs_{tag}")
+
+        def build(tmp: str) -> None:
+            pages = load_documents_as_pages(spark, key)
+            DS.write_docstore(pages, os.path.join(tmp, "store"),
+                              index_dir=_INDEX_CACHE[key])
+
+        _DOCSTORE_CACHE[key] = _atomic_publish(out, build)
+    return os.path.join(_DOCSTORE_CACHE[key], "store")
 
 
 def _autocomplete_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -671,6 +695,24 @@ def q_search_proximity(spark, sf):
         eng.proximity_search(ENGINE_QUERY, 20),
         TW.twin_proximity_topk(spark, eng, ENGINE_QUERY, 20),
         exact=["url", "min_dist"], approx=["score"],
+    )
+
+
+def q_search_highlight(spark, sf):
+    """The stored-artifacts result page ≡ plain twin, per rank: BM25
+    top-10, first query-term match position, and the ±5-token excerpt.
+    Engine side: packed poss blobs + the bucket/url-pruned docstore
+    (operators/docstore.py).  Twin side: raw positions arrays + the
+    pages frame.  The excerpt kernel is shared driver-side code with
+    its own pytest golden; url, match_pos, and the snippet STRING all
+    compare exact."""
+    eng = _engine_for(spark, sf)
+    store = _docstore_for(spark, sf)
+    pages = load_documents_as_pages(spark, sf)
+    return _rank_eq(
+        eng.search_with_snippets(ENGINE_QUERY, store, k=10),
+        TW.twin_search_snippets(spark, eng, pages, ENGINE_QUERY, 10),
+        exact=["url", "match_pos", "snippet"], approx=["score"],
     )
 
 
@@ -1880,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_proximity_topk": q_ft_proximity_topk,
         "search_proximity": q_search_proximity,
         "ft_highlight_topk": q_ft_highlight_topk,
+        "search_highlight": q_search_highlight,
         "ft_diversified_topk": q_ft_diversified_topk,
         "search_collapse": q_search_collapse,
         "text_autocomplete": q_text_autocomplete,
@@ -2850,6 +2893,12 @@ FROM range(1, 21)
 """,
         "ft_proximity_topk": _FT_PROX_SQL,
         "ft_highlight_topk": _FT_HIGHLIGHT_SQL,
+        "search_highlight": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match,
+       true AS match_pos_match, true AS snippet_match,
+       true AS score_match
+FROM range(1, 11)
+""",
         "search_proximity": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match,
        true AS min_dist_match, true AS score_match

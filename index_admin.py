@@ -9,6 +9,7 @@ Local (sandbox)::
     python index_admin.py compact --index /tmp/ix
     python index_admin.py refresh --index /tmp/ix [--full]
     python index_admin.py stats   --index /tmp/ix   # no Spark: meta+footers
+    python index_admin.py docstore --index /tmp/ix --input pages.parquet --out /tmp/store
 
 Cluster::
 
@@ -43,9 +44,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("verb", choices=["add", "update", "delete", "compact",
-                                     "refresh", "stats"])
+                                     "refresh", "stats", "docstore"])
     ap.add_argument("--index", required=True)
     ap.add_argument("--input", help="pages parquet or testdata dir (add)")
+    ap.add_argument("--out", help="docstore: output directory for the "
+                                  "stored-fields layout")
     ap.add_argument("--url", action="append", default=[],
                     help="url to delete (repeatable)")
     ap.add_argument("--url-file", help="file with one url per line (delete)")
@@ -165,6 +168,20 @@ def main() -> None:
         else:
             meta = compact_index(spark, args.index, cfg)
             out.update(n_docs=meta["n_docs"], avgdl=round(meta["avgdl"], 4))
+    elif args.verb == "docstore":
+        from search_engine_spark.operators.docstore import write_docstore
+
+        if not args.input or not args.out:
+            ap.error("docstore requires --input and --out")
+        if os.path.isdir(args.input) and os.path.exists(
+            os.path.join(args.input, "documents.parquet")
+        ):
+            pages = load_documents_as_pages(spark, args.input)
+        else:
+            pages = load_pages(spark, args.input)
+        meta = write_docstore(pages, args.out, index_dir=args.index)
+        out.update(out_dir=args.out, n_buckets=meta["n_buckets"],
+                   stamped=("index_fingerprint" in meta))
     else:  # refresh
         from search_engine_spark.streaming.ingest import (
             refresh_incremental, refresh_index)

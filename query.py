@@ -11,6 +11,7 @@
     python query.py --index /tmp/ix --complete wor tra       # suggest box
     python query.py --index /tmp/ix --fuzzy "wrold tade"      # typo correction
     python query.py --index /tmp/ix --proximity "world trade" # closest-pair rank
+    python query.py --index /tmp/ix --snippets /tmp/store "world trade"  # result page
 
 Cluster: ``spark-submit --py-files engine.zip query.py ...``.
 Outputs TREC-style lines ``qid rank url score`` (real scores — the
@@ -60,6 +61,9 @@ def main() -> None:
     ap.add_argument("--window", type=int, default=None, metavar="W",
                     help="with --proximity: drop docs whose closest pair "
                          "is farther than W tokens")
+    ap.add_argument("--snippets", default=None, metavar="STORE",
+                    help="docstore dir (index_admin.py docstore): print the "
+                         "assembled result page with KWIC excerpts")
     ap.add_argument("query", nargs="+")
     args = ap.parse_args()
 
@@ -97,6 +101,12 @@ def main() -> None:
         text = " ".join(args.query)
         for r in eng.phrase_search(text, args.k).collect():
             print(f"q1 {r['rank']} {r['url']} {r['phrase_tf']}")
+    elif args.snippets:
+        text = " ".join(args.query)
+        for r in eng.search_with_snippets(text, args.snippets,
+                                          k=args.k).collect():
+            print(f"q1 {r['rank']} {r['url']} {r['score']:.6f} "
+                  f"[{r['match_pos']}] {r['snippet']}")
     elif args.proximity:
         text = " ".join(args.query)
         for r in eng.proximity_search(text, args.k,

@@ -649,6 +649,57 @@ class SearchEngine:
             .select("url", "min_dist", "score", "rank")
         )
 
+    def search_with_snippets(self, query: str, docstore_path: str,
+                             k: int | None = None,
+                             window: int = 5) -> DataFrame:
+        """The assembled result page from stored artifacts: top-k
+        BM25 + the 0-based first match position of any query term +
+        the ±``window``-token excerpt.  (url, score, rank, match_pos,
+        snippet).  Requires ``keep_positions=True`` and a docstore
+        built by ``operators/docstore.write_docstore``.
+
+        Scale shape — no corpus pass anywhere:
+        - match_pos comes from the POSITIONAL POSTINGS (the
+          term-vector trick: the index already knows where each hit
+          is), pruned to the query's own terms;
+        - text comes from the docstore via bucket PartitionFilters +
+          a k-url IN pushdown (row-group min/max on the url-sorted
+          files);
+        - the excerpt re-tokenizes exactly the k result documents
+          (one Arrow batch) with the BUILD tokenizer, so the window
+          aligns with the recorded positions."""
+        from .operators.docstore import attach_snippets, fetch_docs
+
+        if not self.meta.get("keep_positions"):
+            raise ValueError(
+                "search_with_snippets requires an index built with "
+                "keep_positions=True")
+        k = k or self.cfg.top_k
+        rows = self.search(query, k).collect()  # k rows: the serving cut
+        empty = self.spark.createDataFrame(
+            [], "url string, score double, rank int, match_pos long, snippet string")
+        if not rows:
+            return empty
+        run = self.spark.createDataFrame(
+            rows, "url string, score double, rank int")
+        urls = [r["url"] for r in rows]
+        resolved = self.resolve_terms(self.parse_query(query))
+        pos = self._drop_deleted(
+            self._unpack_position_arrays(self._scan_index(resolved)))
+        first = (
+            pos.select("shard", "local_id", F.array_min("poss").alias("p"))
+            .groupBy("shard", "local_id")
+            .agg(F.min("p").cast("long").alias("match_pos"))
+            .join(self._doc_map(), ["shard", "local_id"])
+            .select("url", "match_pos")
+        )
+        texts = fetch_docs(self.spark, docstore_path, urls)
+        joined = (
+            run.join(first, "url").join(texts, "url")
+            .select("url", "score", "rank", "match_pos", "text")
+        )
+        return attach_snippets(joined, window=window).orderBy("rank")
+
     def entities_top5(self, urls: list[str] | None = None, k: int = 5) -> DataFrame:
         """A8/R6: top-k entities per doc by round(new_tf/df, 3)."""
         from .operators.entities import top_entities

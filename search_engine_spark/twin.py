@@ -319,6 +319,35 @@ def twin_proximity_topk(spark: SparkSession, engine, query: str, k: int,
     )
 
 
+def twin_search_snippets(spark: SparkSession, engine, pages: DataFrame,
+                         query: str, k: int, window: int = 5) -> DataFrame:
+    """(url, score, rank, match_pos, snippet) — plain twin of
+    ``SearchEngine.search_with_snippets``: the top-k from
+    ``twin_bm25_topk`` (raw-postings BM25), first match positions from
+    the raw ``positions`` arrays (vs the engine's packed poss blobs),
+    text straight from the ``pages`` frame (vs the engine's
+    bucket-pruned docstore).  The excerpt kernel
+    (``docstore.attach_snippets``) is shared — it is driver-side
+    deterministic code with its own pytest golden, like the query
+    parse."""
+    from .operators.docstore import attach_snippets
+
+    keys = engine.parse_query(query)
+    run = twin_bm25_topk(spark, engine, query, k)
+    first = (
+        live_raw_postings(spark, engine)
+        .filter(F.col("term_key").isin(list(keys)))
+        .select("url", F.array_min("positions").alias("p"))
+        .groupBy("url").agg(F.min("p").cast("long").alias("match_pos"))
+    )
+    joined = (
+        run.join(first, "url")
+        .join(pages.select("url", "text"), "url")
+        .select("url", "score", "rank", "match_pos", "text")
+    )
+    return attach_snippets(joined, window=window).orderBy("rank")
+
+
 def compare_topk(engine_out: DataFrame, twin_out: DataFrame,
                  join_cols: list[str], exact_cols: list[str],
                  approx_cols: list[str], tol: float = 1e-9) -> DataFrame:
