@@ -1709,6 +1709,29 @@ def q_url_dedup_latest(spark, sf):
     return UR.url_dedup_latest(pages)
 
 
+def q_url_recency_prior(spark, sf):
+    """Crawl-freshness prior over warc_ts on the exact 1e-9 integer
+    grid (min-max normalized in SECONDS — BIGINT-safe for a
+    century-wide span; the delta cancels any epoch/timezone offset):
+    blend_prior's (id, rank_nano) shape, the freshness twin of the
+    PageRank authority prior (operators/urls.py)."""
+    pages = load_documents_as_pages(spark, sf)
+    return UR.recency_prior(pages)
+
+
+def q_search_recency_blend(spark, sf):
+    """Relevance × freshness: the BM25 top-20 re-ranked 3:1 by the
+    crawl-recency prior on the micro grid — the same integer blend
+    kernel as the PageRank authority row, fed a different
+    query-independent prior.  Run-sized join + two O(1) scalar
+    maxes."""
+    run = q_ft_bm25_topk(spark, sf).select("doc_id", "score")
+    pages = load_documents_as_pages(spark, sf)
+    prior = UR.recency_prior(pages).withColumn(
+        "id", F.col("id").cast("long"))
+    return GR.blend_prior(run, prior, alpha_num=1, alpha_den=4, k=10)
+
+
 def q_url_host_rollup(spark, sf):
     """Per-host crawl accounting behind a blocklist anti-join (AQE
     picks the join strategy — no forced broadcast)."""
@@ -1923,6 +1946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_proximity": q_search_proximity,
         "ft_highlight_topk": q_ft_highlight_topk,
         "search_highlight": q_search_highlight,
+        "url_recency_prior": q_url_recency_prior,
+        "search_recency_blend": q_search_recency_blend,
         "ft_diversified_topk": q_ft_diversified_topk,
         "search_collapse": q_search_collapse,
         "text_autocomplete": q_text_autocomplete,
@@ -2893,6 +2918,33 @@ FROM range(1, 21)
 """,
         "ft_proximity_topk": _FT_PROX_SQL,
         "ft_highlight_topk": _FT_HIGHLIGHT_SQL,
+        "url_recency_prior": """
+WITH p AS (SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS s FROM documents),
+b AS (SELECT min(s) AS mn, max(s) AS mx FROM p)
+SELECT id, CAST(CASE WHEN mx = mn THEN 1000000000
+                ELSE (s - mn) * 1000000000 // (mx - mn) END AS BIGINT) AS rank_nano
+FROM p, b
+""",
+        "search_recency_blend": f"""
+WITH run AS ({_FT_BM25_SQL}),
+p AS (SELECT doc_id AS id, doc_id AS s FROM documents),
+bb AS (SELECT min(s) AS mn, max(s) AS mx FROM p),
+pr AS (SELECT id, CAST(CASE WHEN mx = mn THEN 1000000000
+                       ELSE (s - mn) * 1000000000 // (mx - mn) END AS BIGINT) AS rank_nano
+       FROM p, bb),
+ms AS (SELECT max(score) AS ms FROM run),
+mp AS (SELECT max(rank_nano) AS mp FROM pr),
+rel AS (SELECT r.doc_id,
+          CAST(floor(r.score * 1000000 / (SELECT ms FROM ms) + 0.5) AS BIGINT) AS rs,
+          CAST(floor(p2.rank_nano * 1000000 / (SELECT mp FROM mp) + 0.5) AS BIGINT) AS rp
+        FROM run r JOIN pr p2 ON p2.id = r.doc_id),
+bl AS (SELECT doc_id, CAST((3 * rs + 1 * rp) // 4 AS BIGINT) AS blended_micro
+       FROM rel),
+rk AS (SELECT doc_id, blended_micro,
+         CAST(row_number() OVER (ORDER BY blended_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       FROM bl)
+SELECT doc_id, blended_micro, rank FROM rk WHERE rank <= 10
+""",
         "search_highlight": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match,
        true AS match_pos_match, true AS snippet_match,

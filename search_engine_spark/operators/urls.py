@@ -161,6 +161,41 @@ def host_rollup(pages: DataFrame, blocklist: DataFrame | None = None,
 # (host mod 40 x path mod 25 x query-class) so latest-wins has work.
 # ---------------------------------------------------------------------------
 
+RECENCY_GRID = 1_000_000_000  # nano grid, blend_prior's prior shape
+
+
+def recency_prior(pages: DataFrame, id_col: str = "url",
+                  ts_col: str = "warc_ts") -> DataFrame:
+    """Crawl-freshness prior in ``graph.blend_prior``'s (id,
+    rank_nano) shape: min-max-normalized recency on the 1e-9 integer
+    grid — newest page scores 1e9, oldest 0, a single-timestamp
+    corpus is uniformly fresh.  Composes with ``blend_prior`` exactly
+    like the PageRank authority prior (relevance × freshness, the
+    standard web-search recency blend); the reference ranker is
+    purely lexical (Ranker.java) and the (url, warc_ts) crawl schema
+    makes freshness a first-class signal it never had.
+
+    Exactness at scale: the normalization runs in SECONDS —
+    ``delta_s * 1e9`` stays under BIGINT for a century-wide crawl
+    span — and the min-max DELTA cancels any epoch/timezone offset,
+    so the value is engine- and partitioning-independent (pure BIGINT
+    arithmetic, no float anywhere).  Plan: one O(1)-row scalar
+    aggregate broadcast + a codegen projection — scan speed."""
+    ts_s = F.expr(f"unix_micros({ts_col}) div 1000000")
+    base = pages.select(F.col(id_col).alias("id"), ts_s.alias("ts_s"))
+    bounds = base.agg(F.min("ts_s").alias("mn"), F.max("ts_s").alias("mx"))
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            "id",
+            F.when(F.col("mx") == F.col("mn"), F.lit(RECENCY_GRID))
+            .otherwise(F.expr(
+                f"(ts_s - mn) * {RECENCY_GRID} div (mx - mn)"))
+            .cast("long").alias("rank_nano"),
+        )
+    )
+
+
 def synthetic_crawl(docs: DataFrame, n_resources: int = 100) -> DataFrame:
     """Resource identity and surface form are INDEPENDENT dimensions:
     ``r = doc_id % n_resources`` names the resource (n_resources//5

@@ -135,3 +135,41 @@ def test_synthetic_crawl_matches_duckdb(spark):  # noqa: F811
     for doc_id, url in con.sql(
             f"SELECT doc_id, url FROM ({U.DUCKDB_SYNTH_SQL})").fetchall():
         assert got[doc_id] == url
+
+
+def test_recency_prior_hand_values(spark):  # noqa: F811
+    """Exact nano-grid freshness: hand-computed min-max positions,
+    including a non-divisible span (floor semantics) and the
+    single-timestamp corpus (uniformly fresh)."""
+    pages = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"),
+         ("b", "2024-01-01 00:00:30"),
+         ("c", "2024-01-01 00:01:30")],
+        "url string, ts string",
+    ).withColumn("warc_ts", F.to_timestamp("ts"))
+    got = {r["id"]: r["rank_nano"]
+           for r in U.recency_prior(pages).collect()}
+    # span 90s: a=0, b=30*1e9//90, c=1e9
+    assert got == {"a": 0, "b": 333333333, "c": 1_000_000_000}
+    one = spark.createDataFrame(
+        [("x", "2024-01-01 00:00:00"), ("y", "2024-01-01 00:00:00")],
+        "url string, ts string",
+    ).withColumn("warc_ts", F.to_timestamp("ts"))
+    got1 = {r["id"]: r["rank_nano"] for r in U.recency_prior(one).collect()}
+    assert got1 == {"x": 1_000_000_000, "y": 1_000_000_000}
+
+
+def test_recency_prior_is_timezone_invariant(spark):  # noqa: F811
+    """The min-max delta cancels the epoch: shifting every timestamp
+    by a constant leaves the prior bit-identical."""
+    base = spark.createDataFrame(
+        [("a", 0), ("b", 45), ("c", 100)], "url string, off long",
+    )
+    def prior(shift):
+        pages = base.withColumn(
+            "warc_ts",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=(F.col("off") + F.lit(shift)).cast("double")))
+        return {r["id"]: r["rank_nano"]
+                for r in U.recency_prior(pages).collect()}
+    assert prior(0) == prior(86400 * 365)

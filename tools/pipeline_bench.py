@@ -197,7 +197,8 @@ def main() -> None:
         run("autocomplete_indexed", lambda: SNP.autocomplete_indexed(
             spark, ac_ix, ["s", "c", "d"], k=4))
 
-    _QP = {"fuzzy_top10", "fuzzy_top10_indexed", "proximity_top10"}
+    _QP = {"fuzzy_top10", "fuzzy_top10_indexed", "proximity_top10",
+           "result_page_top10", "docstore_fetch_10"}
     if args.only is None or _QP & set(args.only):
         # packed POSITIONAL index over the same corpus, built once
         # OUTSIDE the timers (a per-corpus artifact, like the anchor
@@ -227,6 +228,21 @@ def main() -> None:
             "wrold tade market", 10, suggest_path=sug_ix))
         run("proximity_top10", lambda: eng.proximity_search(
             "world trade market", 10))
+        # stored-fields docstore (built once, outside the timer):
+        # measured are the k-result text fetch alone and the fully
+        # assembled result page (top-10 + match positions from the
+        # positional postings + KWIC excerpts over the 10 fetched docs)
+        from search_engine_spark.operators import docstore as DSO
+
+        ds_path = _tf3.mkdtemp(prefix="pb_docstore_")
+        DSO.write_docstore(spark.read.parquet(corpus).select("url", "text"),
+                           ds_path, index_dir=qp_ix)
+        some_urls = [r["url"] for r in
+                     spark.read.parquet(corpus).select("url").limit(10).collect()]
+        run("docstore_fetch_10", lambda: DSO.fetch_docs(
+            spark, ds_path, some_urls))
+        run("result_page_top10", lambda: eng.search_with_snippets(
+            "world trade market", ds_path, k=10))
 
     print(json.dumps({
         "metric": "pipeline ops at scale corpus",
