@@ -263,7 +263,18 @@ def _docstore_for(spark: SparkSession, sf_dir: str) -> str:
             DS.write_docstore(pages, os.path.join(tmp, "store"),
                               index_dir=_INDEX_CACHE[key])
 
-        _DOCSTORE_CACHE[key] = _atomic_publish(out, build)
+        published = _atomic_publish(out, build)
+        # self-heal: a cached store stamped at an older lineage
+        # position (e.g. built before the index's no-op-resume
+        # lineage growth was frozen) is stale by the guard's rules —
+        # wipe and rebuild rather than serve a refusal to the driver
+        store = os.path.join(published, "store")
+        try:
+            DS.check_docstore_fresh(DS._load_meta(store), store)
+        except RuntimeError:
+            shutil.rmtree(published, ignore_errors=True)
+            published = _atomic_publish(out, build)
+        _DOCSTORE_CACHE[key] = published
     return os.path.join(_DOCSTORE_CACHE[key], "store")
 
 
@@ -1930,12 +1941,12 @@ def q_multimodal_resize(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    new rows first (never driver-stamped), then the 25 rows whose
-    latest driver stamp is r01-r03 (round 4's tail — rotated back in
-    so no row's stamp ages past two rounds), then r04-stamped rows
-    covering the packed-engine family (whose read paths this round's
-    generation-aware tombstones touched).  The rows past the
-    window all carry CORRECTNESS_r04 stamps AND
+    27 new rows first (never driver-stamped), then the rows whose
+    latest driver stamp is r01-r03 (round 4's tail, rotated back in);
+    at 102 total the window cut lands after set_except_nations, so
+    two of those rotation targets (distinct_langs, events_hourly —
+    both trivially SQL-oracled) sit just past it.  Every row past the
+    window carries an r01-r04 driver stamp AND
     tests/test_entry_oracle.py re-runs the ACTUAL tail
     (list(queries())[50:]) against DuckDB every CI run."""
     return {

@@ -417,7 +417,14 @@ def build_index(
         json.dump(meta, fh)
     os.replace(tmp, paths.meta)
 
-    _lineage_append(spark, paths, [{"stage": "build", "key": "all", "docs": n_docs}])
+    # once per COMPLETED build, not per invocation: a no-op resume
+    # pass over a finished index must leave the lineage untouched —
+    # `index_fingerprint` (side-car staleness stamps: docstore, MLT,
+    # suggest, autocomplete) counts lineage rows as the index's
+    # position, and a fingerprint that moves on every resume check
+    # would fail those guards without any actual mutation
+    if ("build", "all") not in done:
+        _lineage_append(spark, paths, [{"stage": "build", "key": "all", "docs": n_docs}])
     return meta
 
 

@@ -117,3 +117,21 @@ def test_fresh_resume_noop(spark, fixture_pages_parquet, tmp_dir):
     build_index(spark, pages, tmp_dir, cfg, resume=True)  # complete: full no-op
     after = _mtimes(paths.postings_raw) | _mtimes(paths.doc_stats) | _mtimes(paths.index)
     assert before == after
+
+
+def test_noop_resume_keeps_index_fingerprint(spark, fixture_pages_parquet, tmp_dir):
+    """A resume pass over a COMPLETE index must not move the lineage
+    position: side-car staleness stamps (docstore/MLT/suggest,
+    indexer.index_fingerprint) count lineage rows, and a fingerprint
+    that grows on every resume check would fail those guards with no
+    actual mutation (each engine-open used to append a duplicate
+    ('build','all') row)."""
+    from search_engine_spark.indexer import index_fingerprint
+
+    cfg = EngineConfig(n_doc_shards=4, n_term_buckets=4, n_bucket_groups=2)
+    pages = spark.read.parquet(fixture_pages_parquet)
+    build_index(spark, pages, tmp_dir, cfg)
+    before = index_fingerprint(tmp_dir)
+    build_index(spark, pages, tmp_dir, cfg, resume=True)
+    build_index(spark, pages, tmp_dir, cfg, resume=True)
+    assert index_fingerprint(tmp_dir) == before
