@@ -54,6 +54,7 @@ from search_engine_spark.operators import ireval as IR
 from search_engine_spark.operators import mlt as MLT
 from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import similarity as SIM
+from search_engine_spark.operators import sketches as SK
 from search_engine_spark.operators import snippets as SN
 from search_engine_spark.operators import textstats as TS
 from search_engine_spark.operators import urls as UR
@@ -1720,6 +1721,39 @@ def q_url_dedup_latest(spark, sf):
     return UR.url_dedup_latest(pages)
 
 
+CMS_W, CMS_D = 256, 4
+CMS_PROBES = ("table", "join", "query", "zzzzqqq")
+
+
+def q_sketch_cms_cells(spark, sf):
+    """Count-min sketch cells over the corpus term frequencies
+    (operators/sketches.py): md5-derived row hashes and BIGINT counts
+    make the sketch a deterministic function of the corpus — an
+    'approximate' structure with an EXACT oracle contract.  Building
+    is d map-side projections + ONE (row, col) hash agg; cells ≤ d·w
+    rows regardless of corpus size."""
+    tf = _doc_tf(_tbl(spark, sf, "documents"))
+    return SK.cms_cells(tf, width=CMS_W, depth=CMS_D)
+
+
+def q_sketch_cms_estimate(spark, sf):
+    """CMS point queries vs truth: per probe term the min-over-rows
+    estimate (one-sided: est ≥ exact, equality without collisions)
+    next to the exact collection frequency — both BIGINT, both
+    SQL-recomputed.  The probe plan touches d cells via a broadcast
+    of the ≤ d·w-row sketch, never the corpus."""
+    tf = _doc_tf(_tbl(spark, sf, "documents"))
+    cells = SK.cms_cells(tf, width=CMS_W, depth=CMS_D)
+    est = SK.cms_estimate(cells, list(CMS_PROBES), width=CMS_W, depth=CMS_D)
+    cf = (tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("cf"))
+          .filter(F.col("tok").isin(*CMS_PROBES)))
+    return (
+        est.join(cf, est.term == cf.tok, "left")
+        .select("term", "est",
+                F.coalesce(F.col("cf"), F.lit(0)).cast("long").alias("exact_cf"))
+    )
+
+
 def q_url_recency_prior(spark, sf):
     """Crawl-freshness prior over warc_ts on the exact 1e-9 integer
     grid (min-max normalized in SECONDS — BIGINT-safe for a
@@ -1959,6 +1993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_highlight": q_search_highlight,
         "url_recency_prior": q_url_recency_prior,
         "search_recency_blend": q_search_recency_blend,
+        "sketch_cms_cells": q_sketch_cms_cells,
+        "sketch_cms_estimate": q_sketch_cms_estimate,
         "ft_diversified_topk": q_ft_diversified_topk,
         "search_collapse": q_search_collapse,
         "text_autocomplete": q_text_autocomplete,
@@ -2929,6 +2965,34 @@ FROM range(1, 21)
 """,
         "ft_proximity_topk": _FT_PROX_SQL,
         "ft_highlight_topk": _FT_HIGHLIGHT_SQL,
+        "sketch_cms_cells": f"""
+WITH {_TF_CTE},
+ks AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS row),
+proj AS (SELECT k.row AS row,
+                CAST(('0x' || substr(md5(k.row || ':' || tok), 1, 8))::BIGINT % {CMS_W} AS BIGINT) AS col,
+                tf AS c
+         FROM tf, ks k)
+SELECT row, col, CAST(sum(c) AS BIGINT) AS count FROM proj GROUP BY row, col
+""",
+        "sketch_cms_estimate": f"""
+WITH {_TF_CTE},
+cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY tok),
+ks AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS row),
+proj AS (SELECT k.row AS row,
+                CAST(('0x' || substr(md5(k.row || ':' || tok), 1, 8))::BIGINT % {CMS_W} AS BIGINT) AS col,
+                tf AS c
+         FROM tf, ks k),
+cells AS (SELECT row, col, CAST(sum(c) AS BIGINT) AS count FROM proj GROUP BY row, col),
+probes(term) AS (VALUES {", ".join(f"('{t}')" for t in CMS_PROBES)}),
+keys AS (SELECT p.term, k.row,
+                CAST(('0x' || substr(md5(k.row || ':' || p.term), 1, 8))::BIGINT % {CMS_W} AS BIGINT) AS col
+         FROM probes p, ks k),
+est AS (SELECT kk.term, CAST(min(coalesce(c.count, 0)) AS BIGINT) AS est
+        FROM keys kk LEFT JOIN cells c ON kk.row = c.row AND kk.col = c.col
+        GROUP BY kk.term)
+SELECT e.term, e.est, CAST(coalesce(f.cf, 0) AS BIGINT) AS exact_cf
+FROM est e LEFT JOIN cf f ON f.tok = e.term
+""",
         "url_recency_prior": """
 WITH p AS (SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS s FROM documents),
 b AS (SELECT min(s) AS mn, max(s) AS mx FROM p)

@@ -1,0 +1,53 @@
+"""Count-min sketch (operators/sketches.py).
+
+Pins: exact estimates when the width makes collisions impossible,
+the one-sided overestimate property under forced collisions, the
+per-row mass invariant (every CMS row conserves the total weight),
+bit-identical cells across partitionings, and the absent-term path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.sketches import cms_cells, cms_estimate
+
+
+def _tf(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, tok string, tf long")
+
+
+def test_exact_when_no_collisions(spark):
+    tf = _tf(spark, [(1, "alpha", 3), (1, "beta", 2), (2, "alpha", 4),
+                     (2, "gamma", 1)])
+    cells = cms_cells(tf, width=1 << 16, depth=4)
+    got = {r["term"]: r["est"] for r in
+           cms_estimate(cells, ["alpha", "beta", "gamma", "absent"],
+                        width=1 << 16, depth=4).collect()}
+    # 3 tokens in a 65536-wide row: collisions are (checked) absent,
+    # so the sketch answers exactly; the absent term hits empty cells
+    assert got == {"alpha": 7, "beta": 2, "gamma": 1, "absent": 0}
+
+
+def test_overestimate_and_row_mass_invariant(spark):
+    # width 2 forces collisions in every row: estimates may only go UP
+    tf = _tf(spark, [(1, f"tok{i}", i + 1) for i in range(20)])
+    total = sum(i + 1 for i in range(20))
+    cells = cms_cells(tf, width=2, depth=4)
+    rows = cells.groupBy("row").agg(F.sum("count").alias("mass")).collect()
+    assert {r["row"] for r in rows} == {0, 1, 2, 3}
+    assert all(r["mass"] == total for r in rows)  # each row conserves mass
+    exact = {f"tok{i}": i + 1 for i in range(20)}
+    est = {r["term"]: r["est"] for r in
+           cms_estimate(cells, list(exact), width=2, depth=4).collect()}
+    assert all(est[t] >= exact[t] for t in exact)
+    assert all(est[t] <= total for t in exact)
+
+
+def test_cells_partitioning_independent(spark):
+    tf = _tf(spark, [(i, f"t{i % 13}", (i % 5) + 1) for i in range(200)])
+    a = {(r["row"], r["col"]): r["count"]
+         for r in cms_cells(tf, width=64, depth=4).collect()}
+    b = {(r["row"], r["col"]): r["count"]
+         for r in cms_cells(tf.repartition(7), width=64, depth=4).collect()}
+    assert a == b and a

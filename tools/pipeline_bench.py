@@ -94,6 +94,18 @@ def main() -> None:
 
     run("hash_embed", lambda: EM.embed_summary(docs))
     run("winnow_fingerprint", lambda: TS.winnow_fingerprint(docs), sink="noop")
+
+    # count-min sketch straight over token OCCURRENCES (no dictionary
+    # pre-agg — the streaming shape): d projections + one (row, col)
+    # agg, map-side combine collapses each partition to <= d*w rows
+    from search_engine_spark.operators import sketches as SKC
+
+    def _cms():
+        occ = docs.select(F.explode(TS.simple_tokens()).alias("tok")) \
+                  .withColumn("n", F.lit(1).cast("long"))
+        return SKC.cms_cells(occ, width=4096, depth=4, weight_col="n")
+
+    run("cms_term_sketch", _cms)
     run("gopher_quality", lambda: WQ.gopher_quality(docs), sink="noop")
     run("quality_score", lambda: TS.quality_score(docs), sink="noop")
     run("token_count_bpe", lambda: TS.token_count_bpe(docs), sink="noop")
