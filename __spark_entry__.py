@@ -1754,6 +1754,66 @@ def q_sketch_cms_estimate(spark, sf):
     )
 
 
+BLOOM_M, BLOOM_K = 1 << 14, 5
+
+
+def q_sketch_bloom_bits(spark, sf):
+    """Bloom filter over the corpus vocabulary in sparse relational
+    form — the distinct set bits ARE the filter (operators/
+    sketches.py).  Same md5 hash family as the CMS: the bit set is a
+    deterministic function of the key SET (order- and partitioning-
+    independent), so the filter oracle-checks exactly.  Build = k
+    map-side projections + one distinct."""
+    vocab = _doc_tf(_tbl(spark, sf, "documents")).select("tok").distinct()
+    return SK.bloom_bits(vocab, key_col="tok",
+                         m_bits=BLOOM_M, k_hashes=BLOOM_K)
+
+
+def q_sketch_bloom_contains(spark, sf):
+    """Bloom membership probes beside ground truth: no false
+    negatives ever; a false positive, being deterministic, is the
+    SAME false positive in both engines — even the filter's errors
+    hash-match.  Probe plan: |probes|·k rows against a broadcast of
+    the sparse bit list."""
+    tf = _doc_tf(_tbl(spark, sf, "documents"))
+    vocab = tf.select("tok").distinct()
+    bits = SK.bloom_bits(vocab, key_col="tok",
+                         m_bits=BLOOM_M, k_hashes=BLOOM_K)
+    member = SK.bloom_contains(bits, list(CMS_PROBES),
+                               m_bits=BLOOM_M, k_hashes=BLOOM_K)
+    truth = vocab.filter(F.col("tok").isin(*CMS_PROBES)).withColumn(
+        "_t", F.lit(True))
+    return (
+        member.join(truth, member.key == truth.tok, "left")
+        .select("key", "maybe_present",
+                F.coalesce(F.col("_t"), F.lit(False)).alias("actually_present"))
+    )
+
+
+def q_sketch_hll_registers(spark, sf):
+    """HyperLogLog register array over the corpus vocabulary —
+    sparse (j, reg) rows, max-merged so the state is order- and
+    partitioning-independent and mergeable across segments (the
+    property that makes HLL the standard distributed distinct
+    counter).  The rank uses length(bin(w)) integer/string
+    arithmetic, never float log2, so the registers oracle-check
+    exactly."""
+    vocab = _doc_tf(_tbl(spark, sf, "documents")).select("tok").distinct()
+    return SK.hll_registers(vocab, key_col="tok")
+
+
+def q_sketch_hll_estimate(spark, sf):
+    """The HLL cardinality estimate beside the true distinct count:
+    the indicator sum is an EXACT BIGINT (sum of 2^(W-reg)), so the
+    only float ops are one division (and one log in the
+    linear-counting range) — the rounded estimate reproduces
+    bit-for-bit across engines."""
+    vocab = _doc_tf(_tbl(spark, sf, "documents")).select("tok").distinct()
+    est = SK.hll_estimate(SK.hll_registers(vocab, key_col="tok"))
+    n = vocab.agg(F.count(F.lit(1)).alias("exact_n"))
+    return est.crossJoin(n)
+
+
 def q_url_recency_prior(spark, sf):
     """Crawl-freshness prior over warc_ts on the exact 1e-9 integer
     grid (min-max normalized in SECONDS — BIGINT-safe for a
@@ -1975,11 +2035,11 @@ def q_multimodal_resize(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    27 new rows first (never driver-stamped), then the rows whose
+    33 new rows first (never driver-stamped), then the rows whose
     latest driver stamp is r01-r03 (round 4's tail, rotated back in);
-    at 102 total the window cut lands after set_except_nations, so
-    two of those rotation targets (distinct_langs, events_hourly —
-    both trivially SQL-oracled) sit just past it.  Every row past the
+    at 108 total the window cut lands inside that block, so six of
+    the rotation targets (set ops, distinct_langs, events_hourly —
+    all trivially SQL-oracled) sit just past it.  Every row past the
     window carries an r01-r04 driver stamp AND
     tests/test_entry_oracle.py re-runs the ACTUAL tail
     (list(queries())[50:]) against DuckDB every CI run."""
@@ -1995,6 +2055,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_recency_blend": q_search_recency_blend,
         "sketch_cms_cells": q_sketch_cms_cells,
         "sketch_cms_estimate": q_sketch_cms_estimate,
+        "sketch_bloom_bits": q_sketch_bloom_bits,
+        "sketch_bloom_contains": q_sketch_bloom_contains,
+        "sketch_hll_registers": q_sketch_hll_registers,
+        "sketch_hll_estimate": q_sketch_hll_estimate,
         "ft_diversified_topk": q_ft_diversified_topk,
         "search_collapse": q_search_collapse,
         "text_autocomplete": q_text_autocomplete,
@@ -2992,6 +3056,64 @@ est AS (SELECT kk.term, CAST(min(coalesce(c.count, 0)) AS BIGINT) AS est
         GROUP BY kk.term)
 SELECT e.term, e.est, CAST(coalesce(f.cf, 0) AS BIGINT) AS exact_cf
 FROM est e LEFT JOIN cf f ON f.tok = e.term
+""",
+        "sketch_bloom_bits": f"""
+WITH {_TF_CTE},
+vocab AS (SELECT DISTINCT tok FROM tf),
+ks AS (SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS i)
+SELECT DISTINCT
+  CAST(('0x' || substr(md5(k.i || ':' || tok), 1, 8))::BIGINT % {BLOOM_M} AS BIGINT) AS bit
+FROM vocab, ks k
+""",
+        "sketch_bloom_contains": f"""
+WITH {_TF_CTE},
+vocab AS (SELECT DISTINCT tok FROM tf),
+ks AS (SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS i),
+bits AS (SELECT DISTINCT
+           CAST(('0x' || substr(md5(k.i || ':' || tok), 1, 8))::BIGINT % {BLOOM_M} AS BIGINT) AS bit
+         FROM vocab, ks k),
+probes(key) AS (VALUES {", ".join(f"('{t}')" for t in CMS_PROBES)}),
+keys AS (SELECT p.key, k.i,
+                CAST(('0x' || substr(md5(k.i || ':' || p.key), 1, 8))::BIGINT % {BLOOM_M} AS BIGINT) AS bit
+         FROM probes p, ks k),
+mem AS (SELECT kk.key,
+               count(*) = sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS maybe_present
+        FROM keys kk LEFT JOIN bits b ON kk.bit = b.bit GROUP BY kk.key)
+SELECT m.key, m.maybe_present,
+       EXISTS (SELECT 1 FROM vocab v WHERE v.tok = m.key) AS actually_present
+FROM mem m
+""",
+        "sketch_hll_registers": f"""
+WITH {_TF_CTE},
+vocab AS (SELECT DISTINCT tok FROM tf),
+hs AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM vocab),
+pre AS (SELECT h % {SK.HLL_M} AS j, h // {SK.HLL_M} AS w FROM hs)
+SELECT CAST(j AS BIGINT) AS j,
+       CAST(max(CASE WHEN w = 0 THEN {SK._HLL_W}
+                ELSE {SK._HLL_W} - length(bin(w)) + 1 END) AS BIGINT) AS reg
+FROM pre GROUP BY j
+""",
+        "sketch_hll_estimate": f"""
+WITH {_TF_CTE},
+vocab AS (SELECT DISTINCT tok FROM tf),
+hs AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM vocab),
+pre AS (SELECT h % {SK.HLL_M} AS j, h // {SK.HLL_M} AS w FROM hs),
+regs AS (SELECT j, max(CASE WHEN w = 0 THEN {SK._HLL_W}
+                       ELSE {SK._HLL_W} - length(bin(w)) + 1 END) AS reg
+         FROM pre GROUP BY j),
+agg AS (SELECT CAST(sum(CAST(pow(2, {SK._HLL_W} - reg) AS BIGINT)) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS nz
+        FROM regs),
+calc AS (SELECT
+    0.709 * {SK.HLL_M} * {SK.HLL_M} * {float(1 << SK._HLL_W)}
+      / (CAST(s AS DOUBLE) + ({SK.HLL_M} - nz) * {float(1 << SK._HLL_W)}) AS est_raw,
+    CAST({SK.HLL_M} - nz AS DOUBLE) AS zeros
+  FROM agg)
+SELECT round(CASE WHEN est_raw <= 2.5 * {SK.HLL_M} AND zeros > 0
+             THEN {float(SK.HLL_M)} * ln({float(SK.HLL_M)} / zeros)
+             ELSE est_raw END, 4) AS est,
+       (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS exact_n
+FROM calc
 """,
         "url_recency_prior": """
 WITH p AS (SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS s FROM documents),

@@ -67,6 +67,118 @@ def cms_cells(tf: DataFrame, width: int = DEFAULT_WIDTH,
     return u.groupBy("row", "col").agg(F.sum("c").alias("count"))
 
 
+DEFAULT_BLOOM_BITS = 1 << 14
+DEFAULT_BLOOM_HASHES = 5
+
+
+def bloom_bits(keys: DataFrame, key_col: str = "key",
+               m_bits: int = DEFAULT_BLOOM_BITS,
+               k_hashes: int = DEFAULT_BLOOM_HASHES) -> DataFrame:
+    """(bit,) — the distinct bit positions a Bloom filter over the
+    key set would have set (the set-bit list IS the filter, in its
+    sparse relational form).  Same md5 hash family as the CMS, so the
+    bits are a deterministic function of the key SET — exactly
+    oracle-checkable, order- and partitioning-independent.  Build is
+    k map-side projections + one distinct; the filter answers
+    membership with no false negatives and a false-positive rate of
+    ~(1 - e^{-kn/m})^k."""
+    parts = [
+        keys.select(_col_expr(key_col, i, m_bits).alias("bit"))
+        for i in range(k_hashes)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.distinct()
+
+
+def bloom_contains(bits: DataFrame, probes: list[str],
+                   m_bits: int = DEFAULT_BLOOM_BITS,
+                   k_hashes: int = DEFAULT_BLOOM_HASHES) -> DataFrame:
+    """(key, maybe_present) — the Bloom membership test: true iff all
+    k probed bits are set.  Deterministic: a false positive is the
+    same false positive in every engine, so even the filter's errors
+    oracle-check exactly.  The probe side is |probes|·k rows against
+    a broadcast of the sparse bit list."""
+    spark = bits.sparkSession
+    pr = spark.createDataFrame(
+        [(t,) for t in sorted(set(probes))], "key string")
+    keyed = None
+    for i in range(k_hashes):
+        part = pr.select("key", _col_expr("key", i, m_bits).alias("bit"))
+        keyed = part if keyed is None else keyed.unionByName(part)
+    hit = keyed.join(F.broadcast(bits.withColumn("_set", F.lit(1))),
+                     "bit", "left")
+    return (
+        hit.groupBy("key")
+        .agg((F.count(F.lit(1)) == F.sum(F.coalesce(F.col("_set"), F.lit(0))))
+             .alias("maybe_present"))
+    )
+
+
+# HyperLogLog: register index = hash mod m, register value = position
+# of the highest set bit of the remaining hash bits (computed via the
+# length of the minimal binary string — pure integer/string ops, no
+# float log2 whose last-ulp could flip a register).  The REGISTERS are
+# a deterministic max-merge of per-key values, so the sketch state is
+# exactly oracle-checkable; the cardinality estimate is derived from
+# an EXACT BIGINT register sum (sum of 2^(W-reg), one float division
+# at the end), so even the float estimate is reproducible bit-for-bit
+# across engines and partitionings.
+
+HLL_M = 64                 # registers (2^6)
+_HLL_HASH_HEX = 15         # 60-bit hash: 6 index bits + 54 value bits
+_HLL_W = 4 * _HLL_HASH_HEX - 6
+
+
+def hll_registers(keys: DataFrame, key_col: str = "key",
+                  m: int = HLL_M) -> DataFrame:
+    """(j, reg) — the HLL register array over the key set (sparse:
+    untouched registers are absent = 0).  One map-side projection +
+    one max agg; max-merge makes the state order-independent and
+    mergeable across partitions/segments, the property that makes HLL
+    the standard distributed distinct-counter.  rank = leading zeros
+    of the value bits within a W-bit window, +1, computed as
+    W - length(bin(w)) + 1 — pure integer/string ops, no float log2
+    whose last ulp could flip a register (the all-zero value, seen
+    with probability 2^-W per key, clamps to rank W so every
+    indicator 2^(W-reg) stays an exact BIGINT both engines truncate
+    identically)."""
+    h = f"cast(conv(substring(md5({key_col}), 1, {_HLL_HASH_HEX}), 16, 10) as bigint)"
+    w = f"({h} div {m})"
+    reg = (f"cast(case when {w} = 0 then {_HLL_W} "
+           f"else {_HLL_W} - length(bin({w})) + 1 end as bigint)")
+    return (
+        keys.selectExpr(f"({h} % {m}) as j", f"{reg} as r")
+        .groupBy("j").agg(F.max("r").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
+    """(est,) — the HLL cardinality estimate with the standard
+    small-range (linear-counting) correction.  The indicator sum
+    sum(2^-reg) is computed as the EXACT BIGINT  sum(2^(W - reg))
+    (absent sparse registers contribute 2^W each), so the only float
+    operations are one division and, in the small range, one log —
+    no float summation order anywhere; the rounded estimate is
+    bit-reproducible across engines and partitionings."""
+    alpha = 0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)
+    agg = registers.agg(
+        F.sum(F.expr(f"cast(pow(2, {_HLL_W} - reg) as bigint)")).alias("s"),
+        F.count(F.lit(1)).alias("nz"),
+    )
+    two_w = float(1 << _HLL_W)
+    denom = (F.col("s").cast("double")
+             + (F.lit(m) - F.col("nz")).cast("double") * F.lit(two_w))
+    est_raw = F.lit(alpha * m * m * two_w) / denom
+    # present registers always hold reg >= 1, so zero-registers are
+    # exactly the absent sparse rows
+    zeros = (F.lit(m) - F.col("nz")).cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((est_raw <= 2.5 * m) & (zeros > 0), lc).otherwise(est_raw)
+    return agg.select(F.round(est, 4).alias("est"))
+
+
 def cms_estimate(cells: DataFrame, terms: list[str],
                  width: int = DEFAULT_WIDTH,
                  depth: int = DEFAULT_DEPTH) -> DataFrame:

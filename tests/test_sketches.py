@@ -51,3 +51,46 @@ def test_cells_partitioning_independent(spark):
     b = {(r["row"], r["col"]): r["count"]
          for r in cms_cells(tf.repartition(7), width=64, depth=4).collect()}
     assert a == b and a
+
+
+def test_bloom_no_false_negatives_and_determinism(spark):
+    from search_engine_spark.operators.sketches import bloom_bits, bloom_contains
+
+    keys = spark.createDataFrame(
+        [(f"word{i}",) for i in range(50)], "key string")
+    bits = bloom_bits(keys, m_bits=1 << 16, k_hashes=5)
+    got = {r["key"]: r["maybe_present"] for r in bloom_contains(
+        bits, [f"word{i}" for i in range(50)] + ["absent1", "absent2"],
+        m_bits=1 << 16, k_hashes=5).collect()}
+    assert all(got[f"word{i}"] for i in range(50))  # never a false negative
+    # 250 set bits in 65536: a 5-bit collision for the absent probes
+    # is (deterministically) not happening at these parameters
+    assert not got["absent1"] and not got["absent2"]
+    a = {r["bit"] for r in bits.collect()}
+    b = {r["bit"] for r in bloom_bits(
+        keys.repartition(7), m_bits=1 << 16, k_hashes=5).collect()}
+    assert a == b and a
+
+
+def test_hll_merge_and_estimate(spark):
+    from search_engine_spark.operators.sketches import (
+        hll_estimate, hll_registers)
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "key string")
+    both = a.unionByName(b)
+    # mergeability: registers(A ∪ B) == per-register max of the parts
+    merged = (
+        hll_registers(a).unionByName(hll_registers(b))
+        .groupBy("j").agg(F.max("reg").alias("reg"))
+    )
+    direct = {(r["j"], r["reg"]) for r in hll_registers(both).collect()}
+    assert {(r["j"], r["reg"]) for r in merged.collect()} == direct
+    # the estimate lands near the truth (64 registers: ~13% std error)
+    est = hll_estimate(hll_registers(both)).collect()[0]["est"]
+    assert 600 * 0.7 <= est <= 600 * 1.3
+    # partitioning independence of the state
+    alt = {(r["j"], r["reg"])
+           for r in hll_registers(both.repartition(9)).collect()}
+    assert alt == direct
