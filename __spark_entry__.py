@@ -1814,6 +1814,22 @@ def q_sketch_hll_estimate(spark, sf):
     return est.crossJoin(n)
 
 
+def q_link_host_distinct_hll(spark, sf):
+    """Per-host distinct out-neighbor counts via GROUPED HLL beside
+    exact truth — THE web-scale per-key distinct pattern:
+    count_distinct per group shuffles every (group, key) pair, while
+    grouped HLL max-merges fixed-size register state inside one
+    ordinary hash agg (exchange bounded by groups × m rows).  Both
+    the registers and the derived estimates are deterministic, so the
+    approximate column oracle-checks exactly."""
+    docs = _tbl(spark, sf, "documents")
+    edges = GR.host_graph(GR.extract_links(GR.synthetic_linked_crawl(docs)))
+    est = SK.hll_estimate_by(SK.hll_registers_by(edges, "src", "dst"), "src")
+    exact = edges.groupBy("src").agg(
+        F.countDistinct("dst").cast("long").alias("exact_n"))
+    return est.join(exact, "src").select("src", "est", "exact_n")
+
+
 def q_url_recency_prior(spark, sf):
     """Crawl-freshness prior over warc_ts on the exact 1e-9 integer
     grid (min-max normalized in SECONDS — BIGINT-safe for a
@@ -2035,11 +2051,11 @@ def q_multimodal_resize(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    33 new rows first (never driver-stamped), then the rows whose
+    34 new rows first (never driver-stamped), then the rows whose
     latest driver stamp is r01-r03 (round 4's tail, rotated back in);
-    at 108 total the window cut lands inside that block, so six of
-    the rotation targets (set ops, distinct_langs, events_hourly —
-    all trivially SQL-oracled) sit just past it.  Every row past the
+    at 109 total the window cut lands inside that block, so seven of
+    the rotation targets (joins/set ops, distinct_langs, events_hourly
+    — all trivially SQL-oracled) sit just past it.  Every row past the
     window carries an r01-r04 driver stamp AND
     tests/test_entry_oracle.py re-runs the ACTUAL tail
     (list(queries())[50:]) against DuckDB every CI run."""
@@ -2059,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_contains": q_sketch_bloom_contains,
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_hll_estimate": q_sketch_hll_estimate,
+        "link_host_distinct_hll": q_link_host_distinct_hll,
         "ft_diversified_topk": q_ft_diversified_topk,
         "search_collapse": q_search_collapse,
         "text_autocomplete": q_text_autocomplete,
@@ -3114,6 +3131,34 @@ SELECT round(CASE WHEN est_raw <= 2.5 * {SK.HLL_M} AND zeros > 0
              ELSE est_raw END, 4) AS est,
        (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS exact_n
 FROM calc
+""",
+        "link_host_distinct_hll": f"""
+WITH e AS ({GR.duckdb_linked_edges_sql(UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql)}),
+he AS (SELECT regexp_extract(src, '^[^:]+://([^/?]*)', 1) AS src,
+              regexp_extract(dst, '^[^:]+://([^/?]*)', 1) AS dst
+       FROM e),
+hp AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
+hs AS (SELECT src, ('0x' || substr(md5(dst), 1, 15))::BIGINT AS h FROM hp),
+pre AS (SELECT src, h % {SK.HLL_M} AS j, h // {SK.HLL_M} AS w FROM hs),
+regs AS (SELECT src, j, max(CASE WHEN w = 0 THEN {SK._HLL_W}
+                            ELSE {SK._HLL_W} - length(bin(w)) + 1 END) AS reg
+         FROM pre GROUP BY src, j),
+agg AS (SELECT src,
+               CAST(sum(CAST(pow(2, {SK._HLL_W} - reg) AS BIGINT)) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS nz
+        FROM regs GROUP BY src),
+calc AS (SELECT src,
+    0.709 * {SK.HLL_M} * {SK.HLL_M} * {float(1 << SK._HLL_W)}
+      / (CAST(s AS DOUBLE) + ({SK.HLL_M} - nz) * {float(1 << SK._HLL_W)}) AS est_raw,
+    CAST({SK.HLL_M} - nz AS DOUBLE) AS zeros
+  FROM agg),
+est AS (SELECT src, round(CASE WHEN est_raw <= 2.5 * {SK.HLL_M} AND zeros > 0
+                          THEN {float(SK.HLL_M)} * ln({float(SK.HLL_M)} / zeros)
+                          ELSE est_raw END, 4) AS est
+        FROM calc),
+exact AS (SELECT src, CAST(count(DISTINCT dst) AS BIGINT) AS exact_n
+          FROM hp GROUP BY src)
+SELECT e2.src, e2.est, x.exact_n FROM est e2 JOIN exact x ON e2.src = x.src
 """,
         "url_recency_prior": """
 WITH p AS (SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS s FROM documents),

@@ -131,6 +131,43 @@ _HLL_HASH_HEX = 15         # 60-bit hash: 6 index bits + 54 value bits
 _HLL_W = 4 * _HLL_HASH_HEX - 6
 
 
+def hll_registers_by(df: DataFrame, group_col: str, key_col: str,
+                     m: int = HLL_M) -> DataFrame:
+    """(group, j, reg) — a grouped HLL: per-group register arrays in
+    one ordinary hash aggregation.  THE web-scale per-key distinct
+    pattern: `count_distinct` per group needs a (group, key) distinct
+    shuffle of every pair; grouped HLL max-merges fixed-size register
+    state inside the agg, so the exchange is bounded by groups × m
+    rows no matter how many keys each group has."""
+    h = f"cast(conv(substring(md5({key_col}), 1, {_HLL_HASH_HEX}), 16, 10) as bigint)"
+    w = f"({h} div {m})"
+    reg = (f"cast(case when {w} = 0 then {_HLL_W} "
+           f"else {_HLL_W} - length(bin({w})) + 1 end as bigint)")
+    return (
+        df.selectExpr(group_col, f"({h} % {m}) as j", f"{reg} as r")
+        .groupBy(group_col, "j").agg(F.max("r").alias("reg"))
+    )
+
+
+def hll_estimate_by(registers: DataFrame, group_col: str,
+                    m: int = HLL_M) -> DataFrame:
+    """(group, est) — per-group HLL estimates from grouped registers
+    (same exact-BIGINT indicator sum as :func:`hll_estimate`)."""
+    alpha = 0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)
+    agg = registers.groupBy(group_col).agg(
+        F.sum(F.expr(f"cast(pow(2, {_HLL_W} - reg) as bigint)")).alias("s"),
+        F.count(F.lit(1)).alias("nz"),
+    )
+    two_w = float(1 << _HLL_W)
+    denom = (F.col("s").cast("double")
+             + (F.lit(m) - F.col("nz")).cast("double") * F.lit(two_w))
+    est_raw = F.lit(alpha * m * m * two_w) / denom
+    zeros = (F.lit(m) - F.col("nz")).cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((est_raw <= 2.5 * m) & (zeros > 0), lc).otherwise(est_raw)
+    return agg.select(group_col, F.round(est, 4).alias("est"))
+
+
 def hll_registers(keys: DataFrame, key_col: str = "key",
                   m: int = HLL_M) -> DataFrame:
     """(j, reg) — the HLL register array over the key set (sparse:

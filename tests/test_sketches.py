@@ -94,3 +94,22 @@ def test_hll_merge_and_estimate(spark):
     alt = {(r["j"], r["reg"])
            for r in hll_registers(both.repartition(9)).collect()}
     assert alt == direct
+
+
+def test_grouped_hll_per_key_distinct(spark):
+    from search_engine_spark.operators.sketches import (
+        hll_estimate_by, hll_registers_by)
+
+    rows = ([("big", f"k{i}") for i in range(400)]
+            + [("mid", f"k{i}") for i in range(40)]
+            + [("tiny", "k0"), ("tiny", "k1"), ("tiny", "k0")])
+    df = spark.createDataFrame(rows, "g string, k string")
+    regs = hll_registers_by(df, "g", "k")
+    # fixed-size state: never more than m register rows per group
+    sizes = {r["g"]: r["n"] for r in
+             regs.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 64 for n in sizes.values())
+    est = {r["g"]: r["est"] for r in hll_estimate_by(regs, "g").collect()}
+    truth = {"big": 400, "mid": 40, "tiny": 2}
+    for g, n in truth.items():
+        assert n * 0.7 <= est[g] <= n * 1.3, (g, est[g], n)
