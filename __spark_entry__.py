@@ -1462,6 +1462,22 @@ def q_text_contamination(spark, sf):
     )
 
 
+def q_text_contamination_bloom(spark, sf):
+    """Decontamination through the Bloom semi-join reduction
+    (curation.contamination_hits_bloom): the eval set ships as a
+    few-KB bit list, k broadcast semi-joins drop clean grams
+    map-side, and the exact join settles the survivors — output
+    bit-identical to text_contamination (no false negatives), so the
+    SAME SQL oracle pins both forms."""
+    docs = _tbl(spark, sf, "documents")
+    ev = CU.eval_grams_from_docs(
+        docs.filter(F.col("doc_id") < CONTAM_EVAL_DOCS), n=CONTAM_NGRAM
+    )
+    return CU.contamination_hits_bloom(
+        docs.filter(F.col("doc_id") >= CONTAM_EVAL_DOCS), ev, n=CONTAM_NGRAM
+    )
+
+
 def q_dedup_crossdoc_grams(spark, sf):
     """Cross-document duplicated-gram fraction per doc — the
     corpus-level paragraph-dedup signal (two gram-keyed shuffles,
@@ -2051,9 +2067,9 @@ def q_multimodal_resize(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    34 new rows first (never driver-stamped), then the rows whose
+    35 new rows first (never driver-stamped), then the rows whose
     latest driver stamp is r01-r03 (round 4's tail, rotated back in);
-    at 109 total the window cut lands inside that block, so seven of
+    at 110 total the window cut lands inside that block, so eight of
     the rotation targets (joins/set ops, distinct_langs, events_hourly
     — all trivially SQL-oracled) sit just past it.  Every row past the
     window carries an r01-r04 driver stamp AND
@@ -2076,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_hll_estimate": q_sketch_hll_estimate,
         "link_host_distinct_hll": q_link_host_distinct_hll,
+        "text_contamination_bloom": q_text_contamination_bloom,
         "ft_diversified_topk": q_ft_diversified_topk,
         "search_collapse": q_search_collapse,
         "text_autocomplete": q_text_autocomplete,
@@ -2739,6 +2756,21 @@ ranked AS (SELECT doc_id, score,
            FROM scored)
 SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
 """
+    # decontamination oracle — shared verbatim by the broadcast form
+    # (text_contamination) and the Bloom semi-join reduction form
+    # (text_contamination_bloom), which must be bit-identical
+    _CONTAM_SQL = f"""
+WITH {_sql_shingles_cte(CONTAM_NGRAM)},
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ev AS (SELECT DISTINCT s FROM shx WHERE doc_id < {CONTAM_EVAL_DOCS}),
+base AS (SELECT * FROM shx WHERE doc_id >= {CONTAM_EVAL_DOCS}),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM base GROUP BY doc_id),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         FROM base JOIN ev USING (s) GROUP BY doc_id)
+SELECT h.doc_id, t.n_grams, h.n_hit,
+       round(h.n_hit / t.n_grams, 6) AS hit_frac
+FROM hits h JOIN totals t USING (doc_id)
+"""
     # typo-tolerant retrieval: correct each misspelling to its closest
     # vocabulary term (dist asc, df desc, term asc), then the same
     # BM25 chain over the corrected term set
@@ -3074,6 +3106,7 @@ est AS (SELECT kk.term, CAST(min(coalesce(c.count, 0)) AS BIGINT) AS est
 SELECT e.term, e.est, CAST(coalesce(f.cf, 0) AS BIGINT) AS exact_cf
 FROM est e LEFT JOIN cf f ON f.tok = e.term
 """,
+        "text_contamination_bloom": _CONTAM_SQL,
         "sketch_bloom_bits": f"""
 WITH {_TF_CTE},
 vocab AS (SELECT DISTINCT tok FROM tf),
@@ -3485,18 +3518,7 @@ SELECT doc_id,
 FROM p
 """,
         "text_gopher_quality": _sql_gopher_quality(),
-        "text_contamination": f"""
-WITH {_sql_shingles_cte(CONTAM_NGRAM)},
-shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-ev AS (SELECT DISTINCT s FROM shx WHERE doc_id < {CONTAM_EVAL_DOCS}),
-base AS (SELECT * FROM shx WHERE doc_id >= {CONTAM_EVAL_DOCS}),
-totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM base GROUP BY doc_id),
-hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
-         FROM base JOIN ev USING (s) GROUP BY doc_id)
-SELECT h.doc_id, t.n_grams, h.n_hit,
-       round(h.n_hit / t.n_grams, 6) AS hit_frac
-FROM hits h JOIN totals t USING (doc_id)
-""",
+        "text_contamination": _CONTAM_SQL,
         "dedup_crossdoc_grams": f"""
 WITH {_sql_shingles_cte()},
 shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),

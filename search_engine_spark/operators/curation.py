@@ -93,6 +93,51 @@ def contamination_hits(docs: DataFrame, eval_grams: DataFrame,
     )
 
 
+def contamination_hits_bloom(docs: DataFrame, eval_grams: DataFrame,
+                             n: int = DEFAULT_CONTAM_NGRAM,
+                             gram_col: str = "gram",
+                             m_bits: int = 1 << 20,
+                             k_hashes: int = 5) -> DataFrame:
+    """:func:`contamination_hits` with a Bloom semi-join reduction —
+    the form for eval sets too large to broadcast.  Instead of
+    shipping the eval-gram SET to every task, ship its Bloom filter
+    (the sparse set-bit list, KBs): k broadcast-hash semi-joins drop
+    the overwhelming majority of corpus grams MAP-SIDE (no exchange
+    of the shingle stream, and no false negatives — nothing real is
+    lost), then only the surviving sliver meets the exact eval set in
+    an AQE-planned join whose probe side is |true hits| + |false
+    positives| (~(1 - e^{-k·n/m})^k of the corpus) instead of every
+    gram.  Output is bit-identical to :func:`contamination_hits` —
+    the prefilter passes a superset of true hits and the exact join
+    settles it — so the SAME oracle pins both forms."""
+    from .sketches import _col_expr, bloom_bits
+
+    sh = _shared_shingles(docs, n)
+    ev = eval_grams.select(F.col(gram_col).alias("s")).distinct()
+    bits = bloom_bits(ev, key_col="s", m_bits=m_bits, k_hashes=k_hashes)
+    cand = sh
+    for i in range(k_hashes):
+        probe = bits.withColumnRenamed("bit", f"_b{i}")
+        cand = cand.join(
+            F.broadcast(probe),
+            _col_expr("s", i, m_bits) == F.col(f"_b{i}"),
+            "left_semi",
+        )
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # exact verify on the survivors only — no forced broadcast: the
+    # whole point of the bloom form is an eval side AQE may choose to
+    # shuffle, against a probe side the filter already shrank
+    hits = cand.join(ev, "s").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit"))
+    return (
+        hits.join(totals, "doc_id")
+        .select(
+            "doc_id", "n_grams", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("hit_frac"),
+        )
+    )
+
+
 def eval_grams_from_docs(docs: DataFrame, n: int = DEFAULT_CONTAM_NGRAM) -> DataFrame:
     """Distinct gram set of a (small) doc frame in the shingle form
     ``contamination_hits`` consumes — how a benchmark's question/answer

@@ -251,3 +251,25 @@ def test_dedup_lines_digest_plan_exchanges_on_md5(spark):
     assert all(k.startswith(("lk", "doc_id")) for k in keys), keys
     assert any(k.startswith("lk") for k in keys), keys
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_contamination_bloom_form_identical(spark):
+    """The Bloom semi-join reduction must be BIT-identical to the
+    broadcast form (no false negatives: the prefilter only ever
+    passes a superset that the exact join settles), and its k
+    membership probes must run as broadcast semi-joins — the shingle
+    stream is never exchanged before the exact verify."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(30)), "en", "s")
+         for i in range(60)],
+        "doc_id long, text string, lang string, source string",
+    )
+    ev = CU.eval_grams_from_docs(docs.filter(F.col("doc_id") < 10), n=3)
+    base = docs.filter(F.col("doc_id") >= 10)
+    a = sorted(tuple(r) for r in CU.contamination_hits(base, ev, n=3).collect())
+    out = CU.contamination_hits_bloom(base, ev, n=3)
+    b = sorted(tuple(r) for r in out.collect())
+    assert a == b and a
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
