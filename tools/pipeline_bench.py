@@ -88,6 +88,12 @@ def main() -> None:
     run("contamination_hits", lambda: CU.contamination_hits(
         docs.filter(F.col("doc_id") >= 50),
         CU.eval_grams_from_docs(docs.filter(F.col("doc_id") < 50), n=3), n=3))
+    # the Bloom semi-join reduction form (bit-identical output): the
+    # eval set ships as a sparse bit list and k broadcast semi-joins
+    # drop clean grams map-side before the exact verify
+    run("contamination_bloom", lambda: CU.contamination_hits_bloom(
+        docs.filter(F.col("doc_id") >= 50),
+        CU.eval_grams_from_docs(docs.filter(F.col("doc_id") < 50), n=3), n=3))
     run("training_mix", lambda: CU.training_mix(
         docs, rates={"en": 0.5, "de": 0.25}, salt="pb", default_rate=0.1))
     from search_engine_spark.operators import embed as EM
