@@ -728,6 +728,34 @@ def q_search_highlight(spark, sf):
     )
 
 
+def q_search_explain(spark, sf):
+    """Lucene-style score explanation for the top-1 result: per-term
+    BM25 contribution + importance bonus + blended part, engine
+    (packed unpack, 1-row doc restriction) ≡ twin (raw postings,
+    stats-as-packed df) — aggregated to one summary row because the
+    per-term cardinality is data-dependent: same term set, every
+    contribution/bonus within 1e-9, and the per-term parts sum back
+    to the document's ACTUAL search score (the Explanation
+    invariant)."""
+    eng = _engine_for(spark, sf)
+    top = eng.search(ENGINE_QUERY, 1).collect()[0]
+    e = eng.explain_score(ENGINE_QUERY, top["url"]).collect()
+    t = TW.twin_explain(spark, eng, ENGINE_QUERY, top["url"]).collect()
+    em = {r["term_key"]: r for r in e}
+    tm = {r["term_key"]: r for r in t}
+    terms_match = bool(em) and set(em) == set(tm)
+    values_match = terms_match and all(
+        abs(em[k]["bm25_contrib"] - tm[k]["bm25_contrib"]) <= 1e-9
+        and abs(em[k]["bonus"] - tm[k]["bonus"]) <= 1e-9
+        for k in em
+    )
+    parts_sum = abs(sum(r["part"] for r in e) - top["score"]) <= 1e-9
+    return spark.createDataFrame(
+        [(terms_match, values_match, bool(parts_sum))],
+        "terms_match boolean, values_match boolean, parts_sum_to_score boolean",
+    )
+
+
 def q_search_boolean(spark, sf):
     """Lucene-BooleanQuery semantics on the packed index ≡ the
     plain-postings twin, per rank: MUST ('data') required via a
@@ -2067,9 +2095,9 @@ def q_multimodal_resize(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    35 new rows first (never driver-stamped), then the rows whose
+    36 new rows first (never driver-stamped), then the rows whose
     latest driver stamp is r01-r03 (round 4's tail, rotated back in);
-    at 110 total the window cut lands inside that block, so eight of
+    at 111 total the window cut lands inside that block, so nine of
     the rotation targets (joins/set ops, distinct_langs, events_hourly
     — all trivially SQL-oracled) sit just past it.  Every row past the
     window carries an r01-r04 driver stamp AND
@@ -2093,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_estimate": q_sketch_hll_estimate,
         "link_host_distinct_hll": q_link_host_distinct_hll,
         "text_contamination_bloom": q_text_contamination_bloom,
+        "search_explain": q_search_explain,
         "ft_diversified_topk": q_ft_diversified_topk,
         "search_collapse": q_search_collapse,
         "text_autocomplete": q_text_autocomplete,
@@ -3107,6 +3136,9 @@ SELECT e.term, e.est, CAST(coalesce(f.cf, 0) AS BIGINT) AS exact_cf
 FROM est e LEFT JOIN cf f ON f.tok = e.term
 """,
         "text_contamination_bloom": _CONTAM_SQL,
+        "search_explain": """
+SELECT true AS terms_match, true AS values_match, true AS parts_sum_to_score
+""",
         "sketch_bloom_bits": f"""
 WITH {_TF_CTE},
 vocab AS (SELECT DISTINCT tok FROM tf),

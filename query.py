@@ -12,6 +12,7 @@
     python query.py --index /tmp/ix --fuzzy "wrold tade"      # typo correction
     python query.py --index /tmp/ix --proximity "world trade" # closest-pair rank
     python query.py --index /tmp/ix --snippets /tmp/store "world trade"  # result page
+    python query.py --index /tmp/ix --explain "world trade"  # score breakdown
 
 Cluster: ``spark-submit --py-files engine.zip query.py ...``.
 Outputs TREC-style lines ``qid rank url score`` (real scores — the
@@ -64,6 +65,9 @@ def main() -> None:
     ap.add_argument("--snippets", default=None, metavar="STORE",
                     help="docstore dir (index_admin.py docstore): print the "
                          "assembled result page with KWIC excerpts")
+    ap.add_argument("--explain", action="store_true",
+                    help="print the top-1 result's per-term score "
+                         "breakdown (BM25 contribution, bonus, blended part)")
     ap.add_argument("query", nargs="+")
     args = ap.parse_args()
 
@@ -101,6 +105,17 @@ def main() -> None:
         text = " ".join(args.query)
         for r in eng.phrase_search(text, args.k).collect():
             print(f"q1 {r['rank']} {r['url']} {r['phrase_tf']}")
+    elif args.explain:
+        text = " ".join(args.query)
+        top = eng.search(text, 1).collect()
+        if not top:
+            print("no results")
+        else:
+            r0 = top[0]
+            print(f"top1 {r0['url']} score={r0['score']:.6f}")
+            for r in eng.explain_score(text, r0["url"]).collect():
+                print(f"  {r['term_key']}: bm25={r['bm25_contrib']:.6f} "
+                      f"bonus={r['bonus']:.1f} part={r['part']:.6f}")
     elif args.snippets:
         text = " ".join(args.query)
         for r in eng.search_with_snippets(text, args.snippets,

@@ -649,6 +649,41 @@ class SearchEngine:
             .select("url", "min_dist", "score", "rank")
         )
 
+    def explain_score(self, query: str, url: str) -> DataFrame:
+        """Lucene-style Explanation for one (query, document) pair:
+        per matched term, the BM25 contribution, the importance bonus,
+        and the blended part (a·contrib + b·bonus) — the parts sum to
+        exactly the document's :meth:`search` score, the invariant the
+        search_explain driver row pins.  The relevance-debugging
+        surface every ranking change gets interrogated with.
+
+        Plan: the ordinary pruned scan of the QUERY's own terms,
+        unpacked once, then a 1-row broadcast semi-restriction to the
+        target document's (shard, local_id) — the accepted scalar
+        pattern; never a corpus pass."""
+        keys = self.parse_query(query)
+        resolved = self.resolve_terms(keys)
+        empty = self.spark.createDataFrame(
+            [], "term_key string, bm25_contrib double, bonus double, part double")
+        if resolved.empty:
+            return empty
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        per = self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key))
+        target = (self._doc_map().filter(F.col("url") == url)
+                  .select("shard", "local_id"))
+        blend_a, blend_b = self.meta["blend_bm25"], self.meta["blend_bonus"]
+        return (
+            per.join(F.broadcast(target), ["shard", "local_id"])
+            .select(
+                "term_key",
+                F.col("contrib").alias("bm25_contrib"),
+                "bonus",
+                (F.lit(blend_a) * F.col("contrib")
+                 + F.lit(blend_b) * F.col("bonus")).alias("part"),
+            )
+        )
+
     def search_with_snippets(self, query: str, docstore_path: str,
                              k: int | None = None,
                              window: int = 5) -> DataFrame:

@@ -100,6 +100,48 @@ def twin_bm25_scores(spark: SparkSession, engine, term_keys: list[str]) -> DataF
     )
 
 
+def twin_explain(spark: SparkSession, engine, query: str,
+                 url: str) -> DataFrame:
+    """(term_key, bm25_contrib, bonus, part) — the plain twin of
+    ``SearchEngine.explain_score``: the same per-posting arithmetic as
+    ``twin_bm25_scores`` (stats-as-packed df, live tf/dl), without the
+    per-doc aggregation, restricted to one url."""
+    meta = engine.meta
+    k1, b = float(meta["k1"]), float(meta["b"])
+    avgdl, n_docs = float(meta["avgdl"]), float(meta["n_docs"])
+    blend_a, blend_b = float(meta["blend_bm25"]), float(meta["blend_bonus"])
+    keys = engine.parse_query(query)
+    live = live_raw_postings(spark, engine)
+    dl = live.groupBy("url").agg(F.sum("tf").alias("dl"))
+    qt = (live.filter(F.col("term_key").isin(list(keys)))
+          .select("url", "term_key", "tf", "important"))
+    dfreq = (
+        raw_postings(spark, engine)
+        .filter(F.col("term_key").isin(list(keys)))
+        .groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (F.lit(1.0 - b)
+                             + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl)))
+    contrib = F.lit(k1 + 1.0) * tf * F.col("idf") / norm
+    per = (
+        qt.join(F.broadcast(dfreq), "term_key")
+        .join(dl, "url")
+        .withColumn("idf", F.log2(F.lit(n_docs) / F.col("df")))
+        .withColumn("bm25_contrib", contrib)
+        .withColumn("bonus", F.when(F.col("important"), F.lit(1.2))
+                    .otherwise(F.lit(1.0)))
+    )
+    return (
+        per.filter(F.col("url") == url)
+        .select(
+            "term_key", "bm25_contrib", "bonus",
+            (F.lit(blend_a) * F.col("bm25_contrib")
+             + F.lit(blend_b) * F.col("bonus")).alias("part"),
+        )
+    )
+
+
 def twin_facets(spark: SparkSession, engine, query: str,
                 dims: DataFrame, dim_col: str,
                 url_col: str = "url") -> DataFrame:

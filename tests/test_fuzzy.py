@@ -75,3 +75,18 @@ def test_fuzzy_engine_matches_twin(spark, built_index):
     q = "trade tade markct zzzzqqqxxx"
     _assert_rank_identical(
         eng.fuzzy_search(q, 15), TW.twin_fuzzy_topk(spark, eng, q, 15))
+
+
+def test_explain_parts_sum_to_score(spark, built_index):
+    """Lucene Explanation invariant: the per-term blended parts sum to
+    exactly the document's search score, for several ranks; an
+    out-of-vocabulary query explains to an empty frame."""
+    out, cfg, _ = built_index
+    eng = SearchEngine(spark, out, cfg)
+    top = eng.search("trade market", 5).collect()
+    assert top
+    for r in top[:3]:
+        parts = eng.explain_score("trade market", r["url"]).collect()
+        assert parts
+        assert abs(sum(p["part"] for p in parts) - r["score"]) < 1e-9
+    assert eng.explain_score("zzzzqqqxxx", top[0]["url"]).count() == 0
