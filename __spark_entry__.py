@@ -50,6 +50,7 @@ from search_engine_spark.operators import curation as CU
 from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import embed as EM
 from search_engine_spark.operators import graph as GR
+from search_engine_spark.operators import hybrid as HY
 from search_engine_spark.operators import ireval as IR
 from search_engine_spark.operators import mlt as MLT
 from search_engine_spark.operators import multimodal as MM
@@ -2092,19 +2093,61 @@ def q_multimodal_resize(spark, sf):
     )
 
 
+def q_ft_hybrid_rrf(spark, sf):
+    """Hybrid lexical ⊕ dense retrieval with reciprocal-rank fusion
+    (operators/hybrid.py), fully SQL-recomputed: the proven
+    ft-relational BM25 chain top-20 fused with feature-hash MIPS
+    top-20 (exact BIGINT dot products — the query goes through the
+    SAME md5 projection as the documents) via
+    rrf_nano = Σ 1e9 DIV (60 + rank) — integer fusion, so the fused
+    ORDER is bit-identical across engines."""
+    return HY.hybrid_rrf_topk(
+        _tbl(spark, sf, "documents"), list(FT_QUERY_TERMS), k=10, candidate_k=20)
+
+
+def q_search_hybrid_rrf(spark, sf):
+    """Hybrid fusion over the PACKED engine: BM25 top-20 from the
+    delta+varint index ⊕ the same dense MIPS leg, RRF-fused — made an
+    equivalence row: the twin fuses its plain-postings BM25 ranks with
+    the identical dense leg, and every fused column (url, both leg
+    ranks, the integer rrf score) must match per rank.  The fusion
+    consumes only RANKS, so any packed-index scoring divergence
+    surfaces as a lex_rank / rrf_nano mismatch."""
+    eng = _engine_for(spark, sf)
+    dense = (
+        HY.dense_mips_topk(
+            _tbl(spark, sf, "documents"), ENGINE_QUERY.split(), k=20)
+        .withColumn("url", F.col("doc_id").cast("string"))
+        .select("url", "rank")
+    )
+    # one materialization feeds BOTH fusions: the legs must agree
+    dense = dense.localCheckpoint(eager=False)
+    e_f = HY.rrf_fuse(eng.search(ENGINE_QUERY, 20).select("url", "rank"),
+                      dense, 10, id_col="url")
+    t_f = HY.rrf_fuse(TW.twin_bm25_topk(spark, eng, ENGINE_QUERY, 20)
+                      .select("url", "rank"),
+                      dense, 10, id_col="url")
+    return _rank_eq(e_f, t_f,
+                    exact=["url", "lex_rank", "dense_rank", "rrf_nano"],
+                    approx=[])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    36 new rows first (never driver-stamped), then the rows whose
+    38 new rows first (never driver-stamped), then the rows whose
     latest driver stamp is r01-r03 (round 4's tail, rotated back in);
-    at 111 total the window cut lands inside that block, so nine of
-    the rotation targets (joins/set ops, distinct_langs, events_hourly
-    — all trivially SQL-oracled) sit just past it.  Every row past the
+    at 113 total the window cut lands inside that block, so eleven of
+    the rotation targets (ft_phrase/extract_text roundtrips, joins/set
+    ops, distinct_langs, events_hourly — all trivially SQL-oracled or
+    long-green) sit just past it.  Every row past the
     window carries an r01-r04 driver stamp AND
     tests/test_entry_oracle.py re-runs the ACTUAL tail
     (list(queries())[50:]) against DuckDB every CI run."""
     return {
         # --- window, part 1: round-5 rows (never driver-stamped)
+        "ft_hybrid_rrf": q_ft_hybrid_rrf,
+        "search_hybrid_rrf": q_search_hybrid_rrf,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "search_fuzzy": q_search_fuzzy,
         "ft_proximity_topk": q_ft_proximity_topk,
@@ -2757,6 +2800,10 @@ FROM topk
 
 def _oracle_sql_base() -> dict[str, str]:
     qt = ", ".join(f"'{t}'" for t in FT_QUERY_TERMS)
+    # query-vector cells for the hybrid dense leg — the Python md5
+    # twin (hybrid.query_hash_cells) inlined as SQL VALUES
+    _HY_QV_VALUES = ", ".join(
+        f"({d}, {v})" for d, v in HY.query_hash_cells(list(FT_QUERY_TERMS)))
     cos_dot = (
         "list_sum(list_transform(range(1, len(a.embedding) + 1), "
         "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
@@ -3100,6 +3147,45 @@ ranked AS (SELECT doc_id, phrase_tf,
 SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 20
 """,
         "ft_bm25_topk": _FT_BM25_SQL,
+        # hybrid lexical ⊕ dense RRF: the full pipeline recomputed —
+        # the _FT_SCORED BM25 chain, the md5 feature-hash projection
+        # (same expressions as the embed_docs oracle), BIGINT dot
+        # products against the Python-precomputed query cells, and
+        # integer nano-grid reciprocal-rank fusion
+        "ft_hybrid_rrf": f"""
+WITH {_FT_SCORED},
+lexr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+         FROM scored),
+lex AS (SELECT * FROM lexr WHERE lex_rank <= 20),
+cells AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5('d:' || tok), 1, 8))::BIGINT % {EM.DEFAULT_DIMS} AS INT) AS dim,
+                 CAST(sum(CASE WHEN substr(md5('r:' || tok), 1, 1)
+                               IN ('0','1','2','3','4','5','6','7')
+                          THEN tf ELSE -tf END) AS BIGINT) AS v
+          FROM tf GROUP BY doc_id, dim),
+qv(dim, q) AS (VALUES {_HY_QV_VALUES}),
+dots AS (SELECT doc_id, CAST(sum(v * q) AS BIGINT) AS dot
+         FROM cells JOIN qv USING (dim) GROUP BY doc_id),
+denser AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY dot DESC, doc_id ASC) AS BIGINT) AS dense_rank
+           FROM dots),
+dense AS (SELECT * FROM denser WHERE dense_rank <= 20),
+fused AS (SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+                 CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+                 CAST(coalesce(dense_rank, 0) AS BIGINT) AS dense_rank,
+                 CAST((CASE WHEN lex_rank IS NOT NULL THEN {HY.RRF_NANO} // ({HY.RRF_K} + lex_rank) ELSE 0 END)
+                    + (CASE WHEN dense_rank IS NOT NULL THEN {HY.RRF_NANO} // ({HY.RRF_K} + dense_rank) ELSE 0 END)
+                      AS BIGINT) AS rrf_nano
+          FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id),
+final AS (SELECT doc_id, lex_rank, dense_rank, rrf_nano,
+                 CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM fused)
+SELECT doc_id, lex_rank, dense_rank, rrf_nano, rank FROM final WHERE rank <= 10
+""",
+        "search_hybrid_rrf": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS lex_rank_match,
+       true AS dense_rank_match, true AS rrf_nano_match
+FROM range(1, 11)
+""",
         "ft_fuzzy_topk": _FT_FUZZY_SQL,
         "search_fuzzy": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
