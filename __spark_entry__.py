@@ -2132,13 +2132,79 @@ def q_search_hybrid_rrf(spark, sf):
                     approx=[])
 
 
+FT_PREFIX_PLAIN, FT_PREFIX = "data", "s"   # query: data s*
+WILDCARD_ENGINE_QUERY = "data tab*"        # packed-engine query (tab* hits stems)
+MAX_EXPANSIONS = 16                        # Lucene TopTermsRewrite-style cap
+
+
+def q_ft_prefix_topk(spark, sf):
+    """Trailing-wildcard relational BM25 top-20, fully SQL-checkable:
+    the prefix expands against the corpus vocabulary capped at
+    MAX_EXPANSIONS by df desc, tok asc (the deterministic top-terms
+    rewrite), the plain term joins the set, and the union feeds the
+    SAME BM25 chain as ft_bm25_topk.  One plan: expansion is a
+    codegen startswith filter + TakeOrderedAndProject over the vocab,
+    no collect between rewrite and scoring."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    vocab = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("vdf"))
+    exp = (
+        vocab.filter(F.col("tok").startswith(FT_PREFIX))
+        .orderBy(F.desc("vdf"), F.asc("tok")).limit(MAX_EXPANSIONS)
+        .select("tok")
+    )
+    terms = exp.unionByName(
+        spark.createDataFrame([(FT_PREFIX_PLAIN,)], "tok string")).distinct()
+    # provably <= MAX_EXPANSIONS + 1 rows — broadcast safe by construction
+    qtf = tf.join(F.broadcast(terms), "tok")
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return (
+        ranked(topk, [("score", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "score", "rank")
+    )
+
+
+def q_search_wildcard(spark, sf):
+    """Trailing-wildcard packed-index search ≡ plain-postings twin,
+    per rank: 'data' parses normally, 'tab*' expands (lowercased,
+    never stemmed — Lucene's analyzer bypass) against the INDEX
+    vocabulary capped by df desc, term asc.  Engine expands from the
+    packed dictionary; the twin re-derives the vocabulary and its df
+    stats-as-packed from postings_raw — a df divergence between the
+    two stores flips the expansion set and the row goes red."""
+    eng = _engine_for(spark, sf)
+    return _rank_eq(
+        eng.wildcard_search(WILDCARD_ENGINE_QUERY, 20,
+                            max_expansions=MAX_EXPANSIONS),
+        TW.twin_wildcard_topk(spark, eng, WILDCARD_ENGINE_QUERY, 20,
+                              max_expansions=MAX_EXPANSIONS),
+        exact=["url"], approx=["score"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    38 new rows first (never driver-stamped), then the rows whose
+    40 new rows first (never driver-stamped), then the rows whose
     latest driver stamp is r01-r03 (round 4's tail, rotated back in);
-    at 113 total the window cut lands inside that block, so eleven of
-    the rotation targets (ft_phrase/extract_text roundtrips, joins/set
+    at 115 total the window cut lands inside that block, so thirteen
+    of the rotation targets (ft_bm25/ft_phrase/extract_text, joins/set
     ops, distinct_langs, events_hourly — all trivially SQL-oracled or
     long-green) sit just past it.  Every row past the
     window carries an r01-r04 driver stamp AND
@@ -2148,6 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window, part 1: round-5 rows (never driver-stamped)
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
         "search_hybrid_rrf": q_search_hybrid_rrf,
+        "ft_prefix_topk": q_ft_prefix_topk,
+        "search_wildcard": q_search_wildcard,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "search_fuzzy": q_search_fuzzy,
         "ft_proximity_topk": q_ft_proximity_topk,
@@ -3185,6 +3253,33 @@ SELECT doc_id, lex_rank, dense_rank, rrf_nano, rank FROM final WHERE rank <= 10
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS lex_rank_match,
        true AS dense_rank_match, true AS rrf_nano_match
 FROM range(1, 11)
+""",
+        # trailing-wildcard rewrite + BM25: expansion capped by df
+        # desc, tok asc — the deterministic top-terms rewrite — then
+        # the shared BM25 chain over the expanded union
+        "ft_prefix_topk": f"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n FROM dl),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS vdf FROM tf GROUP BY tok),
+expd AS (SELECT tok FROM vocab WHERE tok LIKE '{FT_PREFIX}%'
+         ORDER BY vdf DESC, tok ASC LIMIT {MAX_EXPANSIONS}),
+terms AS (SELECT tok FROM expd UNION SELECT '{FT_PREFIX_PLAIN}'),
+qtf AS (SELECT tf.* FROM tf JOIN terms USING (tok)),
+dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY tok),
+contrib AS (
+  SELECT qtf.doc_id, log2((SELECT n FROM stats) / dfx.df) AS idf, qtf.tf, dl.dl
+  FROM qtf JOIN dfx ON qtf.tok = dfx.tok JOIN dl ON qtf.doc_id = dl.doc_id
+),
+scored AS (SELECT doc_id, round(sum({_BM25_EXPR}), 6) AS score FROM contrib GROUP BY doc_id),
+rankd AS (SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM scored)
+SELECT doc_id, score, rank FROM rankd WHERE rank <= 20
+""",
+        "search_wildcard": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
 """,
         "ft_fuzzy_topk": _FT_FUZZY_SQL,
         "search_fuzzy": """

@@ -10,6 +10,7 @@
     python query.py --index /tmp/ix --collapse 2 "world trade" # <=2 hits/host
     python query.py --index /tmp/ix --complete wor tra       # suggest box
     python query.py --index /tmp/ix --fuzzy "wrold tade"      # typo correction
+    python query.py --index /tmp/ix "trade ma*"               # trailing wildcard
     python query.py --index /tmp/ix --proximity "world trade" # closest-pair rank
     python query.py --index /tmp/ix --snippets /tmp/store "world trade"  # result page
     python query.py --index /tmp/ix --explain "world trade"  # score breakdown
@@ -134,8 +135,10 @@ def main() -> None:
                 must=args.must, should=text, must_not=args.must_not,
                 k=args.k)
         else:
+            has_star = any(t.endswith("*") and len(t) > 1 for t in text.split())
             run = (lambda: wand_search(eng, text, args.k)) if args.wand else (
                 (lambda: eng.fuzzy_search(text, args.k)) if args.fuzzy else
+                (lambda: eng.wildcard_search(text, args.k)) if has_star else
                 lambda: eng.search(text, args.k))
         if args.loop:
             run().collect()  # warm

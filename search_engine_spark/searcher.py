@@ -374,6 +374,55 @@ class SearchEngine:
                 [], "url string, score double, rank int")
         return self._search_keys(sorted(corrected), k)
 
+    def wildcard_search(self, query: str, k: int | None = None,
+                        max_expansions: int = 16) -> DataFrame:
+        """Trailing-wildcard (prefix) search: query tokens ending in
+        ``*`` expand against the index vocabulary and the expansions
+        score as an ordinary multi-term OR query alongside the plain
+        tokens — Lucene's PrefixQuery under the top-terms scoring
+        rewrite.  Following Lucene, the wildcard token BYPASSES the
+        analyzer (lowercased only, never stemmed — the prefix matches
+        raw index terms, which ARE stems here), and the expansion
+        set is capped at ``max_expansions`` per prefix by df desc,
+        term asc (TopTermsRewrite keeps the highest-docFreq terms;
+        the tie-break makes the cap deterministic).
+
+        Scale shape: the expansion is a codegen ``startswith`` join
+        of the HANDFUL of prefixes against the dictionary — vocab-
+        linear, never corpus-linear — and collects at most
+        |prefixes| × max_expansions keys to the driver (the
+        resolve_terms footprint); scoring is the unchanged
+        pruned-scan BM25 tail.  At 10^12 docs the same predicate
+        serves from the range-sorted stored vocabulary
+        (write_autocomplete_index: StringStartsWith row-group
+        pruning) exactly like the suggest box."""
+        k = k or self.cfg.top_k
+        parts = query.split()
+        prefixes = sorted({p[:-1].lower() for p in parts
+                           if p.endswith("*") and len(p) > 1})
+        plain = " ".join(p for p in parts if not p.endswith("*"))
+        keys = set(self.parse_query(plain)) if plain.strip() else set()
+        if prefixes:
+            q = self.spark.createDataFrame(
+                [(p,) for p in prefixes], "prefix string")
+            cand = (
+                self._dictionary.select("term_key", "df")
+                .join(F.broadcast(q),
+                      F.col("term_key").startswith(F.col("prefix")))
+            )
+            w = Window.partitionBy("prefix").orderBy(
+                F.desc("df"), F.asc("term_key"))
+            rows = (
+                cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= max_expansions)
+                .select("term_key").distinct().collect()
+            )
+            keys |= {r.term_key for r in rows}
+        if not keys:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int")
+        return self._search_keys(sorted(keys), k)
+
     def boolean_search(self, must: str = "", should: str = "",
                        must_not: str = "", k: int | None = None) -> DataFrame:
         """Lucene-BooleanQuery semantics over the packed index: MUST

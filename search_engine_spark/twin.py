@@ -220,6 +220,46 @@ def twin_fuzzy_topk(spark: SparkSession, engine, query: str, k: int,
     return ranked(topk, [("score", "desc"), ("url", "asc")])
 
 
+def twin_wildcard_topk(spark: SparkSession, engine, query: str, k: int,
+                       max_expansions: int = 16) -> DataFrame:
+    """(url, score, rank) — the plain twin of
+    ``SearchEngine.wildcard_search``.  The prefix split and the
+    expansion RULE (cap by df desc, term asc; wildcard tokens
+    lowercased, never stemmed) are shared contracts, but the
+    vocabulary and its df are recomputed stats-as-packed from
+    postings_raw — so a packed-dictionary df divergence flips the
+    expansion set and the row goes red, the same way twin_fuzzy_topk
+    pins the correction tie-break."""
+    from pyspark.sql import Window
+
+    parts = query.split()
+    prefixes = sorted({p[:-1].lower() for p in parts
+                       if p.endswith("*") and len(p) > 1})
+    plain = " ".join(p for p in parts if not p.endswith("*"))
+    keys = set(engine.parse_query(plain)) if plain.strip() else set()
+    if prefixes:
+        vocab = (
+            raw_postings(spark, engine)
+            .groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+        )
+        q = spark.createDataFrame([(p,) for p in prefixes], "prefix string")
+        cand = vocab.join(
+            F.broadcast(q), F.col("term_key").startswith(F.col("prefix")))
+        w = Window.partitionBy("prefix").orderBy(
+            F.desc("df"), F.asc("term_key"))
+        keys |= {
+            r.term_key
+            for r in cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_expansions)
+            .select("term_key").distinct().collect()
+        }
+    if not keys:
+        return spark.createDataFrame([], "url string, score double, rank int")
+    scores = twin_bm25_scores(spark, engine, sorted(keys))
+    topk = scores.orderBy(F.desc("score"), F.asc("url")).limit(k)
+    return ranked(topk, [("score", "desc"), ("url", "asc")])
+
+
 def twin_boolean_topk(spark: SparkSession, engine, must: str, should: str,
                       must_not: str, k: int) -> DataFrame:
     """Plain twin of ``SearchEngine.boolean_search``: BM25 scores over
