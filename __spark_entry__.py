@@ -90,6 +90,7 @@ _SUGGEST_CACHE: dict[str, str] = {}
 _ANCHOR_CACHE: dict[str, str] = {}
 _AC_CACHE: dict[str, str] = {}
 _DOCSTORE_CACHE: dict[str, str] = {}
+_TV_CACHE: dict[str, str] = {}
 
 # suggest-box prefixes for the autocomplete rows (typed first letters)
 AC_PREFIXES = ("c", "d", "s")
@@ -278,6 +279,37 @@ def _docstore_for(spark: SparkSession, sf_dir: str) -> str:
             published = _atomic_publish(out, build)
         _DOCSTORE_CACHE[key] = published
     return os.path.join(_DOCSTORE_CACHE[key], "store")
+
+
+def _tv_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir, cached on disk) the doc-major
+    term-vector layout beside the entry index, stamped with its
+    lineage position (operators/termvectors.py), so the PRF row's
+    feedback fetch is a bucket+url-pruned scan, never a corpus pass."""
+    from search_engine_spark.operators import termvectors as TV
+
+    key = os.path.abspath(sf_dir)
+    if key not in _TV_CACHE:
+        eng = _engine_for(spark, key)  # ensure the index exists for the stamp
+        tag = hashlib.md5(f"{key}|tv1|{_ENTRY_CFG}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_tv_{tag}")
+
+        def build(tmp: str) -> None:
+            TV.write_term_vectors(TW.raw_postings(spark, eng),
+                                  os.path.join(tmp, "tv"),
+                                  index_dir=_INDEX_CACHE[key])
+
+        published = _atomic_publish(out, build)
+        # self-heal a cache stamped at an older lineage position
+        # (the docstore pattern): rebuild rather than refuse
+        tv_dir = os.path.join(published, "tv")
+        try:
+            TV.fetch_term_vectors(spark, tv_dir, [])
+        except RuntimeError:
+            shutil.rmtree(published, ignore_errors=True)
+            published = _atomic_publish(out, build)
+        _TV_CACHE[key] = published
+    return os.path.join(_TV_CACHE[key], "tv")
 
 
 def _autocomplete_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -2198,15 +2230,100 @@ def q_search_wildcard(spark, sf):
     )
 
 
+FT_PRF_FB_DOCS, FT_PRF_FB_TERMS = 10, 5
+
+
+def q_ft_prf_topk(spark, sf):
+    """Pseudo-relevance-feedback relational BM25 top-20, fully
+    SQL-checkable: base BM25 top-10 over the flagship terms, feedback
+    terms ranked by Σ tf × idf_micro (idf on the half-up 1e-6 BIGINT
+    grid — exact selection), top-5 expansion joins the query, and the
+    union feeds the SAME BM25 chain again.  ONE plan: the feedback
+    cut, the weighting, and both retrieval passes compose without a
+    collect."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+
+    def bm25_topk(qtf, k):
+        dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        contrib = (
+            qtf.join(F.broadcast(dfreq), "tok")
+            .join(dl, "doc_id")
+            .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+            .withColumn(
+                "c",
+                F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+                / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+            )
+        )
+        scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    fb = bm25_topk(tf.filter(F.col("tok").isin(*FT_QUERY_TERMS)),
+                   FT_PRF_FB_DOCS).select("doc_id")
+    # provably <= FT_PRF_FB_DOCS rows — broadcast safe by construction
+    fbtf = tf.join(F.broadcast(fb), "doc_id")
+    cand = (
+        fbtf.filter(~F.col("tok").isin(*FT_QUERY_TERMS))
+        .groupBy("tok").agg(F.sum("tf").alias("tf_sum"))
+    )
+    dfall = (
+        tf.join(cand.select("tok"), "tok", "left_semi")
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    weighted = (
+        cand.join(dfall, "tok")
+        .withColumn("idf_micro",
+                    F.floor(F.log2(F.lit(float(n_docs)) / F.col("df"))
+                            * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"))
+        .withColumn("weight", (F.col("tf_sum") * F.col("idf_micro")).cast("long"))
+    )
+    exp = (weighted.orderBy(F.desc("weight"), F.asc("tok"))
+           .limit(FT_PRF_FB_TERMS).select("tok"))
+    terms = exp.unionByName(
+        spark.createDataFrame([(t,) for t in FT_QUERY_TERMS], "tok string")
+    ).distinct()
+    # <= FT_PRF_FB_TERMS + |query| rows — broadcast safe
+    topk = bm25_topk(tf.join(F.broadcast(terms), "tok"), 20)
+    return (
+        ranked(topk, [("score", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "score", "rank")
+    )
+
+
+def q_search_prf(spark, sf):
+    """Pseudo-relevance feedback over the PACKED engine ≡ plain twin,
+    per rank.  The engine's feedback loop reads three stored
+    artifacts — packed BM25 for the base ranks, the doc-major
+    term-vector side-car for the feedback vectors, the dictionary
+    for idf — while the twin re-derives every stage from postings_raw
+    (its own base BM25, live rows as vectors, stats-as-packed df with
+    recomputed log2 idf).  A divergence in ANY store flips the
+    expansion set or the final ranking and the row goes red."""
+    eng = _engine_for(spark, sf)
+    tv_path = _tv_index_for(spark, sf)
+    return _rank_eq(
+        eng.prf_search(ENGINE_QUERY, tv_path, 20,
+                       fb_docs=FT_PRF_FB_DOCS, fb_terms=FT_PRF_FB_TERMS),
+        TW.twin_prf_topk(spark, eng, ENGINE_QUERY, 20,
+                         fb_docs=FT_PRF_FB_DOCS, fb_terms=FT_PRF_FB_TERMS),
+        exact=["url"], approx=["score"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    40 new rows first (never driver-stamped), then the rows whose
+    42 new rows first (never driver-stamped), then the rows whose
     latest driver stamp is r01-r03 (round 4's tail, rotated back in);
-    at 115 total the window cut lands inside that block, so thirteen
-    of the rotation targets (ft_bm25/ft_phrase/extract_text, joins/set
-    ops, distinct_langs, events_hourly — all trivially SQL-oracled or
-    long-green) sit just past it.  Every row past the
+    at 117 total the window cut lands inside that block, so fifteen
+    of the rotation targets (ft_* stats/bm25/phrase, extract_text,
+    joins/set ops, distinct_langs, events_hourly — all trivially
+    SQL-oracled or long-green) sit just past it.  Every row past the
     window carries an r01-r04 driver stamp AND
     tests/test_entry_oracle.py re-runs the ACTUAL tail
     (list(queries())[50:]) against DuckDB every CI run."""
@@ -2216,6 +2333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "ft_prefix_topk": q_ft_prefix_topk,
         "search_wildcard": q_search_wildcard,
+        "ft_prf_topk": q_ft_prf_topk,
+        "search_prf": q_search_prf,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "search_fuzzy": q_search_fuzzy,
         "ft_proximity_topk": q_ft_proximity_topk,
@@ -3278,6 +3397,41 @@ rankd AS (SELECT doc_id, score,
 SELECT doc_id, score, rank FROM rankd WHERE rank <= 20
 """,
         "search_wildcard": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        # pseudo-relevance feedback: base BM25 top-10 → feedback-term
+        # weighting on the half-up 1e-6 idf grid → top-5 expansion →
+        # the shared BM25 chain over the expanded union
+        "ft_prf_topk": f"""
+WITH {_FT_SCORED},
+fb AS (SELECT doc_id FROM (
+         SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+         FROM scored) WHERE r <= {FT_PRF_FB_DOCS}),
+fbtf AS (SELECT tf.* FROM tf JOIN fb USING (doc_id)),
+cand AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS tf_sum
+         FROM fbtf WHERE tok NOT IN ({qt}) GROUP BY tok),
+dfall AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+          FROM tf WHERE tok IN (SELECT tok FROM cand) GROUP BY tok),
+wt AS (SELECT c.tok,
+              c.tf_sum * CAST(floor(log2((SELECT n FROM stats) / d.df)
+                                    * 1000000 + 0.5) AS BIGINT) AS weight
+       FROM cand c JOIN dfall d ON c.tok = d.tok),
+expt AS (SELECT tok FROM wt ORDER BY weight DESC, tok ASC LIMIT {FT_PRF_FB_TERMS}),
+terms AS (SELECT tok FROM expt UNION SELECT unnest([{qt}]) AS tok),
+qtf2 AS (SELECT tf.* FROM tf JOIN terms USING (tok)),
+dfx2 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qtf2 GROUP BY tok),
+contrib2 AS (
+  SELECT qtf2.doc_id, log2((SELECT n FROM stats) / dfx2.df) AS idf, qtf2.tf, dl.dl
+  FROM qtf2 JOIN dfx2 ON qtf2.tok = dfx2.tok JOIN dl ON qtf2.doc_id = dl.doc_id
+),
+scored2 AS (SELECT doc_id, round(sum({_BM25_EXPR}), 6) AS score FROM contrib2 GROUP BY doc_id),
+rankd2 AS (SELECT doc_id, score,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM scored2)
+SELECT doc_id, score, rank FROM rankd2 WHERE rank <= 20
+""",
+        "search_prf": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
 """,

@@ -10,6 +10,7 @@ Local (sandbox)::
     python index_admin.py refresh --index /tmp/ix [--full]
     python index_admin.py stats   --index /tmp/ix   # no Spark: meta+footers
     python index_admin.py docstore --index /tmp/ix --input pages.parquet --out /tmp/store
+    python index_admin.py termvectors --index /tmp/ix --out /tmp/tv
 
 Cluster::
 
@@ -44,7 +45,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("verb", choices=["add", "update", "delete", "compact",
-                                     "refresh", "stats", "docstore"])
+                                     "refresh", "stats", "docstore",
+                                     "termvectors"])
     ap.add_argument("--index", required=True)
     ap.add_argument("--input", help="pages parquet or testdata dir (add)")
     ap.add_argument("--out", help="docstore: output directory for the "
@@ -180,6 +182,15 @@ def main() -> None:
         else:
             pages = load_pages(spark, args.input)
         meta = write_docstore(pages, args.out, index_dir=args.index)
+        out.update(out_dir=args.out, n_buckets=meta["n_buckets"],
+                   stamped=("index_fingerprint" in meta))
+    elif args.verb == "termvectors":
+        from search_engine_spark.operators.termvectors import write_term_vectors
+
+        if not args.out:
+            ap.error("termvectors requires --out")
+        raw = spark.read.parquet(os.path.join(args.index, "postings_raw"))
+        meta = write_term_vectors(raw, args.out, index_dir=args.index)
         out.update(out_dir=args.out, n_buckets=meta["n_buckets"],
                    stamped=("index_fingerprint" in meta))
     else:  # refresh

@@ -11,6 +11,7 @@
     python query.py --index /tmp/ix --complete wor tra       # suggest box
     python query.py --index /tmp/ix --fuzzy "wrold tade"      # typo correction
     python query.py --index /tmp/ix "trade ma*"               # trailing wildcard
+    python query.py --index /tmp/ix --prf /tmp/tv "world trade"  # feedback expansion
     python query.py --index /tmp/ix --proximity "world trade" # closest-pair rank
     python query.py --index /tmp/ix --snippets /tmp/store "world trade"  # result page
     python query.py --index /tmp/ix --explain "world trade"  # score breakdown
@@ -54,6 +55,11 @@ def main() -> None:
     ap.add_argument("--collapse", type=int, default=0, metavar="N",
                     help="diversify the result page: at most N results per "
                          "host (pool = max(50, 5k), then top-k)")
+    ap.add_argument("--prf", default=None, metavar="TV",
+                    help="pseudo-relevance feedback: expand the query with "
+                         "the top results' strongest terms, read from the "
+                         "stored term-vector layout at TV "
+                         "(index_admin.py termvectors)")
     ap.add_argument("--fuzzy", action="store_true",
                     help="correct out-of-vocabulary query terms to their "
                          "closest dictionary term (<=2 edits) before scoring")
@@ -137,6 +143,7 @@ def main() -> None:
         else:
             has_star = any(t.endswith("*") and len(t) > 1 for t in text.split())
             run = (lambda: wand_search(eng, text, args.k)) if args.wand else (
+                (lambda: eng.prf_search(text, args.prf, args.k)) if args.prf else
                 (lambda: eng.fuzzy_search(text, args.k)) if args.fuzzy else
                 (lambda: eng.wildcard_search(text, args.k)) if has_star else
                 lambda: eng.search(text, args.k))

@@ -423,6 +423,55 @@ class SearchEngine:
                 [], "url string, score double, rank int")
         return self._search_keys(sorted(keys), k)
 
+    def prf_search(self, query: str, tv_path: str, k: int | None = None,
+                   fb_docs: int = 10, fb_terms: int = 5) -> DataFrame:
+        """Pseudo-relevance feedback (Rocchio-style query expansion):
+        run the plain BM25 top-``fb_docs``, pull those documents'
+        term vectors from the doc-major stored layout
+        (operators/termvectors.py — Lucene's term vectors; the
+        inverted index itself cannot answer "this doc's terms"
+        without a corpus scan), rank the feedback terms by
+        Σ tf × idf_micro (idf on the half-up 1e-6 BIGINT grid, so
+        the selection is exact and engine-independent), and re-run
+        the query with the top-``fb_terms`` expansion terms joined
+        to the original keys — the classic recall lever when the
+        user's wording and the corpus's wording diverge.
+
+        Scale shape: the feedback fetch is a bucket+url-pruned scan
+        of ``fb_docs`` documents' vector rows; the candidate
+        weighting joins that bounded frame to the dictionary (AQE
+        decides the side); the driver collects ≤ ``fb_terms`` keys
+        (the resolve_terms footprint); both retrieval passes are the
+        unchanged pruned-scan BM25 tail.  Never a corpus pass."""
+        from .operators.termvectors import fetch_term_vectors
+
+        k = k or self.cfg.top_k
+        keys = self.parse_query(query)
+        fb_urls = [
+            r["url"] for r in self.search(query, fb_docs).select("url").collect()
+        ]
+        if not fb_urls:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int")
+        tv = fetch_term_vectors(self.spark, tv_path, fb_urls)
+        cand = tv.groupBy("term_key").agg(F.sum("tf").alias("tf_sum"))
+        if keys:
+            cand = cand.filter(~F.col("term_key").isin(keys))
+        weighted = (
+            cand.join(self._dictionary.select("term_key", "idf"), "term_key")
+            .withColumn("idf_micro",
+                        F.floor(F.col("idf") * F.lit(1_000_000.0)
+                                + F.lit(0.5)).cast("long"))
+            .withColumn("weight",
+                        (F.col("tf_sum") * F.col("idf_micro")).cast("long"))
+        )
+        top = (
+            weighted.orderBy(F.desc("weight"), F.asc("term_key"))
+            .limit(fb_terms).select("term_key").collect()
+        )
+        expansion = {r["term_key"] for r in top}
+        return self._search_keys(sorted(set(keys) | expansion), k)
+
     def boolean_search(self, must: str = "", should: str = "",
                        must_not: str = "", k: int | None = None) -> DataFrame:
         """Lucene-BooleanQuery semantics over the packed index: MUST

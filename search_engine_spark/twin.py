@@ -260,6 +260,53 @@ def twin_wildcard_topk(spark: SparkSession, engine, query: str, k: int,
     return ranked(topk, [("score", "desc"), ("url", "asc")])
 
 
+def twin_prf_topk(spark: SparkSession, engine, query: str, k: int,
+                  fb_docs: int = 10, fb_terms: int = 5) -> DataFrame:
+    """(url, score, rank) — the plain twin of
+    ``SearchEngine.prf_search``.  The feedback set comes from the
+    twin's OWN base retrieval (plain-postings BM25 top-``fb_docs``),
+    the feedback documents' term vectors from live raw postings
+    (where the engine reads its doc-major stored layout), candidate
+    df stats-as-packed and idf recomputed as log2(n/df) (where the
+    engine reads the packed dictionary's stored idf — bit-identical
+    by the A4 build contract, pinned here), and the final pass
+    through twin_bm25_scores.  Every stage re-derives from a
+    different physical store, so a divergence anywhere in the
+    feedback loop flips the expansion set or the final ranking."""
+    keys = engine.parse_query(query)
+    base = twin_bm25_topk(spark, engine, query, fb_docs)
+    fb_urls = [r["url"] for r in base.select("url").collect()]
+    if not fb_urls:
+        return spark.createDataFrame([], "url string, score double, rank int")
+    live = live_raw_postings(spark, engine)
+    tv = live.filter(F.col("url").isin(fb_urls)).select(
+        "url", "term_key", F.col("tf").cast("long").alias("tf"))
+    cand = tv.groupBy("term_key").agg(F.sum("tf").alias("tf_sum"))
+    if keys:
+        cand = cand.filter(~F.col("term_key").isin(keys))
+    n_docs = float(engine.meta["n_docs"])
+    dfreq = (
+        raw_postings(spark, engine)
+        .join(cand.select("term_key"), "term_key", "left_semi")
+        .groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+    )
+    weighted = (
+        cand.join(dfreq, "term_key")
+        .withColumn("idf_micro",
+                    F.floor(F.log2(F.lit(n_docs) / F.col("df"))
+                            * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"))
+        .withColumn("weight", (F.col("tf_sum") * F.col("idf_micro")).cast("long"))
+    )
+    top = (
+        weighted.orderBy(F.desc("weight"), F.asc("term_key"))
+        .limit(fb_terms).select("term_key").collect()
+    )
+    expansion = {r["term_key"] for r in top}
+    scores = twin_bm25_scores(spark, engine, sorted(set(keys) | expansion))
+    topk = scores.orderBy(F.desc("score"), F.asc("url")).limit(k)
+    return ranked(topk, [("score", "desc"), ("url", "asc")])
+
+
 def twin_boolean_topk(spark: SparkSession, engine, must: str, should: str,
                       must_not: str, k: int) -> DataFrame:
     """Plain twin of ``SearchEngine.boolean_search``: BM25 scores over

@@ -78,3 +78,17 @@ def test_admin_cli_lifecycle(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-4000:]
     assert [ln for ln in r.stdout.splitlines() if ln.startswith("q1 ")]
+
+    # term-vector side-car + pseudo-relevance feedback through the CLI
+    tv = str(tmp_path / "tv")
+    out = _run(["index_admin.py", "termvectors", "--index", ix,
+                "--out", tv] + LAYOUT)
+    assert out["stamped"] is True
+    r = subprocess.run(
+        [sys.executable, "query.py", "--index", ix, "--k", "5",
+         "--prf", tv, "world trade"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"}, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert [ln for ln in r.stdout.splitlines() if ln.startswith("q1 ")]
