@@ -115,6 +115,23 @@ def main() -> None:
     # typo-tolerant path: correction (fresh vocab-scan suggester) +
     # the ordinary pruned-scan BM25 tail
     timed("fuzzy_top10", lambda: eng.fuzzy_search("wrld tade market", 10))
+    # trailing-wildcard path: df-capped prefix expansion + the same tail
+    timed("wildcard_top10", lambda: eng.wildcard_search("wor* trade", 10))
+
+    # pseudo-relevance feedback: the doc-major term-vector side-car is
+    # a one-off corpus-cost build (timed separately); the query then
+    # pays two pruned-scan passes + a 10-doc pruned vector fetch
+    from search_engine_spark import twin as TW
+    from search_engine_spark.operators.termvectors import write_term_vectors
+
+    tv_dir = tempfile.mkdtemp(prefix="se_bench_tv_")
+    s0, j0 = _cpu_sample()
+    t0 = time.time()
+    write_term_vectors(TW.raw_postings(spark, eng), tv_dir, index_dir=ix_dir)
+    timings["termvectors_build"] = round(time.time() - t0, 3)
+    s1, j1 = _cpu_sample()
+    steal["termvectors_build"] = round(100 * (s1 - s0) / max(1, j1 - j0), 2)
+    timed("prf_top10", lambda: eng.prf_search("world trade market", tv_dir, 10))
 
     # -- relational / pipeline operators (driver-contract queries) -----------
     qs = entry.queries()
@@ -153,6 +170,7 @@ def main() -> None:
         "search_anchor_topk",
         "search_autocomplete_indexed",
         "search_collapse",
+        "ft_hybrid_rrf",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir))
 
@@ -221,6 +239,7 @@ def main() -> None:
     clear_shingle_cache()
     clear_doc_tf_cache()
     shutil.rmtree(ix_dir, ignore_errors=True)
+    shutil.rmtree(tv_dir, ignore_errors=True)
     spark.stop()
     print(json.dumps(out))
 

@@ -215,8 +215,16 @@ def main() -> None:
         run("autocomplete_indexed", lambda: SNP.autocomplete_indexed(
             spark, ac_ix, ["s", "c", "d"], k=4))
 
+    # hybrid lexical ⊕ dense RRF over the documents shape: BM25 leg +
+    # feature-hash MIPS leg + integer fusion (operators/hybrid.py)
+    from search_engine_spark.operators import hybrid as HYB
+
+    run("hybrid_rrf_top10", lambda: HYB.hybrid_rrf_topk(
+        docs, ["world", "trade", "market"], k=10, candidate_k=20))
+
     _QP = {"fuzzy_top10", "fuzzy_top10_indexed", "proximity_top10",
-           "result_page_top10", "docstore_fetch_10"}
+           "result_page_top10", "docstore_fetch_10", "wildcard_top10",
+           "prf_top10"}
     if args.only is None or _QP & set(args.only):
         # packed POSITIONAL index over the same corpus, built once
         # OUTSIDE the timers (a per-corpus artifact, like the anchor
@@ -261,6 +269,21 @@ def main() -> None:
             spark, ds_path, some_urls))
         run("result_page_top10", lambda: eng.search_with_snippets(
             "world trade market", ds_path, k=10))
+        # trailing-wildcard serve: df-capped prefix expansion over the
+        # 240k dictionary + the ordinary pruned-scan BM25 tail
+        run("wildcard_top10", lambda: eng.wildcard_search("wor* trade", 10))
+        # pseudo-relevance feedback: the doc-major term-vector layout
+        # is built once OUTSIDE the timer (per-corpus artifact);
+        # measured: base top-10 + pruned 10-doc vector fetch +
+        # expansion + second pass
+        from search_engine_spark import twin as TWN
+        from search_engine_spark.operators import termvectors as TVO
+
+        tv_path = _tf3.mkdtemp(prefix="pb_tv_")
+        TVO.write_term_vectors(TWN.raw_postings(spark, eng), tv_path,
+                               index_dir=qp_ix)
+        run("prf_top10", lambda: eng.prf_search(
+            "world trade market", tv_path, 10))
 
     print(json.dumps({
         "metric": "pipeline ops at scale corpus",
