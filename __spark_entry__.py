@@ -2315,12 +2315,36 @@ def q_search_prf(spark, sf):
     )
 
 
+PERC_QUERIES = (
+    ("alert0", ("data", "table")),
+    ("alert1", ("query", "join", "filter")),
+    ("alert2", ("scan", "merge", "sort", "window")),
+    ("alert3", ("customer", "batch")),
+    ("alert4", ("data", "zzznomatch")),   # absent term -> matches nothing
+)
+
+
+def q_ft_percolate(spark, sf):
+    """Reverse search (operators/percolate.py): five registered
+    all-MUST alert queries evaluated against every document.  The
+    Spark side runs the Lucene-Monitor presearcher plan (rarest-term
+    anchor join → candidate-restricted verify); the DuckDB oracle
+    computes the NAIVE all-terms join — equality per (doc, query)
+    proves the reduction sound, not just fast."""
+    from search_engine_spark.operators import percolate as PC
+
+    queries = spark.createDataFrame(
+        [(qid, t) for qid, terms in PERC_QUERIES for t in terms],
+        "query_id string, term string")
+    return PC.percolate(_tbl(spark, sf, "documents"), queries)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    42 new rows first (never driver-stamped), then the rows whose
+    43 new rows first (never driver-stamped), then the rows whose
     latest driver stamp is r01-r03 (round 4's tail, rotated back in);
-    at 117 total the window cut lands inside that block, so fifteen
+    at 118 total the window cut lands inside that block, so sixteen
     of the rotation targets (ft_* stats/bm25/phrase, extract_text,
     joins/set ops, distinct_langs, events_hourly — all trivially
     SQL-oracled or long-green) sit just past it.  Every row past the
@@ -2335,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_wildcard": q_search_wildcard,
         "ft_prf_topk": q_ft_prf_topk,
         "search_prf": q_search_prf,
+        "ft_percolate": q_ft_percolate,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "search_fuzzy": q_search_fuzzy,
         "ft_proximity_topk": q_ft_proximity_topk,
@@ -2991,6 +3016,9 @@ def _oracle_sql_base() -> dict[str, str]:
     # twin (hybrid.query_hash_cells) inlined as SQL VALUES
     _HY_QV_VALUES = ", ".join(
         f"({d}, {v})" for d, v in HY.query_hash_cells(list(FT_QUERY_TERMS)))
+    # the registered alert queries, inlined for the percolation oracle
+    _PERC_VALUES = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in PERC_QUERIES for t in terms)
     cos_dot = (
         "list_sum(list_transform(range(1, len(a.embedding) + 1), "
         "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
@@ -3434,6 +3462,17 @@ SELECT doc_id, score, rank FROM rankd2 WHERE rank <= 20
         "search_prf": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
+""",
+        # percolation oracle: the NAIVE all-terms join (the Spark side
+        # runs the presearcher reduction; equality proves it sound)
+        "ft_percolate": f"""
+WITH {_TOK_CTE},
+dtok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tok),
+q(query_id, term) AS (VALUES {_PERC_VALUES}),
+need AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY query_id),
+hit AS (SELECT d.doc_id, q.query_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM dtok d JOIN q ON d.tok = q.term GROUP BY d.doc_id, q.query_id)
+SELECT h.doc_id, h.query_id FROM hit h JOIN need USING (query_id) WHERE h.n_hit = need.n
 """,
         "ft_fuzzy_topk": _FT_FUZZY_SQL,
         "search_fuzzy": """
