@@ -2339,12 +2339,26 @@ def q_ft_percolate(spark, sf):
     return PC.percolate(_tbl(spark, sf, "documents"), queries)
 
 
+def q_search_page2(spark, sf):
+    """The second result page (global ranks 11-20) ≡ the twin's rank
+    11-20 slice of its top-20, per rank — pins that pagination is a
+    pure suffix of the single deterministic total order (no boundary
+    row duplicated or skipped between pages)."""
+    eng = _engine_for(spark, sf)
+    twin20 = TW.twin_bm25_topk(spark, eng, ENGINE_QUERY, 20)
+    return _rank_eq(
+        eng.search_page(ENGINE_QUERY, 10, page=2),
+        twin20.filter(F.col("rank") > 10),
+        exact=["url"], approx=["score"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    43 new rows first (never driver-stamped), then the rows whose
+    44 new rows first (never driver-stamped), then the rows whose
     latest driver stamp is r01-r03 (round 4's tail, rotated back in);
-    at 118 total the window cut lands inside that block, so sixteen
+    at 119 total the window cut lands inside that block, so seventeen
     of the rotation targets (ft_* stats/bm25/phrase, extract_text,
     joins/set ops, distinct_langs, events_hourly — all trivially
     SQL-oracled or long-green) sit just past it.  Every row past the
@@ -2360,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_prf_topk": q_ft_prf_topk,
         "search_prf": q_search_prf,
         "ft_percolate": q_ft_percolate,
+        "search_page2": q_search_page2,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "search_fuzzy": q_search_fuzzy,
         "ft_proximity_topk": q_ft_proximity_topk,
@@ -3473,6 +3488,10 @@ need AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY query_id
 hit AS (SELECT d.doc_id, q.query_id, CAST(count(*) AS BIGINT) AS n_hit
         FROM dtok d JOIN q ON d.tok = q.term GROUP BY d.doc_id, q.query_id)
 SELECT h.doc_id, h.query_id FROM hit h JOIN need USING (query_id) WHERE h.n_hit = need.n
+""",
+        "search_page2": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(11, 21)
 """,
         "ft_fuzzy_topk": _FT_FUZZY_SQL,
         "search_fuzzy": """

@@ -55,6 +55,8 @@ def main() -> None:
     ap.add_argument("--collapse", type=int, default=0, metavar="N",
                     help="diversify the result page: at most N results per "
                          "host (pool = max(50, 5k), then top-k)")
+    ap.add_argument("--page", type=int, default=1,
+                    help="result page (1-based, k rows per page, global ranks)")
     ap.add_argument("--prf", default=None, metavar="TV",
                     help="pseudo-relevance feedback: expand the query with "
                          "the top results' strongest terms, read from the "
@@ -146,6 +148,8 @@ def main() -> None:
                 (lambda: eng.prf_search(text, args.prf, args.k)) if args.prf else
                 (lambda: eng.fuzzy_search(text, args.k)) if args.fuzzy else
                 (lambda: eng.wildcard_search(text, args.k)) if has_star else
+                (lambda: eng.search_page(text, args.k, args.page))
+                if args.page > 1 else
                 lambda: eng.search(text, args.k))
         if args.loop:
             run().collect()  # warm

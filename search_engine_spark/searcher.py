@@ -328,6 +328,28 @@ class SearchEngine:
             .select("url", "score", "rank")
         )
 
+    def search_page(self, query: str, k: int | None = None,
+                    page: int = 1) -> DataFrame:
+        """Result page ``page`` (1-based, ``k`` rows per page) under
+        the engine's total order (score desc, url asc), with GLOBAL
+        ranks — the pagination surface every serving API exposes.
+
+        Implemented as a deterministic top-(page·k) cut + rank slice,
+        NOT a float-score cursor: the engine's score is a shuffle-
+        order-dependent double sum (±1 ulp between executions —
+        ranking.ranked documents the hazard), so a Lucene-style
+        searchAfter cursor comparing ``score < s`` could duplicate or
+        skip a boundary row across pages.  The slice is exact; the
+        cost is the classic deep-paging tradeoff (the heap grows with
+        page·k — the reason result pages cap at ~50 deep everywhere),
+        and the cut still plans as TakeOrderedAndProject, never a
+        corpus sort."""
+        k = k or self.cfg.top_k
+        if page < 1:
+            raise ValueError(f"page must be >= 1, got {page}")
+        full = self._search_keys(self.parse_query(query), k * page)
+        return full.filter(F.col("rank") > k * (page - 1))
+
     def fuzzy_search(self, query: str, k: int | None = None,
                      max_dist: int = 2,
                      suggest_path: str | None = None) -> DataFrame:
