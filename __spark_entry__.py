@@ -1122,7 +1122,7 @@ def q_events_sessionize(spark, sf):
     )
 
 
-_STREAM_SEQ = {"dedup": 0, "hourly": 0}
+_STREAM_SEQ = {"dedup": 0, "hourly": 0, "perc": 0}
 
 
 def q_streaming_events_hourly(spark, sf):
@@ -2339,6 +2339,36 @@ def q_ft_percolate(spark, sf):
     return PC.percolate(_tbl(spark, sf, "documents"), queries)
 
 
+def q_streaming_percolate(spark, sf):
+    """REAL Structured Streaming path: the stateless alert matcher
+    from streaming/percolate.py (anchor join + broadcast
+    array-containment gate — no state store, no watermark) run to
+    completion with availableNow over the documents table, landed in
+    a memory sink.  Output ≡ the batch percolation, so the SAME naive
+    all-terms DuckDB oracle as ft_percolate pins it; the chunked
+    micro-batch replay semantics are covered by
+    tests/test_streaming.py."""
+    from search_engine_spark.streaming.percolate import percolate_stream
+
+    path = os.path.join(sf, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    _STREAM_SEQ["perc"] += 1
+    name = f"stream_perc_{_STREAM_SEQ['perc']}"
+    ckpt = tempfile.mkdtemp(prefix="se_stream_perc_ckpt_")
+    queries = spark.createDataFrame(
+        [(qid, t) for qid, terms in PERC_QUERIES for t in terms],
+        "query_id string, term string")
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf))
+    q = (percolate_stream(stream.select("doc_id", "text"), queries)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_search_page2(spark, sf):
     """The second result page (global ranks 11-20) ≡ the twin's rank
     11-20 slice of its top-20, per rank — pins that pagination is a
@@ -2356,9 +2386,9 @@ def q_search_page2(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    44 new rows first (never driver-stamped), then the rows whose
+    45 new rows first (never driver-stamped), then the rows whose
     latest driver stamp is r01-r03 (round 4's tail, rotated back in);
-    at 119 total the window cut lands inside that block, so seventeen
+    at 120 total the window cut lands inside that block, so eighteen
     of the rotation targets (ft_* stats/bm25/phrase, extract_text,
     joins/set ops, distinct_langs, events_hourly — all trivially
     SQL-oracled or long-green) sit just past it.  Every row past the
@@ -2374,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_prf_topk": q_ft_prf_topk,
         "search_prf": q_search_prf,
         "ft_percolate": q_ft_percolate,
+        "streaming_percolate": q_streaming_percolate,
         "search_page2": q_search_page2,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "search_fuzzy": q_search_fuzzy,
@@ -3481,6 +3512,17 @@ FROM range(1, 21)
         # percolation oracle: the NAIVE all-terms join (the Spark side
         # runs the presearcher reduction; equality proves it sound)
         "ft_percolate": f"""
+WITH {_TOK_CTE},
+dtok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tok),
+q(query_id, term) AS (VALUES {_PERC_VALUES}),
+need AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY query_id),
+hit AS (SELECT d.doc_id, q.query_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM dtok d JOIN q ON d.tok = q.term GROUP BY d.doc_id, q.query_id)
+SELECT h.doc_id, h.query_id FROM hit h JOIN need USING (query_id) WHERE h.n_hit = need.n
+""",
+        # the streaming matcher emits the identical (doc, query) set,
+        # so the same naive-join oracle pins it
+        "streaming_percolate": f"""
 WITH {_TOK_CTE},
 dtok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tok),
 q(query_id, term) AS (VALUES {_PERC_VALUES}),

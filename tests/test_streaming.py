@@ -289,3 +289,58 @@ def test_streaming_dedup_equals_batch_keep_list(spark, tmp_dir):
             for r in dedup_batch_twin(spark.createDataFrame(allrows, ddl)).collect()}
     assert got == want
     assert len(got) == 7          # 7 distinct contents, 60 input rows
+
+
+def test_streaming_percolate_equals_batch(spark, tmp_dir):
+    """Stateless streaming percolation == batch percolation over
+    chunked replay: the anchor join + broadcast containment gate
+    needs no state, so matches land in the micro-batch their document
+    arrives in — and the union over batches is exactly the batch
+    operator's output.  Also pins the corpus-stats anchor variant
+    producing the identical match set (anchors shrink candidates,
+    never results)."""
+    from search_engine_spark.operators.percolate import percolate
+    from search_engine_spark.streaming.percolate import (
+        percolate_stream, query_anchors)
+
+    ddl = "doc_id long, text string"
+    chunks = [
+        [(b * 100 + i,
+          f"alpha tok{(b * 100 + i) % 5} beta" + (" gamma" if i % 3 == 0 else ""))
+         for i in range(15)]
+        for b in range(3)
+    ]
+    queries = spark.createDataFrame(
+        [("qa", "alpha"), ("qa", "gamma"), ("qb", "tok2"), ("qb", "beta"),
+         ("qn", "zzz")],
+        "query_id string, term string")
+    src = os.path.join(tmp_dir, "perc_stream")
+    os.makedirs(src)
+    for b, rows in enumerate(chunks):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
+            os.path.join(src, f"c{b}"))
+
+    stream = (spark.readStream.schema(ddl)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "*")))
+    q = (percolate_stream(stream, queries)
+         .writeStream.format("memory").queryName("perc_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r["doc_id"], r["query_id"])
+           for r in spark.sql("SELECT * FROM perc_out").collect()}
+    allrows = [r for c in chunks for r in c]
+    batch_docs = spark.createDataFrame(allrows, ddl)
+    want = {(r["doc_id"], r["query_id"])
+            for r in percolate(batch_docs, queries).collect()}
+    assert got == want and want            # non-trivial match set
+    assert not any(qid == "qn" for _, qid in got)
+
+    # df-informed anchors (the batch presearcher's rule) change only
+    # the candidate keying, never the match set
+    anchored = percolate_stream(
+        batch_docs, queries,
+        anchors=query_anchors(queries, corpus_docs=batch_docs))
+    got2 = {(r["doc_id"], r["query_id"]) for r in anchored.collect()}
+    assert got2 == want
