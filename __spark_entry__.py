@@ -2369,6 +2369,25 @@ def q_streaming_percolate(spark, sf):
     return spark.table(name)
 
 
+QS_QUERY = "+data tab* -slow"   # must + wildcard + exclusion in ONE string
+
+
+def q_search_querystring(spark, sf):
+    """The Lucene-QueryParser surface (+must, -must_not, trailing
+    wildcard, bare SHOULD in one string) ≡ plain twin per rank.  The
+    clause split is a shared driver kernel; everything data-side —
+    wildcard expansion (packed dictionary vs raw-postings df), the
+    MUST gate, the exclusion anti-join, BM25 — re-derives
+    independently on each side, so the COMPOSED dispatch is pinned
+    end to end, not just its parts."""
+    eng = _engine_for(spark, sf)
+    return _rank_eq(
+        eng.query_string_search(QS_QUERY, 20),
+        TW.twin_querystring_topk(spark, eng, QS_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
+
+
 def q_search_page2(spark, sf):
     """The second result page (global ranks 11-20) ≡ the twin's rank
     11-20 slice of its top-20, per rank — pins that pagination is a
@@ -2386,9 +2405,9 @@ def q_search_page2(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    45 new rows first (never driver-stamped), then the rows whose
+    46 new rows first (never driver-stamped), then the rows whose
     latest driver stamp is r01-r03 (round 4's tail, rotated back in);
-    at 120 total the window cut lands inside that block, so eighteen
+    at 121 total the window cut lands inside that block, so nineteen
     of the rotation targets (ft_* stats/bm25/phrase, extract_text,
     joins/set ops, distinct_langs, events_hourly — all trivially
     SQL-oracled or long-green) sit just past it.  Every row past the
@@ -2405,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_prf": q_search_prf,
         "ft_percolate": q_ft_percolate,
         "streaming_percolate": q_streaming_percolate,
+        "search_querystring": q_search_querystring,
         "search_page2": q_search_page2,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "search_fuzzy": q_search_fuzzy,
@@ -3534,6 +3554,10 @@ SELECT h.doc_id, h.query_id FROM hit h JOIN need USING (query_id) WHERE h.n_hit 
         "search_page2": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(11, 21)
+""",
+        "search_querystring": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
 """,
         "ft_fuzzy_topk": _FT_FUZZY_SQL,
         "search_fuzzy": """

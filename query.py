@@ -11,6 +11,7 @@
     python query.py --index /tmp/ix --complete wor tra       # suggest box
     python query.py --index /tmp/ix --fuzzy "wrold tade"      # typo correction
     python query.py --index /tmp/ix "trade ma*"               # trailing wildcard
+    python query.py --index /tmp/ix '+trade ma* -growth'      # query-string syntax
     python query.py --index /tmp/ix --prf /tmp/tv "world trade"  # feedback expansion
     python query.py --index /tmp/ix --proximity "world trade" # closest-pair rank
     python query.py --index /tmp/ix --snippets /tmp/store "world trade"  # result page
@@ -143,11 +144,17 @@ def main() -> None:
                 must=args.must, should=text, must_not=args.must_not,
                 k=args.k)
         else:
-            has_star = any(t.endswith("*") and len(t) > 1 for t in text.split())
+            # Lucene-QueryParser markers route through the composed
+            # query-string dispatch (+must, -not, term*, "phrase")
+            has_qs = any(
+                (t[0] in '+-' and len(t) > 1)
+                or (t.endswith("*") and len(t) > 1)
+                or t.startswith('"')
+                for t in text.split())
             run = (lambda: wand_search(eng, text, args.k)) if args.wand else (
                 (lambda: eng.prf_search(text, args.prf, args.k)) if args.prf else
                 (lambda: eng.fuzzy_search(text, args.k)) if args.fuzzy else
-                (lambda: eng.wildcard_search(text, args.k)) if has_star else
+                (lambda: eng.query_string_search(text, args.k)) if has_qs else
                 (lambda: eng.search_page(text, args.k, args.page))
                 if args.page > 1 else
                 lambda: eng.search(text, args.k))

@@ -40,6 +40,43 @@ UNPACKED_SCHEMA = (
 _UNSET = object()  # lazy-cache sentinel (a DataFrame must not be truth-tested)
 
 
+def split_query_string(qs: str) -> tuple[list[str], list[str], list[str],
+                                         list[str], list[str]]:
+    """Lucene-QueryParser-style clause split, shared driver-side
+    kernel of ``SearchEngine.query_string_search`` and its twin:
+    ``\"...\"`` quoted phrases, ``+tok`` MUST, ``-tok`` MUST_NOT,
+    trailing ``tok*`` wildcards, bare tokens SHOULD.  Returns
+    (phrases, must, should, must_not, prefixes); prefixes are
+    lowercased with the ``*`` stripped.  ``+tok*`` / ``-tok*``
+    (required/excluded wildcards — a nested OR inside a MUST clause)
+    are rejected rather than silently mis-scored."""
+    import re
+
+    phrases: list[str] = []
+    must: list[str] = []
+    should: list[str] = []
+    must_not: list[str] = []
+    prefixes: list[str] = []
+    for c in re.findall(r'"[^"]*"|\S+', qs):
+        if c.startswith('"') and c.endswith('"') and len(c) >= 2:
+            if c[1:-1].strip():
+                phrases.append(c[1:-1])
+        elif c[0] in "+-" and c.endswith("*") and len(c) > 2:
+            raise ValueError(
+                f"clause {c!r}: required/excluded wildcards are not "
+                "supported (a wildcard is an OR over its expansions; "
+                "nesting it under +/- needs per-expansion gating)")
+        elif c.startswith("+") and len(c) > 1:
+            must.append(c[1:])
+        elif c.startswith("-") and len(c) > 1:
+            must_not.append(c[1:])
+        elif c.endswith("*") and len(c) > 1:
+            prefixes.append(c[:-1].lower())
+        elif c not in ("+", "-", "*"):
+            should.append(c)
+    return phrases, must, should, must_not, prefixes
+
+
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFAULT,
                  city_docs: DataFrame | None = None,
@@ -424,22 +461,64 @@ class SearchEngine:
                            if p.endswith("*") and len(p) > 1})
         plain = " ".join(p for p in parts if not p.endswith("*"))
         keys = set(self.parse_query(plain)) if plain.strip() else set()
-        if prefixes:
-            q = self.spark.createDataFrame(
-                [(p,) for p in prefixes], "prefix string")
-            cand = (
-                self._dictionary.select("term_key", "df")
-                .join(F.broadcast(q),
-                      F.col("term_key").startswith(F.col("prefix")))
-            )
-            w = Window.partitionBy("prefix").orderBy(
-                F.desc("df"), F.asc("term_key"))
-            rows = (
-                cand.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= max_expansions)
-                .select("term_key").distinct().collect()
-            )
-            keys |= {r.term_key for r in rows}
+        keys |= set(self._expand_prefixes(prefixes, max_expansions))
+        if not keys:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int")
+        return self._search_keys(sorted(keys), k)
+
+    def _expand_prefixes(self, prefixes: list[str],
+                         max_expansions: int) -> list[str]:
+        """The wildcard rewrite's expansion step (shared with
+        :meth:`query_string_search`): dictionary terms matching each
+        prefix, capped per prefix by df desc, term asc."""
+        if not prefixes:
+            return []
+        q = self.spark.createDataFrame(
+            [(p,) for p in sorted(set(prefixes))], "prefix string")
+        cand = (
+            self._dictionary.select("term_key", "df")
+            .join(F.broadcast(q),
+                  F.col("term_key").startswith(F.col("prefix")))
+        )
+        w = Window.partitionBy("prefix").orderBy(
+            F.desc("df"), F.asc("term_key"))
+        rows = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_expansions)
+            .select("term_key").distinct().collect()
+        )
+        return sorted({r.term_key for r in rows})
+
+    def query_string_search(self, qs: str, k: int | None = None,
+                            max_expansions: int = 16) -> DataFrame:
+        """One string in, the right engine path out — the Lucene
+        QueryParser surface over the paths this engine already ships:
+
+          ``"exact phrase"``   -> :meth:`phrase_search` (whole-query)
+          ``+term`` / ``-term`` -> :meth:`boolean_search` MUST/MUST_NOT
+          ``term*``            -> wildcard expansion, scored as SHOULD
+          bare terms           -> SHOULD (plain BM25)
+
+        A phrase composes only as the entire query (mixing a
+        positional gate into the boolean scorer is a different
+        operator); required/excluded wildcards are rejected by the
+        shared splitter.  Dispatch is pure driver-side routing — every
+        data path below it is the already-oracled one."""
+        k = k or self.cfg.top_k
+        phrases, must, should, must_not, prefixes = split_query_string(qs)
+        if phrases:
+            if len(phrases) == 1 and not (must or should or must_not or prefixes):
+                return self.phrase_search(phrases[0], k)
+            raise ValueError(
+                "a quoted phrase is supported only as the whole query")
+        wild_keys = self._expand_prefixes(prefixes, max_expansions)
+        if must or must_not:
+            return self.boolean_search(
+                " ".join(must), " ".join(should), " ".join(must_not), k,
+                extra_should_keys=wild_keys)
+        keys = set(self.parse_query(" ".join(should))) if should else set()
+        keys |= set(wild_keys)
         if not keys:
             return self.spark.createDataFrame(
                 [], "url string, score double, rank int")
@@ -495,7 +574,8 @@ class SearchEngine:
         return self._search_keys(sorted(set(keys) | expansion), k)
 
     def boolean_search(self, must: str = "", should: str = "",
-                       must_not: str = "", k: int | None = None) -> DataFrame:
+                       must_not: str = "", k: int | None = None,
+                       extra_should_keys: list[str] | None = None) -> DataFrame:
         """Lucene-BooleanQuery semantics over the packed index: MUST
         terms are all required (a MUST term absent from the dictionary
         means no document can satisfy the query — empty result),
@@ -520,6 +600,9 @@ class SearchEngine:
 
         must_keys = self.parse_query(must) if must.strip() else []
         should_keys = self.parse_query(should) if should.strip() else []
+        # pre-parsed SHOULD keys (the query-string path's wildcard
+        # expansions — already index terms, re-parsing would re-stem)
+        should_keys = sorted(set(should_keys) | set(extra_should_keys or []))
         score_keys = sorted(set(must_keys) | set(should_keys))
         if not score_keys:
             return empty()

@@ -308,7 +308,8 @@ def twin_prf_topk(spark: SparkSession, engine, query: str, k: int,
 
 
 def twin_boolean_topk(spark: SparkSession, engine, must: str, should: str,
-                      must_not: str, k: int) -> DataFrame:
+                      must_not: str, k: int,
+                      extra_should_keys: list[str] | None = None) -> DataFrame:
     """Plain twin of ``SearchEngine.boolean_search``: BM25 scores over
     the must+should keys recomputed from postings_raw, the MUST gate a
     countDistinct-over-must-keys HAVING on the live rows (a MUST key
@@ -317,6 +318,7 @@ def twin_boolean_topk(spark: SparkSession, engine, must: str, should: str,
     distinct-url anti-join."""
     must_keys = engine.parse_query(must) if must.strip() else []
     should_keys = engine.parse_query(should) if should.strip() else []
+    should_keys = sorted(set(should_keys) | set(extra_should_keys or []))
     score_keys = sorted(set(must_keys) | set(should_keys))
     if not score_keys:
         return spark.createDataFrame([], "url string, score double, rank int")
@@ -336,6 +338,55 @@ def twin_boolean_topk(spark: SparkSession, engine, must: str, should: str,
         excl = (live.filter(F.col("term_key").isin(not_keys))
                 .select("url").distinct())
         scores = scores.join(excl, "url", "left_anti")
+    topk = scores.orderBy(F.desc("score"), F.asc("url")).limit(k)
+    return ranked(topk, [("score", "desc"), ("url", "asc")])
+
+
+def twin_querystring_topk(spark: SparkSession, engine, qs: str, k: int,
+                          max_expansions: int = 16) -> DataFrame:
+    """Plain twin of ``SearchEngine.query_string_search``: the clause
+    split is the shared driver-side kernel (searcher.
+    split_query_string), but the wildcard expansions are re-derived
+    from stats-as-packed raw-posting df (the twin_wildcard_topk rule)
+    and the boolean/BM25 tails run through the raw-postings twins —
+    so the composed dispatch is pinned end to end, not just its
+    parts."""
+    from pyspark.sql import Window
+
+    from .searcher import split_query_string
+
+    phrases, must, should, must_not, prefixes = split_query_string(qs)
+    if phrases:
+        if len(phrases) == 1 and not (must or should or must_not or prefixes):
+            return twin_phrase_topk(spark, engine, phrases[0], k)
+        raise ValueError("a quoted phrase is supported only as the whole query")
+    wild_keys: set[str] = set()
+    if prefixes:
+        vocab = (
+            raw_postings(spark, engine)
+            .groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+        )
+        q = spark.createDataFrame(
+            [(p,) for p in sorted(set(prefixes))], "prefix string")
+        cand = vocab.join(
+            F.broadcast(q), F.col("term_key").startswith(F.col("prefix")))
+        w = Window.partitionBy("prefix").orderBy(
+            F.desc("df"), F.asc("term_key"))
+        wild_keys = {
+            r.term_key
+            for r in cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_expansions)
+            .select("term_key").distinct().collect()
+        }
+    if must or must_not:
+        return twin_boolean_topk(
+            spark, engine, " ".join(must), " ".join(should),
+            " ".join(must_not), k, extra_should_keys=sorted(wild_keys))
+    keys = set(engine.parse_query(" ".join(should))) if should else set()
+    keys |= wild_keys
+    if not keys:
+        return spark.createDataFrame([], "url string, score double, rank int")
+    scores = twin_bm25_scores(spark, engine, sorted(keys))
     topk = scores.orderBy(F.desc("score"), F.asc("url")).limit(k)
     return ranked(topk, [("score", "desc"), ("url", "asc")])
 
