@@ -2369,6 +2369,38 @@ def q_streaming_percolate(spark, sf):
     return spark.table(name)
 
 
+def q_ft_significant_terms(spark, sf):
+    """Significant terms of the flagship query's top-50 result set
+    (operators/textstats.significant_terms — ES significant_terms):
+    foreground lift on the exact nano BIGINT grid vs the background
+    corpus, query's own terms excluded, min fg_df 3, top-15.  Fully
+    SQL-recomputed: base BM25 cut, both document frequencies, the
+    cross-multiplied lift, and the (lift, fg_df, term) order."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    qtf = tf.filter(F.col("tok").isin(*FT_QUERY_TERMS))
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    fg = (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+          .select("doc_id"))
+    out = TS.significant_terms(docs, fg, k=15, min_fg=3,
+                               exclude=list(FT_QUERY_TERMS))
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 QS_QUERY = "+data tab* -slow"   # must + wildcard + exclusion in ONE string
 
 
@@ -2405,9 +2437,9 @@ def q_search_page2(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    46 new rows first (never driver-stamped), then the rows whose
+    47 new rows first (never driver-stamped), then the rows whose
     latest driver stamp is r01-r03 (round 4's tail, rotated back in);
-    at 121 total the window cut lands inside that block, so nineteen
+    at 122 total the window cut lands inside that block, so twenty
     of the rotation targets (ft_* stats/bm25/phrase, extract_text,
     joins/set ops, distinct_langs, events_hourly — all trivially
     SQL-oracled or long-green) sit just past it.  Every row past the
@@ -2425,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_percolate": q_ft_percolate,
         "streaming_percolate": q_streaming_percolate,
         "search_querystring": q_search_querystring,
+        "ft_significant_terms": q_ft_significant_terms,
         "search_page2": q_search_page2,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "search_fuzzy": q_search_fuzzy,
@@ -3558,6 +3591,29 @@ FROM range(11, 21)
         "search_querystring": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
+""",
+        # significant terms of the flagship result set: BM25 top-50
+        # foreground, exact nano-grid lift vs the background corpus
+        "ft_significant_terms": f"""
+WITH {_FT_SCORED},
+fg AS (SELECT doc_id FROM (
+         SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+         FROM scored) WHERE r <= 50),
+stats2 AS (SELECT (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM tf) AS n_corpus,
+                  (SELECT CAST(count(*) AS BIGINT) FROM fg) AS n_fg),
+fgdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS fg_df
+         FROM tf JOIN fg USING (doc_id)
+         WHERE tok NOT IN ({qt}) GROUP BY tok HAVING count(*) >= 3),
+bgdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS bg_df
+         FROM tf WHERE tok IN (SELECT tok FROM fgdf) GROUP BY tok),
+sc AS (SELECT f.tok AS term, f.fg_df, b.bg_df,
+              CAST((f.fg_df * (SELECT n_corpus FROM stats2) * 1000000000)
+                   // (b.bg_df * (SELECT n_fg FROM stats2)) AS BIGINT) AS lift_nano
+       FROM fgdf f JOIN bgdf b ON f.tok = b.tok),
+rk AS (SELECT term, fg_df, bg_df, lift_nano,
+              CAST(row_number() OVER (ORDER BY lift_nano DESC, fg_df DESC, term ASC) AS BIGINT) AS rank
+       FROM sc)
+SELECT term, fg_df, bg_df, lift_nano, rank FROM rk WHERE rank <= 15
 """,
         "ft_fuzzy_topk": _FT_FUZZY_SQL,
         "search_fuzzy": """

