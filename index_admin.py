@@ -11,6 +11,7 @@ Local (sandbox)::
     python index_admin.py stats   --index /tmp/ix   # no Spark: meta+footers
     python index_admin.py docstore --index /tmp/ix --input pages.parquet --out /tmp/store
     python index_admin.py termvectors --index /tmp/ix --out /tmp/tv
+    python index_admin.py snapshot --index /tmp/ix --out /tmp/ix_backup
 
 Cluster::
 
@@ -46,7 +47,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("verb", choices=["add", "update", "delete", "compact",
                                      "refresh", "stats", "docstore",
-                                     "termvectors"])
+                                     "termvectors", "snapshot"])
     ap.add_argument("--index", required=True)
     ap.add_argument("--input", help="pages parquet or testdata dir (add)")
     ap.add_argument("--out", help="docstore: output directory for the "
@@ -120,6 +121,19 @@ def main() -> None:
             "lineage_rows": len(lineage),
         }
         print(json.dumps(out))
+        return
+
+    if args.verb == "snapshot":
+        # pure driver-side file copy — no SparkSession
+        from search_engine_spark.indexer import snapshot_index
+
+        if not args.out:
+            ap.error("snapshot requires --out")
+        t0 = time.time()
+        fp = snapshot_index(args.index, args.out)
+        print(json.dumps({"verb": "snapshot", "index": args.index,
+                          "out_dir": args.out, "fingerprint": fp,
+                          "seconds": round(time.time() - t0, 3)}))
         return
 
     from search_engine_spark.config import EngineConfig

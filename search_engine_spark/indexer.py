@@ -548,3 +548,42 @@ def _bucket_groups(cfg: EngineConfig) -> list[list[int]]:
         [b for b in range(cfg.n_term_buckets) if b % ng == g]
         for g in range(ng)
     ]
+
+
+def snapshot_index(index_dir: str, out_dir: str) -> dict:
+    """Consistent point-in-time copy of a packed index — the backup /
+    serving-fork primitive (Lucene's SnapshotDeletionPolicy; at 100 TB
+    the same sequence is an object-store prefix copy, cheap because
+    every file in the layout is immutable once written: mutations only
+    ADD segment files, tombstone rows, and lineage rows in place of
+    rewriting).  Reference counterpart: none (batch rebuild only).
+
+    Refuses while a segment append is mid-flight (the
+    ``pending_segment`` marker — a copy taken then would freeze the
+    torn state) and while the caller's own writer could race (the
+    sandbox has no writer coordination; quiesce writers first, the
+    same contract every file-copy backup has).  The copy carries the
+    full raw store, so a restored snapshot supports every mutation
+    and rebuild path, not just reads.  Returns the snapshot's
+    fingerprint (== the source's at copy time; side-car layouts
+    stamped against the SOURCE keep serving the source, never the
+    copy — their meta pins ``index_dir`` by absolute path)."""
+    import shutil
+
+    from .incremental import pending_segment_marker
+
+    paths = IndexPaths(index_dir)
+    if os.path.exists(pending_segment_marker(paths)):
+        raise RuntimeError(
+            "index has an unfinished segment append (pending_segment "
+            "marker) — a snapshot now would freeze the torn state; "
+            "compact or refresh first")
+    if os.path.exists(out_dir) and os.listdir(out_dir):
+        raise RuntimeError(f"snapshot target {out_dir} exists and is not empty")
+    tmp = f"{out_dir}.snap{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(index_dir, tmp)
+    os.makedirs(os.path.dirname(os.path.abspath(out_dir)), exist_ok=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)   # atomic publish: out_dir is whole or absent
+    return index_fingerprint(out_dir)
