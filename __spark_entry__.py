@@ -2401,6 +2401,35 @@ def q_ft_significant_terms(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ft_count_hits(spark, sf):
+    """Total-hits count in the relational token space, fully
+    SQL-checkable: live documents containing ≥1 flagship term."""
+    n = (
+        _doc_tf(_tbl(spark, sf, "documents"))
+        .filter(F.col("tok").isin(*FT_QUERY_TERMS))
+        .select("doc_id").distinct().count()
+    )
+    return spark.createDataFrame([(n,)], "n_hits bigint")
+
+
+def q_search_count(spark, sf):
+    """Lucene totalHits over the PACKED engine ≡ distinct live-url
+    count over raw postings (the twin store) — the exact exhaustive
+    count both scorers share."""
+    eng = _engine_for(spark, sf)
+    n_engine = eng.count_hits(ENGINE_QUERY)
+    keys = eng.parse_query(ENGINE_QUERY)
+    live = TW.live_raw_postings(spark, eng)
+    n_twin = (live.filter(F.col("term_key").isin(keys))
+              .select("url").distinct().count())
+    # the count itself is parser-token-space (not SQL-expressible);
+    # the match boolean against the independently-derived raw-store
+    # count is the oracled signal, like the equivalence rows' flags
+    return spark.createDataFrame(
+        [(bool(n_engine == n_twin) and n_engine > 0,)],
+        "count_match boolean")
+
+
 QS_QUERY = "+data tab* -slow"   # must + wildcard + exclusion in ONE string
 
 
@@ -2437,9 +2466,9 @@ def q_search_page2(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    47 new rows first (never driver-stamped), then the rows whose
+    49 new rows first (never driver-stamped), then the rows whose
     latest driver stamp is r01-r03 (round 4's tail, rotated back in);
-    at 122 total the window cut lands inside that block, so twenty
+    at 124 total the window cut lands inside that block, so twenty-two
     of the rotation targets (ft_* stats/bm25/phrase, extract_text,
     joins/set ops, distinct_langs, events_hourly — all trivially
     SQL-oracled or long-green) sit just past it.  Every row past the
@@ -2458,6 +2487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_percolate": q_streaming_percolate,
         "search_querystring": q_search_querystring,
         "ft_significant_terms": q_ft_significant_terms,
+        "ft_count_hits": q_ft_count_hits,
+        "search_count": q_search_count,
         "search_page2": q_search_page2,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "search_fuzzy": q_search_fuzzy,
@@ -3614,6 +3645,14 @@ rk AS (SELECT term, fg_df, bg_df, lift_nano,
               CAST(row_number() OVER (ORDER BY lift_nano DESC, fg_df DESC, term ASC) AS BIGINT) AS rank
        FROM sc)
 SELECT term, fg_df, bg_df, lift_nano, rank FROM rk WHERE rank <= 15
+""",
+        "ft_count_hits": f"""
+WITH {_TF_CTE}
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_hits
+FROM tf WHERE tok IN ({qt})
+""",
+        "search_count": """
+SELECT true AS count_match
 """,
         "ft_fuzzy_topk": _FT_FUZZY_SQL,
         "search_fuzzy": """

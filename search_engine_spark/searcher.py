@@ -365,6 +365,23 @@ class SearchEngine:
             .select("url", "score", "rank")
         )
 
+    def count_hits(self, query: str) -> int:
+        """Total number of live documents matching ≥1 query term —
+        the "about N results" line on every result page (Lucene's
+        totalHits).  Same pruned scan as :meth:`search`, but the tail
+        is ONE countDistinct over (shard, local_id) — no doc_map
+        join, no scoring sort.  At WAND-scale deployments this is
+        where totalHits goes approximate (Lucene's
+        TotalHits.Relation); the exact count here is the
+        exhaustive-scorer contract this engine's search paths keep."""
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            return 0
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        per = self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key))
+        return per.select("shard", "local_id").distinct().count()
+
     def search_page(self, query: str, k: int | None = None,
                     page: int = 1) -> DataFrame:
         """Result page ``page`` (1-based, ``k`` rows per page) under

@@ -46,3 +46,11 @@ def test_page_validation(spark, built_index):
     eng = SearchEngine(spark, out, cfg)
     with pytest.raises(ValueError):
         eng.search_page(QUERY, 10, page=0)
+
+
+def test_count_hits_equals_exhaustive_result_size(spark, built_index):
+    out, cfg, _ = built_index
+    eng = SearchEngine(spark, out, cfg)
+    n = eng.count_hits(QUERY)
+    assert n == eng.search(QUERY, 100_000).count() and n > 0
+    assert eng.count_hits("zzzzqqqxxx") == 0
