@@ -582,6 +582,10 @@ BOOL_MUST = ("data",)
 BOOL_SHOULD = ("join", "query")
 BOOL_MUST_NOT = ("dup",)
 
+# pure-SHOULD clause set for the minimum-should-match rows
+MSM_SHOULD = ("data", "join", "row", "query")
+MSM_MIN = 2
+
 
 def q_ft_boolean_topk(spark, sf):
     """Relational Lucene-BooleanQuery top-20, fully SQL-checkable:
@@ -802,6 +806,64 @@ def q_search_boolean(spark, sf):
         eng.boolean_search(must="data", should="table row",
                            must_not="dup", k=20),
         TW.twin_boolean_topk(spark, eng, "data", "table row", "dup", 20),
+        exact=["url"], approx=["score"],
+    )
+
+
+def q_ft_msm_topk(spark, sf):
+    """Relational Lucene minimum-should-match top-20, fully
+    SQL-checkable: four SHOULD terms, a document qualifies only with
+    at least MSM_MIN distinct ones present (the
+    BooleanQuery.setMinimumNumberShouldMatch gate), qualifying docs
+    score the ordinary BM25 sum over their matched terms.  The gate is
+    one countDistinct agg over the already-filtered query-term rows —
+    never a second corpus pass."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    qtf = tf.filter(F.col("tok").isin(*MSM_SHOULD))
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    cand = (
+        qtf.groupBy("doc_id").agg(F.countDistinct("tok").alias("ns"))
+        .filter(F.col("ns") >= MSM_MIN).select("doc_id")
+    )
+    scored = (
+        contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+        .join(cand, "doc_id", "leftsemi")
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return (
+        ranked(topk, [("score", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "score", "rank")
+    )
+
+
+def q_search_msm(spark, sf):
+    """Minimum-should-match on the packed index ≡ the plain-postings
+    twin, per rank: four SHOULD clauses, a doc must match at least two
+    distinct ones (Lucene setMinimumNumberShouldMatch).  Engine gates
+    with a countDistinct over its unpacked posting rows, the twin with
+    the same gate over live raw rows — two physical plans, one
+    contract."""
+    eng = _engine_for(spark, sf)
+    return _rank_eq(
+        eng.boolean_search(should="table row data query", k=20,
+                           min_should_match=2),
+        TW.twin_boolean_topk(spark, eng, "", "table row data query", "",
+                             20, min_should_match=2),
         exact=["url"], approx=["score"],
     )
 
@@ -2477,6 +2539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (list(queries())[50:]) against DuckDB every CI run."""
     return {
         # --- window, part 1: round-5 rows (never driver-stamped)
+        "ft_msm_topk": q_ft_msm_topk,
+        "search_msm": q_search_msm,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "ft_prefix_topk": q_ft_prefix_topk,
@@ -3866,6 +3930,27 @@ rk AS (SELECT doc_id, score,
        FROM scored)
 SELECT doc_id, score, rank FROM rk WHERE rank <= 20
 """,
+        "ft_msm_topk": f"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n FROM dl),
+qtf AS (SELECT * FROM tf
+        WHERE tok IN ({", ".join(f"'{t}'" for t in sorted(MSM_SHOULD))})),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY tok),
+contrib AS (
+  SELECT qtf.doc_id, log2((SELECT n FROM stats) / dfreq.df) AS idf, qtf.tf, dl.dl
+  FROM qtf JOIN dfreq ON qtf.tok = dfreq.tok JOIN dl ON qtf.doc_id = dl.doc_id
+),
+cand AS (SELECT doc_id FROM qtf
+         GROUP BY doc_id HAVING count(DISTINCT tok) >= {MSM_MIN}),
+scored AS (SELECT c.doc_id, round(sum({_BM25_EXPR}), 6) AS score
+           FROM contrib c JOIN cand USING (doc_id)
+           GROUP BY c.doc_id),
+rk AS (SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       FROM scored)
+SELECT doc_id, score, rank FROM rk WHERE rank <= 20
+""",
         "pagerank_blend": f"""
 WITH run AS ({_FT_BM25_SQL}),
 pr AS ({GR.duckdb_pagerank_sql(8)}),
@@ -4256,6 +4341,10 @@ SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 11)
 """,
         "search_boolean": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "search_msm": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
 """,

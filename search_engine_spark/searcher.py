@@ -592,7 +592,8 @@ class SearchEngine:
 
     def boolean_search(self, must: str = "", should: str = "",
                        must_not: str = "", k: int | None = None,
-                       extra_should_keys: list[str] | None = None) -> DataFrame:
+                       extra_should_keys: list[str] | None = None,
+                       min_should_match: int = 0) -> DataFrame:
         """Lucene-BooleanQuery semantics over the packed index: MUST
         terms are all required (a MUST term absent from the dictionary
         means no document can satisfy the query — empty result),
@@ -601,6 +602,14 @@ class SearchEngine:
         :meth:`search`); MUST_NOT never contributes score.  Clauses
         are parsed with the full shared kernel (N1-N15 + stop filter +
         Porter), like every query path.
+
+        ``min_should_match`` is Lucene's
+        ``BooleanQuery.setMinimumNumberShouldMatch``: a document must
+        additionally match at least that many DISTINCT SHOULD terms.
+        A SHOULD term absent from the dictionary matches nothing, so
+        it can never help reach the threshold (asking for more should
+        matches than there are resolvable should terms yields the
+        empty result, exactly like Lucene's unsatisfiable rewrite).
 
         Scale shape (10^12 docs): scoring reads ONLY the must+should
         terms' posting lists (bucket- and row-group-pruned scan, same
@@ -641,6 +650,20 @@ class SearchEngine:
                 .select("shard", "local_id")
             )
             per_posting = per_posting.join(cand, ["shard", "local_id"], "left_semi")
+        if min_should_match > 0:
+            if len(should_keys) < min_should_match:
+                return empty()
+            # same shape as the MUST gate: one countDistinct agg over
+            # the already-unpacked should rows — no second index scan
+            scand = (
+                per_posting.filter(F.col("term_key").isin(should_keys))
+                .groupBy("shard", "local_id")
+                .agg(F.countDistinct("term_key").alias("ns"))
+                .filter(F.col("ns") >= min_should_match)
+                .select("shard", "local_id")
+            )
+            per_posting = per_posting.join(
+                scand, ["shard", "local_id"], "left_semi")
         not_keys = self.parse_query(must_not) if must_not.strip() else []
         if not_keys:
             not_resolved = self.resolve_terms(not_keys)

@@ -309,18 +309,22 @@ def twin_prf_topk(spark: SparkSession, engine, query: str, k: int,
 
 def twin_boolean_topk(spark: SparkSession, engine, must: str, should: str,
                       must_not: str, k: int,
-                      extra_should_keys: list[str] | None = None) -> DataFrame:
+                      extra_should_keys: list[str] | None = None,
+                      min_should_match: int = 0) -> DataFrame:
     """Plain twin of ``SearchEngine.boolean_search``: BM25 scores over
     the must+should keys recomputed from postings_raw, the MUST gate a
     countDistinct-over-must-keys HAVING on the live rows (a MUST key
     with no live rows keeps every doc below the count — the same empty
     result the engine's dictionary check produces), MUST_NOT a
-    distinct-url anti-join."""
+    distinct-url anti-join.  ``min_should_match`` gates on the live
+    rows the same way the engine gates on its unpacked rows: at least
+    that many distinct should keys present per doc."""
     must_keys = engine.parse_query(must) if must.strip() else []
     should_keys = engine.parse_query(should) if should.strip() else []
     should_keys = sorted(set(should_keys) | set(extra_should_keys or []))
     score_keys = sorted(set(must_keys) | set(should_keys))
-    if not score_keys:
+    if not score_keys or (min_should_match > 0
+                          and len(should_keys) < min_should_match):
         return spark.createDataFrame([], "url string, score double, rank int")
     scores = twin_bm25_scores(spark, engine, score_keys)
     live = live_raw_postings(spark, engine)
@@ -333,6 +337,15 @@ def twin_boolean_topk(spark: SparkSession, engine, must: str, should: str,
             .select("url")
         )
         scores = scores.join(cand, "url", "left_semi")
+    if min_should_match > 0:
+        scand = (
+            live.filter(F.col("term_key").isin(should_keys))
+            .groupBy("url")
+            .agg(F.countDistinct("term_key").alias("ns"))
+            .filter(F.col("ns") >= min_should_match)
+            .select("url")
+        )
+        scores = scores.join(scand, "url", "left_semi")
     not_keys = engine.parse_query(must_not) if must_not.strip() else []
     if not_keys:
         excl = (live.filter(F.col("term_key").isin(not_keys))

@@ -160,3 +160,40 @@ def test_boolean_search_semantics(spark, built_index):
 
     assert eng.boolean_search(must="zzqzzq", should="policy", k=5).count() == 0
     assert eng.boolean_search(should="the of and", k=5).count() == 0
+
+
+def test_boolean_min_should_match(spark, built_index):
+    """setMinimumNumberShouldMatch contract: msm results are exactly
+    the plain should-only ranking restricted to docs carrying >= m
+    distinct should terms (membership from the engine's own pre-pack
+    postings); msm=0 is the unchanged should query; a threshold above
+    the resolvable should-term count is unsatisfiable (empty)."""
+    from search_engine_spark import twin as TW
+
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg)
+    q = "nation policy report"
+    keys = eng.parse_query(q)
+    raw = TW.raw_postings(spark, eng)
+    per_doc = {
+        r["url"]: r["ns"]
+        for r in raw.filter(F.col("term_key").isin(keys))
+        .groupBy("url").agg(F.countDistinct("term_key").alias("ns"))
+        .collect()
+    }
+
+    base = [(r["url"], round(r["score"], 9))
+            for r in eng.boolean_search(should=q, k=N_DOCS).collect()]
+    for m in (2, 3):
+        got = [(r["url"], round(r["score"], 9))
+               for r in eng.boolean_search(should=q, k=N_DOCS,
+                                           min_should_match=m).collect()]
+        expect = [(u, s) for u, s in base if per_doc.get(u, 0) >= m]
+        assert got == expect
+    assert [x[:1] for x in base] == [
+        (r["url"],) for r in eng.boolean_search(
+            should=q, k=N_DOCS, min_should_match=0).collect()]
+    # more required matches than should clauses -> unsatisfiable
+    assert eng.boolean_search(should=q, k=5, min_should_match=4).count() == 0
+    # msm=2 must actually prune something on this corpus
+    assert any(v < 2 for v in per_doc.values())
