@@ -2525,6 +2525,82 @@ def q_search_page2(spark, sf):
     )
 
 
+def q_ft_search_after(spark, sf):
+    """Relational keyset deep paging (ES search_after), fully
+    SQL-checkable: the page AFTER the BM25 top-10's last row, fetched
+    by the keyset filter ``(score, doc_id) after cursor`` — never by
+    materializing ranks 1..20 — with page-local ranks 1..10.  The
+    cursor row is computed IN-PLAN (the min-(score, -doc_id) struct of
+    the top-10 cut, i.e. its last row), so the row is scale-portable
+    across sf dirs.  The oracle slices rows 11-20 of the full
+    row_number order instead: keyset-filter ≡ rank-slice IS the
+    no-skip/no-dup pagination contract.  Scale shape: the keyset
+    page's heap is k rows at any depth (search_page's grows with
+    page·k) — the reason serving stacks mandate search_after past
+    ~10k results."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    qtf = tf.filter(F.col("tok").isin(*FT_QUERY_TERMS))
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    top10 = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    # the cursor = last row of page 1: smallest score, ties -> largest
+    # doc_id, i.e. the min of (score, -doc_id) over the 10-row cut
+    cur = (
+        top10.agg(F.min(F.struct(
+            F.col("score").alias("s"),
+            (-F.col("doc_id")).alias("nd"))).alias("m"))
+        .select(F.col("m.s").alias("_cs"), (-F.col("m.nd")).alias("_cd"))
+    )
+    page = (
+        scored.crossJoin(F.broadcast(cur))
+        .filter(
+            (F.col("score") < F.col("_cs"))
+            | ((F.col("score") == F.col("_cs")) & (F.col("doc_id") > F.col("_cd")))
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    return (
+        ranked(page, [("score", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "score", "rank")
+    )
+
+
+def q_search_after(spark, sf):
+    """Keyset deep paging on the packed index ≡ the twin's rank-slice,
+    per rank: ``search_after`` is handed ONLY the url of page 1's last
+    row (the stateless cursor — the score is recomputed inside the
+    job, see searcher.search_after) and must reproduce exactly the
+    twin's ranks 11-20 re-ranked 1-10.  Two mechanisms, one contract:
+    keyset filter with a k-row heap vs global-order slice."""
+    eng = _engine_for(spark, sf)
+    page1 = eng.search(ENGINE_QUERY, 10).collect()
+    cursor = page1[-1]["url"]
+    twin20 = TW.twin_bm25_topk(spark, eng, ENGINE_QUERY, 20)
+    return _rank_eq(
+        eng.search_after(ENGINE_QUERY, cursor, 10),
+        twin20.filter(F.col("rank") > 10)
+        .select("url", "score", (F.col("rank") - 10).alias("rank")),
+        exact=["url"], approx=["score"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
     stamps every row that needs a FRESH stamp this round: round 5's
@@ -2538,6 +2614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (list(queries())[50:]) against DuckDB every CI run."""
     return {
         # --- window, part 1: round-5 rows (never driver-stamped)
+        "ft_search_after": q_ft_search_after,
+        "search_after": q_search_after,
         "ft_msm_topk": q_ft_msm_topk,
         "search_msm": q_search_msm,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
@@ -3904,6 +3982,14 @@ rk AS (SELECT term, co_df, jaccard_micro,
        FROM s)
 SELECT term, co_df, jaccard_micro, rank FROM rk WHERE rank <= 15
 """,
+        "ft_search_after": f"""
+WITH {_FT_SCORED},
+rk AS (SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rr
+       FROM scored)
+SELECT doc_id, score, CAST(rr - 10 AS BIGINT) AS rank
+FROM rk WHERE rr > 10 AND rr <= 20
+""",
         "ft_boolean_topk": f"""
 WITH {_TF_CTE},
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
@@ -4346,6 +4432,10 @@ FROM range(1, 21)
         "search_msm": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
+""",
+        "search_after": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 11)
 """,
         "search_incremental": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match

@@ -343,25 +343,32 @@ class SearchEngine:
             per_posting = per_posting.join(allowed, ["shard", "local_id"], "left_semi")
         return self._score_topk(per_posting, k)
 
+    def _doc_scores(self, per_posting: DataFrame) -> DataFrame:
+        """Per-doc blended score for EVERY matching live doc — the
+        scoring tail above the cut, shared by the top-k path and the
+        keyset :meth:`search_after` path.  (url, score), unsorted."""
+        blend_a, blend_b = self.meta["blend_bm25"], self.meta["blend_bonus"]
+        return (
+            per_posting.groupBy("shard", "local_id")
+            .agg(F.sum("contrib").alias("bm25"), F.sum("bonus").alias("bonus"))
+            .withColumn("score", F.lit(blend_a) * F.col("bm25") + F.lit(blend_b) * F.col("bonus"))
+            .join(self._doc_map(), ["shard", "local_id"])
+            .select("url", "score")
+        )
+
     def _score_topk(self, per_posting: DataFrame, k: int) -> DataFrame:
         """Shared scoring tail: per-doc BM25 + importance-bonus blend,
         deterministic (score desc, url asc) top-k with window-free
         ranks.  orderBy+limit plans as TakeOrderedAndProject
         (per-partition heaps, k rows total); the rank is then attached
         over only those k rows (ranking.ranked)."""
-        blend_a, blend_b = self.meta["blend_bm25"], self.meta["blend_bonus"]
-        scores = (
-            per_posting.groupBy("shard", "local_id")
-            .agg(F.sum("contrib").alias("bm25"), F.sum("bonus").alias("bonus"))
-            .withColumn("score", F.lit(blend_a) * F.col("bm25") + F.lit(blend_b) * F.col("bonus"))
-        )
         topk = (
-            scores.join(self._doc_map(), ["shard", "local_id"])
+            self._doc_scores(per_posting)
             .orderBy(F.desc("score"), F.asc("url"))
             .limit(k)
         )
         return (
-            ranked(topk.select("url", "score"), [("score", "desc"), ("url", "asc")])
+            ranked(topk, [("score", "desc"), ("url", "asc")])
             .select("url", "score", "rank")
         )
 
@@ -403,6 +410,55 @@ class SearchEngine:
             raise ValueError(f"page must be >= 1, got {page}")
         full = self._search_keys(self.parse_query(query), k * page)
         return full.filter(F.col("rank") > k * (page - 1))
+
+    def search_after(self, query: str, after_url: str,
+                     k: int | None = None) -> DataFrame:
+        """Keyset deep paging (Lucene searchAfter / ES search_after):
+        the ``k`` results strictly after ``after_url`` in the engine's
+        total order (score desc, url asc), ranks 1..k PAGE-LOCAL —
+        the stateless cursor contract: each page returns its last url
+        as the next cursor, no server-side scroll state.
+
+        The cursor is the URL ALONE, never a client-echoed float
+        score: the cursor doc's score is recomputed INSIDE this job
+        (a 1-row lookup against the same scored frame), so the keyset
+        comparison happens between two numbers from one execution and
+        the cross-run ±1-ulp hazard documented on :meth:`search_page`
+        cannot duplicate or skip a boundary row.  A cursor url that
+        does not match the query yields the empty page (it can never
+        have appeared on an earlier page of this query).
+
+        Scale shape (10^12 docs): :meth:`search_page`'s heap grows
+        with page·k — the classic deep-paging wall (serving stacks cap
+        rank-slice paging at ~10k and mandate search_after beyond).
+        Here the heap is k rows at ANY depth: the same pruned posting
+        scan, a broadcast 1-row cursor join, a per-partition keyset
+        filter, and a TakeOrderedAndProject cut of k."""
+        k = k or self.cfg.top_k
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            return self.spark.createDataFrame([], "url string, score double, rank int")
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        scores = self._doc_scores(self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key)))
+        cur = (
+            scores.filter(F.col("url") == after_url)
+            .select(F.col("score").alias("_cs"), F.col("url").alias("_cu"))
+        )
+        page = (
+            scores.crossJoin(F.broadcast(cur))  # 0- or 1-row cursor
+            .filter(
+                (F.col("score") < F.col("_cs"))
+                | ((F.col("score") == F.col("_cs")) & (F.col("url") > F.col("_cu")))
+            )
+            .select("url", "score")
+            .orderBy(F.desc("score"), F.asc("url"))
+            .limit(k)
+        )
+        return (
+            ranked(page, [("score", "desc"), ("url", "asc")])
+            .select("url", "score", "rank")
+        )
 
     def fuzzy_search(self, query: str, k: int | None = None,
                      max_dist: int = 2,

@@ -197,3 +197,34 @@ def test_boolean_min_should_match(spark, built_index):
     assert eng.boolean_search(should=q, k=5, min_should_match=4).count() == 0
     # msm=2 must actually prune something on this corpus
     assert any(v < 2 for v in per_doc.values())
+
+
+def test_search_after_keyset_paging(spark, built_index):
+    """searchAfter contract: chaining url-only cursors walks the
+    SAME total order as one deep top-k — no row duplicated, none
+    skipped, page-local ranks — and an off-query cursor url (never on
+    any result page) yields the empty page."""
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg)
+    q = "nation policy report"
+    deep = [(r["url"], round(r["score"], 9))
+            for r in eng.search(q, k=30).collect()]
+    assert len(deep) == 30
+
+    walked, cursor = [], None
+    for page_no in range(3):
+        if page_no == 0:
+            rows = eng.search(q, k=10).collect()
+        else:
+            rows = eng.search_after(q, cursor, k=10).collect()
+        assert [r["rank"] for r in rows] == list(range(1, 11))
+        walked += [(r["url"], round(r["score"], 9)) for r in rows]
+        cursor = rows[-1]["url"]
+    assert walked == deep
+
+    # cursor at rank 30 -> exactly the ranks-31..40 slice of a deep cut
+    tail = eng.search_after(q, deep[-1][0], k=10).collect()
+    rest = [r["url"] for r in eng.search(q, k=40).collect()[30:40]]
+    assert [r["url"] for r in tail] == rest
+    # a url that never matched the query is not a valid cursor
+    assert eng.search_after(q, "zz://nowhere", k=10).count() == 0
