@@ -868,6 +868,34 @@ def q_search_msm(spark, sf):
     )
 
 
+# crawl-ts window for the filter-context row: docs 100..349 of 500
+# (load_documents_as_pages stamps warc_ts = 2024-01-01 + doc_id sec)
+TS_FILTER_LO = "2024-01-01 00:01:40"
+TS_FILTER_HI = "2024-01-01 00:05:49"
+
+
+def q_search_ts_filtered(spark, sf):
+    """Filter-context search ≡ twin, per rank: BM25 top-20 restricted
+    to a crawl-timestamp window over the pages metadata (250 of the
+    500 docs) — the Lucene filter-clause contract: the allowed set is
+    a PREDICATE FRAME from the metadata table (partition-pruned at
+    scale), matching is restricted, scoring is not (idf/avgdl stay
+    corpus-global).  Engine semi-joins (shard, local_id) into the
+    per-posting rows BEFORE its score agg; the twin semi-joins urls
+    AFTER scoring — different stages, identical ranking."""
+    eng = _engine_for(spark, sf)
+    pages = load_documents_as_pages(spark, sf)
+    allowed = pages.filter(
+        (F.col("warc_ts") >= F.lit(TS_FILTER_LO).cast("timestamp"))
+        & (F.col("warc_ts") <= F.lit(TS_FILTER_HI).cast("timestamp"))
+    ).select("url")
+    return _rank_eq(
+        eng.search_filtered(ENGINE_QUERY, allowed, 20),
+        TW.twin_filtered_topk(spark, eng, ENGINE_QUERY, allowed, 20),
+        exact=["url"], approx=["score"],
+    )
+
+
 def q_search_collapse(spark, sf):
     """Two-per-source result-page collapse over the packed-index BM25
     top-50 pool ≡ the SAME collapse over the plain-postings twin pool
@@ -2616,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window, part 1: round-5 rows (never driver-stamped)
         "ft_search_after": q_ft_search_after,
         "search_after": q_search_after,
+        "search_ts_filtered": q_search_ts_filtered,
         "ft_msm_topk": q_ft_msm_topk,
         "search_msm": q_search_msm,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
@@ -4436,6 +4465,10 @@ FROM range(1, 21)
         "search_after": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 11)
+""",
+        "search_ts_filtered": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
 """,
         "search_incremental": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match

@@ -460,6 +460,44 @@ class SearchEngine:
             .select("url", "score", "rank")
         )
 
+    def search_filtered(self, query: str, allowed: DataFrame,
+                        k: int | None = None) -> DataFrame:
+        """Filter-context search (Lucene's filter clause): BM25 top-k
+        restricted to a caller-supplied allowed-doc set — ``allowed``
+        is any (url) frame, typically a predicate over a crawl-
+        metadata table (a warc_ts window, a host list, a quality cut).
+        The filter constrains MATCHING, never scoring: idf/avgdl stay
+        corpus-global, so a doc scores identically inside and outside
+        the filter (the filter-context non-scoring contract), and
+        ranks are dense 1..k over the filtered set.
+
+        This generalizes the built-in city filter (F2/J4): that path
+        derives its doc set from stored index artifacts; this one
+        accepts the attribute predicate AS a frame, which is how
+        attribute filtering scales — attributes live in columnar
+        metadata tables (time/host-partitioned, so the predicate scan
+        is partition-pruned), not inside the text index.
+
+        Scale shape: urls→(shard, local_id) through the doc-stats map
+        join, then one left-semi into the per-posting rows BEFORE the
+        score agg — the filter prunes the aggregation's input, and no
+        forced broadcast (a narrow window broadcasts under AQE, a
+        90%-of-corpus filter shuffle-joins)."""
+        k = k or self.cfg.top_k
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            return self.spark.createDataFrame([], "url string, score double, rank int")
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        per_posting = self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key))
+        allowed_ids = (
+            allowed.select("url").distinct()
+            .join(self._doc_map(), "url")
+            .select("shard", "local_id")
+        )
+        per_posting = per_posting.join(allowed_ids, ["shard", "local_id"], "left_semi")
+        return self._score_topk(per_posting, k)
+
     def fuzzy_search(self, query: str, k: int | None = None,
                      max_dist: int = 2,
                      suggest_path: str | None = None) -> DataFrame:

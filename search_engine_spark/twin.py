@@ -177,6 +177,20 @@ def twin_bm25_topk(spark: SparkSession, engine, query: str, k: int) -> DataFrame
     return ranked(topk, [("score", "desc"), ("url", "asc")])
 
 
+def twin_filtered_topk(spark: SparkSession, engine, query: str,
+                       allowed: DataFrame, k: int) -> DataFrame:
+    """Plain twin of ``SearchEngine.search_filtered``: the full BM25
+    score set semi-joined to the allowed urls AFTER scoring (the
+    engine semi-joins (shard, local_id) into the per-posting rows
+    BEFORE its score agg — different stage, same filter-context
+    contract: scores are corpus-global either way)."""
+    keys = engine.parse_query(query)
+    scores = twin_bm25_scores(spark, engine, keys).join(
+        allowed.select("url").distinct(), "url", "left_semi")
+    topk = scores.orderBy(F.desc("score"), F.asc("url")).limit(k)
+    return ranked(topk, [("score", "desc"), ("url", "asc")])
+
+
 def twin_fuzzy_topk(spark: SparkSession, engine, query: str, k: int,
                     max_dist: int = 2) -> DataFrame:
     """(url, score, rank) — the plain twin of

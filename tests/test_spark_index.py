@@ -228,3 +228,25 @@ def test_search_after_keyset_paging(spark, built_index):
     assert [r["url"] for r in tail] == rest
     # a url that never matched the query is not a valid cursor
     assert eng.search_after(q, "zz://nowhere", k=10).count() == 0
+
+
+def test_search_filtered_context(spark, built_index):
+    """Filter-context contract: filtered top-k = the unfiltered deep
+    ranking restricted to the allowed set (dense re-ranks, SCORES
+    UNCHANGED — the filter constrains matching, never idf/avgdl);
+    an empty allowed set yields the empty page."""
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg)
+    q = "nation policy report"
+    deep = [(r["url"], round(r["score"], 9))
+            for r in eng.search(q, k=N_DOCS).collect()]
+    allowed_urls = sorted({u for u, _ in deep})[::2]  # every other url
+    allowed = spark.createDataFrame([(u,) for u in allowed_urls], "url string")
+
+    got = [(r["url"], round(r["score"], 9), r["rank"])
+           for r in eng.search_filtered(q, allowed, k=15).collect()]
+    want = [(u, s) for u, s in deep if u in set(allowed_urls)][:15]
+    assert got == [(u, s, i + 1) for i, (u, s) in enumerate(want)]
+
+    empty = allowed.limit(0)
+    assert eng.search_filtered(q, empty, k=5).count() == 0
