@@ -117,6 +117,21 @@ def main() -> None:
     timed("fuzzy_top10", lambda: eng.fuzzy_search("wrld tade market", 10))
     # trailing-wildcard path: df-capped prefix expansion + the same tail
     timed("wildcard_top10", lambda: eng.wildcard_search("wor* trade", 10))
+    # minimum-should-match gate (one countDistinct over unpacked rows)
+    timed("msm_top10", lambda: eng.boolean_search(
+        should="data table row query", k=10, min_should_match=2))
+    # keyset deep paging: cursor fetched once (an ordinary page-1
+    # query), then the timed row is the url-cursor page-2 fetch
+    _cursor = eng.search("data table row", 10).collect()[-1]["url"]
+    timed("search_after_top10",
+          lambda: eng.search_after("data table row", _cursor, 10))
+    # filter-context: metadata predicate (half the corpus) semi-joined
+    # into the per-posting rows before the score agg
+    from pyspark.sql import functions as _F
+    _allowed = pages.filter(
+        _F.pmod(_F.xxhash64("url"), _F.lit(2)) == 0).select("url")
+    timed("filtered_top10",
+          lambda: eng.search_filtered("data table row", _allowed, 10))
 
     # pseudo-relevance feedback: the doc-major term-vector side-car is
     # a one-off corpus-cost build (timed separately); the query then
