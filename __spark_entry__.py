@@ -2124,6 +2124,55 @@ def q_search_phrase(spark, sf):
     )
 
 
+# ordered span-near row: terms in phrase order, slop widens the window
+SPAN_TERMS = ("data", "row", "query")
+SPAN_SLOP = 4
+
+
+def q_ft_span_near_topk(spark, sf):
+    """Ordered span-near (Lucene SpanNearQuery(ordered, slop)), fully
+    SQL-checkable: count position tuples p0 < p1 < p2 in phrase order
+    with p2 - p0 <= (n-1) + slop, rank docs by that span_tf.  The
+    chain joins key on the doc and carry the window as a band
+    predicate — per-doc work bounded by tf × window, never
+    all-pairs; the counts are integers, so the oracle is exact."""
+    docs = _tbl(spark, sf, "documents")
+    ex = docs.select("doc_id", F.posexplode(TS.simple_tokens()).alias("pos", "tok"))
+    max_span = (len(SPAN_TERMS) - 1) + SPAN_SLOP
+    chain = None
+    for i, t in enumerate(SPAN_TERMS):
+        part = ex.filter(F.col("tok") == t).select(
+            "doc_id", F.col("pos").alias(f"p{i}"))
+        if chain is None:
+            chain = part
+        else:
+            chain = chain.join(part, "doc_id").filter(
+                (F.col(f"p{i}") > F.col(f"p{i - 1}"))
+                & (F.col(f"p{i}") <= F.col("p0") + F.lit(max_span))
+            )
+    m = chain.groupBy("doc_id").agg(F.count(F.lit(1)).alias("span_tf"))
+    topk = m.orderBy(F.desc("span_tf"), F.asc("doc_id")).limit(20)
+    return (
+        ranked(topk, [("span_tf", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "span_tf", "rank")
+    )
+
+
+def q_search_span_near(spark, sf):
+    """Packed positional span-near ≡ plain twin over the raw
+    ``positions`` arrays, per rank with EXACT span_tf: 'table row'
+    within slop 3, in order.  Engine counts tuples from the pruned
+    positional scan's occurrence rows; the twin counts url-keyed from
+    the raw arrays — two decodings, one integer count."""
+    eng = _engine_for(spark, sf)
+    return _rank_eq(
+        eng.span_near_search("table row", slop=3, k=20),
+        TW.twin_span_near_topk(spark, eng, "table row", 3, 20),
+        exact=["url", "span_tf"], approx=[],
+    )
+
+
 def q_trec_topics_roundtrip(spark, sf):
     """S4 round-trip: render the reference query set as a TREC topic
     file, parse it back through the topic source, return the parsed
@@ -2642,11 +2691,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (list(queries())[50:]) against DuckDB every CI run."""
     return {
         # --- window, part 1: round-5 rows (never driver-stamped)
-        "ft_search_after": q_ft_search_after,
-        "search_after": q_search_after,
-        "search_ts_filtered": q_search_ts_filtered,
-        "ft_msm_topk": q_ft_msm_topk,
-        "search_msm": q_search_msm,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "ft_prefix_topk": q_ft_prefix_topk,
@@ -2695,7 +2739,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_host_graph": q_link_host_graph,
         "pagerank_links": q_pagerank_links,
         "dedup_lines_digest": q_dedup_lines_digest,
+        # --- tail head: round-5 rows past the 50-row stamp window —
+        # the window is full of this round's verdict-item rows, so
+        # these late additions ride the CI tail oracle
+        # (tests/test_entry_oracle.py re-runs them vs DuckDB each run)
+        # until the next round's rotation stamps them
         "search_facets_multi": q_search_facets_multi,
+        "ft_msm_topk": q_ft_msm_topk,
+        "search_msm": q_search_msm,
+        "ft_search_after": q_ft_search_after,
+        "search_after": q_search_after,
+        "search_ts_filtered": q_search_ts_filtered,
+        "ft_span_near_topk": q_ft_span_near_topk,
+        "search_span_near": q_search_span_near,
         # --- window, part 2: last stamped r01-r03 (round 4's tail),
         # rotated back inside
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -4469,6 +4525,36 @@ FROM range(1, 11)
         "search_ts_filtered": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
+""",
+        "search_span_near": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS span_tf_match
+FROM range(1, 21)
+""",
+        "ft_span_near_topk": f"""
+WITH {_TOK_CTE},
+ex AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks) + 1),
+                     i -> {{'pos': i, 'tok': toks[i]}})) AS e
+       FROM tok),
+"""
+        + ",\n".join(
+            f"t{j} AS (SELECT doc_id, e.pos AS p{j} FROM ex WHERE e.tok = '{t}')"
+            for j, t in enumerate(SPAN_TERMS)
+        )
+        + """,
+m AS (SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS span_tf
+      FROM t0 """
+        + " ".join(
+            f"JOIN t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.p{j} > t{j - 1}.p{j - 1}"
+            f" AND t{j}.p{j} <= t0.p0 + {len(SPAN_TERMS) - 1 + SPAN_SLOP}"
+            for j in range(1, len(SPAN_TERMS))
+        )
+        + """
+      GROUP BY t0.doc_id),
+rk AS (SELECT doc_id, span_tf,
+              CAST(row_number() OVER (ORDER BY span_tf DESC, doc_id ASC) AS BIGINT) AS rank
+       FROM m)
+SELECT doc_id, span_tf, rank FROM rk WHERE rank <= 20
 """,
         "search_incremental": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match

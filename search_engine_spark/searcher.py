@@ -872,6 +872,72 @@ class SearchEngine:
             .select("url", "phrase_tf", "rank")
         )
 
+    def span_near_search(self, phrase: str, slop: int = 0,
+                         k: int | None = None) -> DataFrame:
+        """Ordered span-near top-k (Lucene SpanNearQuery(ordered,
+        slop) — the sloppy-phrase surface): docs where the phrase's
+        content terms occur IN PHRASE ORDER within a bounded window,
+        ranked by the number of qualifying ordered tuples (span_tf
+        desc, url asc).  A tuple (p_0 < p_1 < ... < p_{n-1}), one
+        position per term in order, qualifies when
+        ``p_{n-1} - p_0 <= (off_last - off_first) + slop`` — the
+        phrase's own stop-word-aware minimal span plus the slop
+        allowance.  ``slop=0`` on a stop-word-free phrase admits only
+        consecutive runs, i.e. exact-phrase adjacency (span_tf ≡
+        phrase_search's phrase_tf — pinned by pytest).
+
+        Scale shape: one PRUNED scan+unpack per term (same as
+        phrase_search); every chain join keys on (shard, local_id) —
+        co-partitioned, one exchange per side — with the position
+        window as a band predicate, so per-doc pairwise work is
+        bounded by tf × slop-window, never all-pairs across docs.
+        Requires an index built with ``keep_positions=True``."""
+        if not self.meta.get("keep_positions"):
+            raise ValueError(
+                "span_near_search requires an index built with keep_positions=True")
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0, got {slop}")
+        k = k or self.cfg.top_k
+        terms = self.parse_phrase(phrase)
+        empty = self.spark.createDataFrame(
+            [], "url string, span_tf long, rank int")
+        if not terms:
+            return empty
+        keys = sorted({t for t, _ in terms})
+        resolved = self.resolve_terms(keys)
+        if set(resolved["term_key"]) != set(keys):
+            return empty  # a phrase term missing from the dictionary
+        max_span = (terms[-1][1] - terms[0][1]) + slop
+        chain = None
+        for i, (key, _off) in enumerate(terms):
+            part = (
+                self._unpack_positions(
+                    self._scan_index(resolved[resolved["term_key"] == key])
+                )
+                .select("shard", "local_id", F.col("pos").alias(f"p{i}"))
+            )
+            if chain is None:
+                chain = part
+            else:
+                chain = chain.join(part, ["shard", "local_id"]).filter(
+                    (F.col(f"p{i}") > F.col(f"p{i - 1}"))
+                    & (F.col(f"p{i}") <= F.col("p0") + F.lit(max_span))
+                )
+        matches = self._drop_deleted(
+            chain.groupBy("shard", "local_id").agg(
+                F.count(F.lit(1)).alias("span_tf"))
+        )
+        topk = (
+            matches.join(self._doc_map(), ["shard", "local_id"])
+            .orderBy(F.desc("span_tf"), F.asc("url"))
+            .limit(k)
+        )
+        return (
+            ranked(topk.select("url", "span_tf"),
+                   [("span_tf", "desc"), ("url", "asc")])
+            .select("url", "span_tf", "rank")
+        )
+
     def _unpack_position_arrays(self, scan: DataFrame) -> DataFrame:
         """(term_key, shard, local_id, poss) — one row per POSTING
         (not per occurrence), the document's position list for the

@@ -481,6 +481,45 @@ def twin_phrase_topk(spark: SparkSession, engine, phrase: str, k: int) -> DataFr
     return ranked(topk, [("phrase_tf", "desc"), ("url", "asc")])
 
 
+def twin_span_near_topk(spark: SparkSession, engine, phrase: str,
+                        slop: int, k: int) -> DataFrame:
+    """(url, span_tf, rank) — plain twin of
+    ``SearchEngine.span_near_search``: ordered tuples counted from
+    the raw ``positions`` arrays (live rows only) through the same
+    chained band predicate, but url-keyed on the plain store instead
+    of the packed index's (shard, local_id) occurrence rows."""
+    terms = engine.parse_phrase(phrase)
+    empty = spark.createDataFrame([], "url string, span_tf long, rank int")
+    if not terms:
+        return empty
+    raw = live_raw_postings(spark, engine)
+    present = {
+        r["term_key"]
+        for r in raw.filter(F.col("term_key").isin(sorted({t for t, _ in terms})))
+        .select("term_key").distinct().collect()
+    }
+    if {t for t, _ in terms} - present:
+        return empty
+    max_span = (terms[-1][1] - terms[0][1]) + slop
+    chain = None
+    for i, (key, _off) in enumerate(terms):
+        part = (
+            raw.filter(F.col("term_key") == key)
+            .select("url", F.explode("positions").alias(f"p{i}"))
+        )
+        if chain is None:
+            chain = part
+        else:
+            chain = chain.join(part, "url").filter(
+                (F.col(f"p{i}") > F.col(f"p{i - 1}"))
+                & (F.col(f"p{i}") <= F.col("p0") + F.lit(max_span))
+            )
+    matches = chain.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("span_tf"))
+    topk = matches.orderBy(F.desc("span_tf"), F.asc("url")).limit(k)
+    return ranked(topk, [("span_tf", "desc"), ("url", "asc")])
+
+
 def twin_proximity_topk(spark: SparkSession, engine, query: str, k: int,
                         max_window: int | None = None) -> DataFrame:
     """(url, min_dist, score, rank) — plain twin of

@@ -109,3 +109,64 @@ def test_requires_positions(spark, built_index):
     eng = SearchEngine(spark, out, cfg)
     with pytest.raises(ValueError, match="keep_positions"):
         eng.proximity_search("world trade", 10)
+
+
+def test_span_near_ordered_window(spark, prox_index):
+    """Ordered span-near (SearchEngine.span_near_search) contract:
+    slop=0 on a 2-term phrase is exact-phrase adjacency (span_tf ≡
+    phrase_tf per url); a wider slop matches a superset with per-url
+    counts >= the tighter ones; counts equal a brute-force
+    enumeration of ordered in-window tuples over the engine's own
+    raw positions; engine ≡ raw-postings twin per rank."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark import twin as TW
+
+    eng, pages, cfg = prox_index
+    phrase = "world trade"
+
+    base = {r["url"]: r["span_tf"]
+            for r in eng.span_near_search(phrase, slop=0, k=500).collect()}
+    exact = {r["url"]: r["phrase_tf"]
+             for r in eng.phrase_search(phrase, 500).collect()}
+    assert base == exact and base
+
+    wide = {r["url"]: r["span_tf"]
+            for r in eng.span_near_search(phrase, slop=3, k=500).collect()}
+    assert set(wide) >= set(base)
+    assert all(wide[u] >= n for u, n in base.items())
+
+    # brute-force oracle at slop=3 from the raw position arrays
+    keys = [t for t, _ in eng.parse_phrase(phrase)]
+    max_span = 1 + 3
+    rows = (TW.raw_postings(spark, eng)
+            .filter(F.col("term_key").isin(keys))
+            .select("url", "term_key", "positions").collect())
+    per_url: dict = {}
+    for r in rows:
+        per_url.setdefault(r["url"], {})[r["term_key"]] = list(r["positions"])
+    want = {}
+    for u, m in per_url.items():
+        if any(kk not in m for kk in keys):
+            continue
+        n = sum(
+            1
+            for tup in itertools.product(*(m[kk] for kk in keys))
+            if all(b > a for a, b in zip(tup, tup[1:]))
+            and tup[-1] - tup[0] <= max_span
+        )
+        if n:
+            want[u] = n
+    assert wide == want
+
+    # engine ≡ twin, per rank with exact counts
+    got = [(r["url"], r["span_tf"])
+           for r in eng.span_near_search(phrase, slop=2, k=20).collect()]
+    tw = [(r["url"], r["span_tf"])
+          for r in TW.twin_span_near_topk(spark, eng, phrase, 2, 20)
+          .orderBy("rank").collect()]
+    assert got == tw and got
+
+    assert eng.span_near_search("zzznope trade", slop=2, k=10).count() == 0
+    with pytest.raises(ValueError, match="slop"):
+        eng.span_near_search(phrase, slop=-1, k=5)
