@@ -14,6 +14,7 @@
     python query.py --index /tmp/ix '+trade ma* -growth'      # query-string syntax
     python query.py --index /tmp/ix --prf /tmp/tv "world trade"  # feedback expansion
     python query.py --index /tmp/ix --proximity "world trade" # closest-pair rank
+    python query.py --index /tmp/ix --span-near 3 "world trade"  # ordered within slop
     python query.py --index /tmp/ix --snippets /tmp/store "world trade"  # result page
     python query.py --index /tmp/ix --explain "world trade"  # score breakdown
 
@@ -66,6 +67,11 @@ def main() -> None:
     ap.add_argument("--fuzzy", action="store_true",
                     help="correct out-of-vocabulary query terms to their "
                          "closest dictionary term (<=2 edits) before scoring")
+    ap.add_argument("--span-near", dest="span_near", type=int, default=None,
+                    metavar="SLOP",
+                    help="ordered span-near: phrase terms in order within "
+                         "the phrase's minimal span + SLOP (positional "
+                         "index required); ranks by exact span_tf")
     ap.add_argument("--proximity", action="store_true",
                     help="rank by min pairwise token distance between "
                          "distinct query terms (needs keep_positions)")
@@ -132,6 +138,11 @@ def main() -> None:
                                           k=args.k).collect():
             print(f"q1 {r['rank']} {r['url']} {r['score']:.6f} "
                   f"[{r['match_pos']}] {r['snippet']}")
+    elif args.span_near is not None:
+        text = " ".join(args.query)
+        for r in eng.span_near_search(text, slop=args.span_near,
+                                      k=args.k).collect():
+            print(f"q1 {r['rank']} {r['url']} {r['span_tf']}")
     elif args.proximity:
         text = " ".join(args.query)
         for r in eng.proximity_search(text, args.k,
