@@ -54,6 +54,7 @@ from search_engine_spark.operators import hybrid as HY
 from search_engine_spark.operators import ireval as IR
 from search_engine_spark.operators import mlt as MLT
 from search_engine_spark.operators import multimodal as MM
+from search_engine_spark.operators import pii as PII
 from search_engine_spark.operators import similarity as SIM
 from search_engine_spark.operators import sketches as SK
 from search_engine_spark.operators import snippets as SN
@@ -1873,6 +1874,35 @@ def q_nb_classify(spark, sf):
     return CL.predict_nb(test, model, classes, label_col="lang")
 
 
+def q_pii_scrub(spark, sf):
+    """PII masking over the synthetic-injection corpus (each non
+    doc_id%7 doc gets one email + ipv4 + phone appended): per-rule
+    BIGINT counts on the original text, md5 of the sequentially
+    scrubbed text — a zero-shuffle codegen projection, the regex spec
+    written twice (Java in Spark, RE2 in DuckDB) and pinned."""
+    docs = PII.synthetic_pii(_tbl(spark, sf, "documents"))
+    return (
+        PII.scrub_pii(docs)
+        .select("doc_id", "n_email", "n_ipv4", "n_phone",
+                F.md5(F.col("scrubbed")).alias("scrubbed_md5"))
+    )
+
+
+def q_pii_rollup(spark, sf):
+    """Per-source PII accounting (docs, docs-with-PII, per-rule match
+    totals) over the same injected corpus: ONE map-side-combining
+    groupBy on the bounded source key."""
+    docs = PII.synthetic_pii(_tbl(spark, sf, "documents"))
+    return PII.pii_rollup(docs).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_docs_with_pii").cast("long").alias("n_docs_with_pii"),
+        F.col("tot_email").cast("long").alias("tot_email"),
+        F.col("tot_ipv4").cast("long").alias("tot_ipv4"),
+        F.col("tot_phone").cast("long").alias("tot_phone"),
+    )
+
+
 def q_url_normalize(spark, sf):
     """URL canonicalization over the synthetic crawl (resource id and
     surface form vary independently — doc_id%100 names the resource,
@@ -2752,6 +2782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_ts_filtered": q_search_ts_filtered,
         "ft_span_near_topk": q_ft_span_near_topk,
         "search_span_near": q_search_span_near,
+        "pii_scrub": q_pii_scrub,
+        "pii_rollup": q_pii_rollup,
         # --- window, part 2: last stamped r01-r03 (round 4's tail),
         # rotated back inside
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -3528,6 +3560,31 @@ SELECT prefix, completion, cf, rank FROM rk WHERE rank <= 4
         # the digest-keyed production variant must make the SAME
         # keep-decisions — pinned against the identical raw-line oracle
         "dedup_lines_digest": _DEDUP_LINES_SQL,
+        "pii_scrub": f"""
+WITH injected AS ({PII.DUCKDB_SYNTH_PII_SQL})
+SELECT doc_id,
+       {PII.duckdb_count_sql('text', PII.PII_RULES[0][1])} AS n_email,
+       {PII.duckdb_count_sql('text', PII.PII_RULES[1][1])} AS n_ipv4,
+       {PII.duckdb_count_sql('text', PII.PII_RULES[2][1])} AS n_phone,
+       md5({PII.duckdb_scrub_sql('text')}) AS scrubbed_md5
+FROM injected
+""",
+        "pii_rollup": f"""
+WITH injected AS ({PII.DUCKDB_SYNTH_PII_SQL}),
+per_doc AS (
+  SELECT source,
+         {PII.duckdb_count_sql('text', PII.PII_RULES[0][1])} AS n_email,
+         {PII.duckdb_count_sql('text', PII.PII_RULES[1][1])} AS n_ipv4,
+         {PII.duckdb_count_sql('text', PII.PII_RULES[2][1])} AS n_phone
+  FROM injected)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_with_pii,
+       CAST(sum(n_email) AS BIGINT) AS tot_email,
+       CAST(sum(n_ipv4) AS BIGINT) AS tot_ipv4,
+       CAST(sum(n_phone) AS BIGINT) AS tot_phone
+FROM per_doc GROUP BY source
+""",
         "url_normalize": f"""
 WITH pages AS ({UR.DUCKDB_SYNTH_SQL})
 SELECT doc_id, url, {UR.duckdb_norm_sql('url')} AS norm_url FROM pages

@@ -66,6 +66,8 @@ INTRODUCED_PAST_WINDOW = {
     "search_ts_filtered",
     "ft_span_near_topk",
     "search_span_near",
+    "pii_scrub",
+    "pii_rollup",
 }
 
 
