@@ -2203,6 +2203,51 @@ def q_search_span_near(spark, sf):
     )
 
 
+def q_ft_span_unordered_topk(spark, sf):
+    """Unordered span-near (Lucene SpanNearQuery(ordered=false)):
+    count tuples — one position per term, ANY order — whose width
+    max(p)-min(p) fits (n-1)+slop.  Chain joins carry a symmetric
+    p0-anchored band predicate (work stays bounded by tf × window),
+    then the exact window filter trims; integer counts, exact
+    oracle."""
+    docs = _tbl(spark, sf, "documents")
+    ex = docs.select("doc_id", F.posexplode(TS.simple_tokens()).alias("pos", "tok"))
+    max_span = (len(SPAN_TERMS) - 1) + SPAN_SLOP
+    chain = None
+    for i, t in enumerate(SPAN_TERMS):
+        part = ex.filter(F.col("tok") == t).select(
+            "doc_id", F.col("pos").alias(f"p{i}"))
+        if chain is None:
+            chain = part
+        else:
+            chain = chain.join(part, "doc_id").filter(
+                (F.col(f"p{i}") >= F.col("p0") - F.lit(max_span))
+                & (F.col(f"p{i}") <= F.col("p0") + F.lit(max_span))
+            )
+    ps = [F.col(f"p{i}") for i in range(len(SPAN_TERMS))]
+    chain = chain.filter(F.greatest(*ps) - F.least(*ps) <= F.lit(max_span))
+    m = chain.groupBy("doc_id").agg(F.count(F.lit(1)).alias("span_tf"))
+    topk = m.orderBy(F.desc("span_tf"), F.asc("doc_id")).limit(20)
+    return (
+        ranked(topk, [("span_tf", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "span_tf", "rank")
+    )
+
+
+def q_search_span_unordered(spark, sf):
+    """Packed unordered span-near ≡ plain twin, per rank with EXACT
+    span_tf: 'row table' within slop 3, any order (the reversed
+    phrase exercises order-independence against the same corpus as
+    search_span_near)."""
+    eng = _engine_for(spark, sf)
+    return _rank_eq(
+        eng.span_near_search("row table", slop=3, k=20, ordered=False),
+        TW.twin_span_near_topk(spark, eng, "row table", 3, 20, ordered=False),
+        exact=["url", "span_tf"], approx=[],
+    )
+
+
 def q_trec_topics_roundtrip(spark, sf):
     """S4 round-trip: render the reference query set as a TREC topic
     file, parse it back through the topic source, return the parsed
@@ -2784,6 +2829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_span_near": q_search_span_near,
         "pii_scrub": q_pii_scrub,
         "pii_rollup": q_pii_rollup,
+        "ft_span_unordered_topk": q_ft_span_unordered_topk,
+        "search_span_unordered": q_search_span_unordered,
         # --- window, part 2: last stamped r01-r03 (round 4's tail),
         # rotated back inside
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -4607,6 +4654,40 @@ m AS (SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS span_tf
             for j in range(1, len(SPAN_TERMS))
         )
         + """
+      GROUP BY t0.doc_id),
+rk AS (SELECT doc_id, span_tf,
+              CAST(row_number() OVER (ORDER BY span_tf DESC, doc_id ASC) AS BIGINT) AS rank
+       FROM m)
+SELECT doc_id, span_tf, rank FROM rk WHERE rank <= 20
+""",
+        "search_span_unordered": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS span_tf_match
+FROM range(1, 21)
+""",
+        "ft_span_unordered_topk": f"""
+WITH {_TOK_CTE},
+ex AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks) + 1),
+                     i -> {{'pos': i, 'tok': toks[i]}})) AS e
+       FROM tok),
+"""
+        + ",\n".join(
+            f"t{j} AS (SELECT doc_id, e.pos AS p{j} FROM ex WHERE e.tok = '{t}')"
+            for j, t in enumerate(SPAN_TERMS)
+        )
+        + """,
+m AS (SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS span_tf
+      FROM t0 """
+        + " ".join(
+            f"JOIN t{j} ON t{j}.doc_id = t0.doc_id"
+            f" AND t{j}.p{j} >= t0.p0 - {len(SPAN_TERMS) - 1 + SPAN_SLOP}"
+            f" AND t{j}.p{j} <= t0.p0 + {len(SPAN_TERMS) - 1 + SPAN_SLOP}"
+            for j in range(1, len(SPAN_TERMS))
+        )
+        + f"""
+      WHERE greatest({", ".join(f"t{j}.p{j}" for j in range(len(SPAN_TERMS)))})
+            - least({", ".join(f"t{j}.p{j}" for j in range(len(SPAN_TERMS)))})
+            <= {len(SPAN_TERMS) - 1 + SPAN_SLOP}
       GROUP BY t0.doc_id),
 rk AS (SELECT doc_id, span_tf,
               CAST(row_number() OVER (ORDER BY span_tf DESC, doc_id ASC) AS BIGINT) AS rank

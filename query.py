@@ -72,6 +72,8 @@ def main() -> None:
                     help="ordered span-near: phrase terms in order within "
                          "the phrase's minimal span + SLOP (positional "
                          "index required); ranks by exact span_tf")
+    ap.add_argument("--any-order", action="store_true",
+                    help="with --span-near: drop the phrase-order constraint")
     ap.add_argument("--proximity", action="store_true",
                     help="rank by min pairwise token distance between "
                          "distinct query terms (needs keep_positions)")
@@ -141,7 +143,8 @@ def main() -> None:
     elif args.span_near is not None:
         text = " ".join(args.query)
         for r in eng.span_near_search(text, slop=args.span_near,
-                                      k=args.k).collect():
+                                      k=args.k,
+                                      ordered=not args.any_order).collect():
             print(f"q1 {r['rank']} {r['url']} {r['span_tf']}")
     elif args.proximity:
         text = " ".join(args.query)

@@ -873,25 +873,36 @@ class SearchEngine:
         )
 
     def span_near_search(self, phrase: str, slop: int = 0,
-                         k: int | None = None) -> DataFrame:
-        """Ordered span-near top-k (Lucene SpanNearQuery(ordered,
-        slop) — the sloppy-phrase surface): docs where the phrase's
-        content terms occur IN PHRASE ORDER within a bounded window,
-        ranked by the number of qualifying ordered tuples (span_tf
-        desc, url asc).  A tuple (p_0 < p_1 < ... < p_{n-1}), one
-        position per term in order, qualifies when
-        ``p_{n-1} - p_0 <= (off_last - off_first) + slop`` — the
-        phrase's own stop-word-aware minimal span plus the slop
-        allowance.  ``slop=0`` on a stop-word-free phrase admits only
-        consecutive runs, i.e. exact-phrase adjacency (span_tf ≡
-        phrase_search's phrase_tf — pinned by pytest).
+                         k: int | None = None,
+                         ordered: bool = True) -> DataFrame:
+        """Span-near top-k (Lucene SpanNearQuery(ordered, slop) — the
+        sloppy-phrase surface): docs where the phrase's content terms
+        occur within a bounded window — IN PHRASE ORDER when
+        ``ordered`` (the default), in ANY order otherwise — ranked by
+        the number of qualifying tuples (span_tf desc, url asc).  A
+        tuple (one position per term) qualifies when its width fits
+        ``(off_last - off_first) + slop`` — the phrase's own
+        stop-word-aware minimal span plus the slop allowance; ordered
+        additionally requires p_0 < p_1 < ... < p_{n-1} in phrase
+        order (width = p_{n-1} - p_0), unordered only that
+        ``max(p) - min(p)`` fits.  ``slop=0`` on a stop-word-free
+        phrase with ``ordered=True`` admits only consecutive runs,
+        i.e. exact-phrase adjacency (span_tf ≡ phrase_search's
+        phrase_tf — pinned by pytest).  Unordered counts are a
+        superset of ordered at the same slop (also pytest-pinned).
+        ``ordered=False`` requires pairwise-distinct phrase terms
+        (different terms can't share a token position, so tuple
+        distinctness is automatic; a repeated term would need a
+        same-key != guard Lucene itself defines murkily — refused
+        loudly instead).
 
         Scale shape: one PRUNED scan+unpack per term (same as
         phrase_search); every chain join keys on (shard, local_id) —
         co-partitioned, one exchange per side — with the position
-        window as a band predicate, so per-doc pairwise work is
-        bounded by tf × slop-window, never all-pairs across docs.
-        Requires an index built with ``keep_positions=True``."""
+        window as a band predicate (anchored at p0 both ways for
+        unordered), so per-doc pairwise work is bounded by tf ×
+        slop-window, never all-pairs across docs.  Requires an index
+        built with ``keep_positions=True``."""
         if not self.meta.get("keep_positions"):
             raise ValueError(
                 "span_near_search requires an index built with keep_positions=True")
@@ -903,6 +914,9 @@ class SearchEngine:
             [], "url string, span_tf long, rank int")
         if not terms:
             return empty
+        if not ordered and len({t for t, _ in terms}) != len(terms):
+            raise ValueError(
+                "unordered span-near requires pairwise-distinct phrase terms")
         keys = sorted({t for t, _ in terms})
         resolved = self.resolve_terms(keys)
         if set(resolved["term_key"]) != set(keys):
@@ -918,11 +932,20 @@ class SearchEngine:
             )
             if chain is None:
                 chain = part
-            else:
+            elif ordered:
                 chain = chain.join(part, ["shard", "local_id"]).filter(
                     (F.col(f"p{i}") > F.col(f"p{i - 1}"))
                     & (F.col(f"p{i}") <= F.col("p0") + F.lit(max_span))
                 )
+            else:
+                chain = chain.join(part, ["shard", "local_id"]).filter(
+                    (F.col(f"p{i}") >= F.col("p0") - F.lit(max_span))
+                    & (F.col(f"p{i}") <= F.col("p0") + F.lit(max_span))
+                )
+        if not ordered and len(terms) > 1:
+            ps = [F.col(f"p{i}") for i in range(len(terms))]
+            chain = chain.filter(
+                F.greatest(*ps) - F.least(*ps) <= F.lit(max_span))
         matches = self._drop_deleted(
             chain.groupBy("shard", "local_id").agg(
                 F.count(F.lit(1)).alias("span_tf"))

@@ -482,11 +482,12 @@ def twin_phrase_topk(spark: SparkSession, engine, phrase: str, k: int) -> DataFr
 
 
 def twin_span_near_topk(spark: SparkSession, engine, phrase: str,
-                        slop: int, k: int) -> DataFrame:
+                        slop: int, k: int, ordered: bool = True) -> DataFrame:
     """(url, span_tf, rank) — plain twin of
-    ``SearchEngine.span_near_search``: ordered tuples counted from
+    ``SearchEngine.span_near_search``: qualifying tuples counted from
     the raw ``positions`` arrays (live rows only) through the same
-    chained band predicate, but url-keyed on the plain store instead
+    chained band predicate (+ the exact max-min window filter when
+    ``ordered=False``), but url-keyed on the plain store instead
     of the packed index's (shard, local_id) occurrence rows."""
     terms = engine.parse_phrase(phrase)
     empty = spark.createDataFrame([], "url string, span_tf long, rank int")
@@ -509,11 +510,19 @@ def twin_span_near_topk(spark: SparkSession, engine, phrase: str,
         )
         if chain is None:
             chain = part
-        else:
+        elif ordered:
             chain = chain.join(part, "url").filter(
                 (F.col(f"p{i}") > F.col(f"p{i - 1}"))
                 & (F.col(f"p{i}") <= F.col("p0") + F.lit(max_span))
             )
+        else:
+            chain = chain.join(part, "url").filter(
+                (F.col(f"p{i}") >= F.col("p0") - F.lit(max_span))
+                & (F.col(f"p{i}") <= F.col("p0") + F.lit(max_span))
+            )
+    if not ordered and len(terms) > 1:
+        ps = [F.col(f"p{i}") for i in range(len(terms))]
+        chain = chain.filter(F.greatest(*ps) - F.least(*ps) <= F.lit(max_span))
     matches = chain.groupBy("url").agg(
         F.count(F.lit(1)).cast("long").alias("span_tf"))
     topk = matches.orderBy(F.desc("span_tf"), F.asc("url")).limit(k)

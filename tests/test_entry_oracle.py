@@ -68,6 +68,8 @@ INTRODUCED_PAST_WINDOW = {
     "search_span_near",
     "pii_scrub",
     "pii_rollup",
+    "ft_span_unordered_topk",
+    "search_span_unordered",
 }
 
 

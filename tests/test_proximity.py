@@ -170,3 +170,65 @@ def test_span_near_ordered_window(spark, prox_index):
     assert eng.span_near_search("zzznope trade", slop=2, k=10).count() == 0
     with pytest.raises(ValueError, match="slop"):
         eng.span_near_search(phrase, slop=-1, k=5)
+
+
+def test_span_near_unordered(spark, prox_index):
+    """Unordered span-near: per-url counts are a superset-with->=
+    of ordered at the same slop; equal a brute-force enumeration of
+    ANY-order in-window tuples; reversed-phrase invariance (order of
+    terms in the query cannot matter); engine ≡ twin per rank; a
+    repeated term refuses loudly."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark import twin as TW
+
+    eng, pages, cfg = prox_index
+    phrase = "world trade"
+
+    o = {r["url"]: r["span_tf"]
+         for r in eng.span_near_search(phrase, slop=3, k=500).collect()}
+    u = {r["url"]: r["span_tf"]
+         for r in eng.span_near_search(phrase, slop=3, k=500,
+                                       ordered=False).collect()}
+    assert set(u) >= set(o) and u
+    assert all(u[k] >= n for k, n in o.items())
+
+    # reversed phrase: same unordered counts
+    rev = {r["url"]: r["span_tf"]
+           for r in eng.span_near_search("trade world", slop=3, k=500,
+                                         ordered=False).collect()}
+    assert rev == u
+
+    # brute-force oracle from the raw position arrays
+    keys = [t for t, _ in eng.parse_phrase(phrase)]
+    max_span = 1 + 3
+    rows = (TW.raw_postings(spark, eng)
+            .filter(F.col("term_key").isin(keys))
+            .select("url", "term_key", "positions").collect())
+    per_url: dict = {}
+    for r in rows:
+        per_url.setdefault(r["url"], {})[r["term_key"]] = list(r["positions"])
+    want = {}
+    for url, m in per_url.items():
+        if any(kk not in m for kk in keys):
+            continue
+        n = sum(
+            1
+            for tup in itertools.product(*(m[kk] for kk in keys))
+            if max(tup) - min(tup) <= max_span
+        )
+        if n:
+            want[url] = n
+    assert u == want
+
+    got = [(r["url"], r["span_tf"])
+           for r in eng.span_near_search(phrase, slop=2, k=20,
+                                         ordered=False).collect()]
+    tw = [(r["url"], r["span_tf"])
+          for r in TW.twin_span_near_topk(spark, eng, phrase, 2, 20,
+                                          ordered=False)
+          .orderBy("rank").collect()]
+    assert got == tw and got
+
+    with pytest.raises(ValueError, match="distinct"):
+        eng.span_near_search("world trade world", slop=2, k=5, ordered=False)
