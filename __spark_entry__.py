@@ -2248,6 +2248,86 @@ def q_search_span_unordered(spark, sf):
     )
 
 
+RESCORE_WINDOW, RESCORE_WEIGHT = 50, 2.0
+
+
+def q_ft_rescore_topk(spark, sf):
+    """Two-phase ranking (Lucene/ES rescore), fully SQL-checkable:
+    BM25 top-50 window (the ft_bm25_topk chain, round-6 scores), then
+    min pairwise token distance between distinct query terms computed
+    over the WINDOW DOCS ONLY, folded as
+    rescore = round(score + 2/(1+min_dist), 6) (no pair -> -1, score
+    unchanged), re-cut to 20.  The expensive positional pass is
+    candidate-restricted — the semi-join keeps it window-sized no
+    matter how common the terms are."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    qtf = tf.filter(F.col("tok").isin(*FT_QUERY_TERMS))
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    win = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(RESCORE_WINDOW)
+    ex = (
+        docs.select("doc_id", F.posexplode(TS.simple_tokens()).alias("pos", "tok"))
+        .filter(F.col("tok").isin(*FT_QUERY_TERMS))
+        .join(win.select("doc_id"), "doc_id", "left_semi")
+    )
+    a = ex.select("doc_id", F.col("tok").alias("ta"), F.col("pos").alias("pa"))
+    b = ex.select("doc_id", F.col("tok").alias("tb"), F.col("pos").alias("pb"))
+    mind = (
+        a.join(b, "doc_id").filter(F.col("ta") < F.col("tb"))
+        .groupBy("doc_id")
+        .agg(F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("min_dist"))
+    )
+    out = (
+        win.join(mind, "doc_id", "left")
+        .withColumn("min_dist",
+                    F.coalesce(F.col("min_dist"), F.lit(-1)).cast("long"))
+        .withColumn(
+            "rescore",
+            F.round(
+                F.col("score") + F.when(
+                    F.col("min_dist") >= 0,
+                    F.lit(RESCORE_WEIGHT) / (F.lit(1.0) + F.col("min_dist")),
+                ).otherwise(F.lit(0.0)), 6))
+    )
+    topk = out.orderBy(F.desc("rescore"), F.asc("doc_id")).limit(20)
+    return (
+        ranked(topk.select("doc_id", "min_dist", "rescore"),
+               [("rescore", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "min_dist", "rescore", "rank")
+    )
+
+
+def q_search_rescore(spark, sf):
+    """Packed-engine two-phase rescore ≡ plain twin per rank: BM25
+    top-window from the pruned scan, proximity second pass restricted
+    to the window's docs (engine decodes packed poss blobs, twin
+    explodes raw positions arrays), identical fold formula; min_dist
+    compared EXACT, the blended rescore approx."""
+    eng = _engine_for(spark, sf)
+    return _rank_eq(
+        eng.rescore_search(ENGINE_QUERY, k=20, window=RESCORE_WINDOW,
+                           weight=RESCORE_WEIGHT),
+        TW.twin_rescore_topk(spark, eng, ENGINE_QUERY, 20,
+                             RESCORE_WINDOW, RESCORE_WEIGHT),
+        exact=["url", "min_dist"], approx=["rescore"],
+    )
+
+
 def q_trec_topics_roundtrip(spark, sf):
     """S4 round-trip: render the reference query set as a TREC topic
     file, parse it back through the topic source, return the parsed
@@ -2831,6 +2911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_rollup": q_pii_rollup,
         "ft_span_unordered_topk": q_ft_span_unordered_topk,
         "search_span_unordered": q_search_span_unordered,
+        "ft_rescore_topk": q_ft_rescore_topk,
+        "search_rescore": q_search_rescore,
         # --- window, part 2: last stamped r01-r03 (round 4's tail),
         # rotated back inside
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -4659,6 +4741,39 @@ rk AS (SELECT doc_id, span_tf,
               CAST(row_number() OVER (ORDER BY span_tf DESC, doc_id ASC) AS BIGINT) AS rank
        FROM m)
 SELECT doc_id, span_tf, rank FROM rk WHERE rank <= 20
+""",
+        "search_rescore": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match,
+       true AS min_dist_match, true AS rescore_match
+FROM range(1, 21)
+""",
+        "ft_rescore_topk": f"""
+WITH {_FT_SCORED},
+w AS (SELECT doc_id, score
+      FROM (SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+            FROM scored)
+      WHERE rn <= {RESCORE_WINDOW}),
+exp AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> {{'pos': i, 'tok': toks[i]}})) AS e
+        FROM tok),
+po AS (SELECT exp.doc_id, e.pos AS pos, e.tok AS tok
+       FROM exp JOIN w ON w.doc_id = exp.doc_id
+       WHERE e.tok IN ({qt})),
+mind AS (SELECT a.doc_id, CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_dist
+         FROM po a JOIN po b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         GROUP BY a.doc_id),
+fold AS (SELECT w.doc_id,
+                CAST(coalesce(mind.min_dist, -1) AS BIGINT) AS min_dist,
+                round(w.score + CASE WHEN mind.min_dist IS NOT NULL
+                                     THEN {RESCORE_WEIGHT} / (1 + mind.min_dist)
+                                     ELSE 0 END, 6) AS rescore
+         FROM w LEFT JOIN mind ON w.doc_id = mind.doc_id),
+rk AS (SELECT doc_id, min_dist, rescore,
+              CAST(row_number() OVER (ORDER BY rescore DESC, doc_id ASC) AS BIGINT) AS rank
+       FROM fold)
+SELECT doc_id, min_dist, rescore, rank FROM rk WHERE rank <= 20
 """,
         "search_span_unordered": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS span_tf_match

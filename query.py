@@ -15,6 +15,7 @@
     python query.py --index /tmp/ix --prf /tmp/tv "world trade"  # feedback expansion
     python query.py --index /tmp/ix --proximity "world trade" # closest-pair rank
     python query.py --index /tmp/ix --span-near 3 "world trade"  # ordered within slop
+    python query.py --index /tmp/ix --rescore 50 "world trade"   # two-phase ranking
     python query.py --index /tmp/ix --snippets /tmp/store "world trade"  # result page
     python query.py --index /tmp/ix --explain "world trade"  # score breakdown
 
@@ -74,6 +75,10 @@ def main() -> None:
                          "index required); ranks by exact span_tf")
     ap.add_argument("--any-order", action="store_true",
                     help="with --span-near: drop the phrase-order constraint")
+    ap.add_argument("--rescore", type=int, default=None, metavar="WINDOW",
+                    help="two-phase ranking: BM25 top-WINDOW, then a "
+                         "proximity second pass over those docs only "
+                         "(needs keep_positions)")
     ap.add_argument("--proximity", action="store_true",
                     help="rank by min pairwise token distance between "
                          "distinct query terms (needs keep_positions)")
@@ -146,6 +151,11 @@ def main() -> None:
                                       k=args.k,
                                       ordered=not args.any_order).collect():
             print(f"q1 {r['rank']} {r['url']} {r['span_tf']}")
+    elif args.rescore is not None:
+        text = " ".join(args.query)
+        for r in eng.rescore_search(text, k=args.k,
+                                    window=args.rescore).collect():
+            print(f"q1 {r['rank']} {r['url']} {r['min_dist']} {r['rescore']:.6f}")
     elif args.proximity:
         text = " ".join(args.query)
         for r in eng.proximity_search(text, args.k,

@@ -961,6 +961,99 @@ class SearchEngine:
             .select("url", "span_tf", "rank")
         )
 
+    def rescore_search(self, query: str, k: int | None = None,
+                       window: int = 50, weight: float = 2.0) -> DataFrame:
+        """Two-phase ranking (the Lucene/ES ``rescore`` surface): a
+        cheap first pass — the ordinary BM25+bonus blend over the
+        pruned scan — cut to the top ``window`` docs, then an
+        expensive second pass run over THOSE docs only: the proximity
+        scorer (min pairwise token distance between distinct query
+        terms, positional postings), folded in as
+        ``rescore = score + weight / (1 + min_dist)``; docs where no
+        distinct-term pair exists keep their first-pass score
+        (``min_dist`` reported as -1).  Final order: rescore desc,
+        url asc, cut to k (k <= window enforced — a rescore window
+        narrower than the page would re-admit unrescored docs).
+
+        Scale shape: the second pass is CANDIDATE-RESTRICTED — the
+        window's (shard, local_id) keys semi-join into the positional
+        unpack before the pairwise aggregate, so the expensive scorer
+        touches ``window`` docs regardless of how common the query
+        terms are (the whole point of rescoring: ES pays exactly this
+        shape — match-all first pass, windowed second).  The window
+        is page-sized by construction, so the semi-join build side is
+        tiny; no forced broadcast (AQE decides, repo policy).
+        Requires an index built with ``keep_positions=True``."""
+        if not self.meta.get("keep_positions"):
+            raise ValueError(
+                "rescore_search requires an index built with keep_positions=True")
+        k = k or self.cfg.top_k
+        if window < k:
+            raise ValueError(f"window ({window}) must be >= k ({k})")
+        empty = self.spark.createDataFrame(
+            [], "url string, min_dist long, rescore double, rank int")
+        first = self.search(query, window)
+        if not first.take(1):
+            return empty
+        cand = (
+            first.select("url", "score")
+            .join(self._doc_map(), "url")
+            .select("shard", "local_id", "url", "score")
+        )
+        keys = sorted(set(self.parse_query(query)))
+        resolved = self.resolve_terms(keys)
+        mind = None
+        if len(resolved) >= 2:
+            pos = None
+            for key in sorted(resolved["term_key"]):
+                part = self._unpack_position_arrays(
+                    self._scan_index(resolved[resolved["term_key"] == key]))
+                pos = part if pos is None else pos.unionByName(part)
+            pos = pos.join(cand.select("shard", "local_id"),
+                           ["shard", "local_id"], "left_semi")
+            a = pos.select("shard", "local_id",
+                           F.col("term_key").alias("ta"),
+                           F.col("poss").alias("pa"))
+            b = pos.select("shard", "local_id",
+                           F.col("term_key").alias("tb"),
+                           F.col("poss").alias("pb"))
+            pair_min = F.expr(
+                "aggregate(pa, CAST(4611686018427387904 AS BIGINT),"
+                " (acc, x) -> least(acc, aggregate(pb,"
+                " CAST(4611686018427387904 AS BIGINT),"
+                " (acc2, y) -> least(acc2, abs(x - y)))))"
+            )
+            mind = (
+                a.join(b, ["shard", "local_id"])
+                .filter(F.col("ta") < F.col("tb"))
+                .select("shard", "local_id", pair_min.alias("pair_min"))
+                .groupBy("shard", "local_id")
+                .agg(F.min("pair_min").cast("long").alias("min_dist"))
+            )
+        out = cand
+        if mind is not None:
+            out = out.join(mind, ["shard", "local_id"], "left")
+        else:
+            out = out.withColumn("min_dist", F.lit(None).cast("long"))
+        out = (
+            out.withColumn(
+                "min_dist",
+                F.coalesce(F.col("min_dist"), F.lit(-1)).cast("long"))
+            .withColumn(
+                "rescore",
+                F.col("score") + F.when(
+                    F.col("min_dist") >= 0,
+                    F.lit(float(weight)) / (F.lit(1.0) + F.col("min_dist")),
+                ).otherwise(F.lit(0.0)))
+            .orderBy(F.desc("rescore"), F.asc("url"))
+            .limit(k)
+        )
+        return (
+            ranked(out.select("url", "min_dist", "rescore"),
+                   [("rescore", "desc"), ("url", "asc")])
+            .select("url", "min_dist", "rescore", "rank")
+        )
+
     def _unpack_position_arrays(self, scan: DataFrame) -> DataFrame:
         """(term_key, shard, local_id, poss) — one row per POSTING
         (not per occurrence), the document's position list for the

@@ -574,6 +574,59 @@ def twin_proximity_topk(spark: SparkSession, engine, query: str, k: int,
     )
 
 
+def twin_rescore_topk(spark: SparkSession, engine, query: str, k: int,
+                      window: int, weight: float) -> DataFrame:
+    """(url, min_dist, rescore, rank) — plain twin of
+    ``SearchEngine.rescore_search``: first pass from
+    ``twin_bm25_topk`` (raw-postings BM25), second pass the pairwise
+    minimum recomputed from the raw ``positions`` arrays restricted
+    to the window's urls, folded with the same
+    ``score + weight / (1 + min_dist)`` formula."""
+    first = twin_bm25_topk(spark, engine, query, window).select("url", "score")
+    keys = sorted(set(engine.parse_query(query)))
+    live = live_raw_postings(spark, engine)
+    present = sorted(
+        r["term_key"]
+        for r in live.filter(F.col("term_key").isin(keys))
+        .select("term_key").distinct().collect()
+    )
+    out = first
+    if len(present) >= 2:
+        pos = (
+            live.filter(F.col("term_key").isin(present))
+            .join(first.select("url"), "url", "left_semi")
+            .select("url", "term_key", F.explode("positions").alias("pos"))
+        )
+        a, b = pos.alias("a"), pos.alias("b")
+        mind = (
+            a.join(b, (F.col("a.url") == F.col("b.url"))
+                   & (F.col("a.term_key") < F.col("b.term_key")))
+            .groupBy(F.col("a.url").alias("url"))
+            .agg(F.min(F.abs(F.col("a.pos") - F.col("b.pos")))
+                 .cast("long").alias("min_dist"))
+        )
+        out = out.join(mind, "url", "left")
+    else:
+        out = out.withColumn("min_dist", F.lit(None).cast("long"))
+    topk = (
+        out.withColumn(
+            "min_dist", F.coalesce(F.col("min_dist"), F.lit(-1)).cast("long"))
+        .withColumn(
+            "rescore",
+            F.col("score") + F.when(
+                F.col("min_dist") >= 0,
+                F.lit(float(weight)) / (F.lit(1.0) + F.col("min_dist")),
+            ).otherwise(F.lit(0.0)))
+        .orderBy(F.desc("rescore"), F.asc("url"))
+        .limit(k)
+        .select("url", "min_dist", "rescore")
+    )
+    return (
+        ranked(topk, [("rescore", "desc"), ("url", "asc")])
+        .select("url", "min_dist", "rescore", "rank")
+    )
+
+
 def twin_search_snippets(spark: SparkSession, engine, pages: DataFrame,
                          query: str, k: int, window: int = 5) -> DataFrame:
     """(url, score, rank, match_pos, snippet) — plain twin of

@@ -70,6 +70,8 @@ INTRODUCED_PAST_WINDOW = {
     "pii_rollup",
     "ft_span_unordered_topk",
     "search_span_unordered",
+    "ft_rescore_topk",
+    "search_rescore",
 }
 
 

@@ -232,3 +232,49 @@ def test_span_near_unordered(spark, prox_index):
 
     with pytest.raises(ValueError, match="distinct"):
         eng.span_near_search("world trade world", slop=2, k=5, ordered=False)
+
+
+def test_rescore_two_phase(spark, prox_index):
+    """Two-phase rescore (SearchEngine.rescore_search) contract: the
+    result set is always a subset of the first-pass window; weight=0
+    reproduces first-pass BM25 order; min_dist agrees with
+    proximity_search per url; the fold formula is checked by hand;
+    engine ≡ twin per rank; window < k refuses."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from search_engine_spark import twin as TW
+
+    eng, pages, cfg = prox_index
+    q = "world trade"
+
+    first = eng.search(q, 30).collect()
+    win_urls = {r["url"] for r in first}
+    base_score = {r["url"]: r["score"] for r in first}
+
+    out = eng.rescore_search(q, k=10, window=30, weight=2.0).collect()
+    assert out and {r["url"] for r in out} <= win_urls
+
+    # weight=0: same docs, first-pass order
+    zero = eng.rescore_search(q, k=10, window=30, weight=0.0).collect()
+    assert [r["url"] for r in zero] == [r["url"] for r in first[:10]]
+
+    # min_dist matches the proximity scorer where a pair exists
+    prox = {r["url"]: r["min_dist"]
+            for r in eng.proximity_search(q, 500).collect()}
+    for r in out:
+        if r["min_dist"] >= 0:
+            assert prox[r["url"]] == r["min_dist"]
+        else:
+            assert r["url"] not in prox
+        want = base_score[r["url"]] + (
+            2.0 / (1 + r["min_dist"]) if r["min_dist"] >= 0 else 0.0)
+        assert abs(r["rescore"] - want) < 1e-9
+
+    # engine ≡ twin per rank
+    tw = [(r["url"], r["min_dist"])
+          for r in TW.twin_rescore_topk(spark, eng, q, 10, 30, 2.0)
+          .orderBy("rank").collect()]
+    assert [(r["url"], r["min_dist"]) for r in out] == tw
+
+    with pytest.raises(ValueError, match="window"):
+        eng.rescore_search(q, k=20, window=10)
