@@ -2248,6 +2248,77 @@ def q_search_span_unordered(spark, sf):
     )
 
 
+# nested boolean tree: (data OR query) AND (table OR row) ANDNOT join
+TREE_QUERY = {
+    "op": "andnot",
+    "kids": [
+        {"op": "and", "kids": [
+            {"op": "or", "kids": [{"term": "data"}, {"term": "query"}]},
+            {"op": "or", "kids": [{"term": "table"}, {"term": "row"}]},
+        ]},
+        {"term": "join"},
+    ],
+}
+TREE_POS_TOKS = ("data", "query", "table", "row")
+
+
+def q_ft_tree_topk(spark, sf):
+    """Nested boolean query tree, fully SQL-checkable:
+    (data OR query) AND (table OR row) ANDNOT join — set algebra over
+    per-term doc-id sets (union / semi-join / anti-join; DuckDB spells
+    it UNION/INTERSECT/EXCEPT), then the ft_bm25_topk scoring chain
+    over the tree's POSITIVE terms restricted to the match set
+    (df/idf stay corpus-global, exactly the dictionary contract)."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+
+    def dset(tok):
+        return tf.filter(F.col("tok") == tok).select("doc_id").distinct()
+
+    left = dset("data").unionByName(dset("query")).distinct()
+    right = dset("table").unionByName(dset("row")).distinct()
+    match = (
+        left.join(right, "doc_id", "left_semi")
+        .join(dset("join"), "doc_id", "left_anti")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    qtf = tf.filter(F.col("tok").isin(*TREE_POS_TOKS))
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(match, "doc_id", "left_semi")
+        .join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return (
+        ranked(topk, [("score", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "score", "rank")
+    )
+
+
+def q_search_tree(spark, sf):
+    """Packed-engine nested boolean tree ≡ plain twin per rank: the
+    same (data OR query) AND (table OR row) ANDNOT join tree through
+    one pruned scan + (shard, local_id) set algebra on the engine
+    side, url-keyed raw-postings algebra on the twin side."""
+    eng = _engine_for(spark, sf)
+    return _rank_eq(
+        eng.tree_search(TREE_QUERY, 20),
+        TW.twin_tree_topk(spark, eng, TREE_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
+
+
 RESCORE_WINDOW, RESCORE_WEIGHT = 50, 2.0
 
 
@@ -2913,6 +2984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_span_unordered": q_search_span_unordered,
         "ft_rescore_topk": q_ft_rescore_topk,
         "search_rescore": q_search_rescore,
+        "ft_tree_topk": q_ft_tree_topk,
+        "search_tree": q_search_tree,
         # --- window, part 2: last stamped r01-r03 (round 4's tail),
         # rotated back inside
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -4741,6 +4814,42 @@ rk AS (SELECT doc_id, span_tf,
               CAST(row_number() OVER (ORDER BY span_tf DESC, doc_id ASC) AS BIGINT) AS rank
        FROM m)
 SELECT doc_id, span_tf, rank FROM rk WHERE rank <= 20
+""",
+        "search_tree": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "ft_tree_topk": f"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl,
+                 (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n
+          FROM dl),
+mtch AS (
+  ((SELECT DISTINCT doc_id FROM tf WHERE tok = 'data'
+    UNION SELECT DISTINCT doc_id FROM tf WHERE tok = 'query')
+   INTERSECT
+   (SELECT DISTINCT doc_id FROM tf WHERE tok = 'table'
+    UNION SELECT DISTINCT doc_id FROM tf WHERE tok = 'row'))
+  EXCEPT SELECT DISTINCT doc_id FROM tf WHERE tok = 'join'
+),
+qtf AS (SELECT tf.* FROM tf
+        WHERE tok IN ({", ".join(f"'{t}'" for t in TREE_POS_TOKS)})),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY tok),
+contrib AS (
+  SELECT qtf.doc_id, log2((SELECT n FROM stats) / dfreq.df) AS idf,
+         qtf.tf, dl.dl
+  FROM qtf
+  JOIN mtch ON qtf.doc_id = mtch.doc_id
+  JOIN dfreq ON qtf.tok = dfreq.tok
+  JOIN dl ON qtf.doc_id = dl.doc_id
+),
+scored AS (SELECT doc_id, round(sum({_BM25_EXPR}), 6) AS score
+           FROM contrib GROUP BY doc_id),
+rk AS (SELECT doc_id, score,
+              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       FROM scored)
+SELECT doc_id, score, rank FROM rk WHERE rank <= 20
 """,
         "search_rescore": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match,

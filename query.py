@@ -16,6 +16,7 @@
     python query.py --index /tmp/ix --proximity "world trade" # closest-pair rank
     python query.py --index /tmp/ix --span-near 3 "world trade"  # ordered within slop
     python query.py --index /tmp/ix --rescore 50 "world trade"   # two-phase ranking
+    python query.py --index /tmp/ix --tree '{"op":"or","kids":[...]}' x  # boolean tree
     python query.py --index /tmp/ix --snippets /tmp/store "world trade"  # result page
     python query.py --index /tmp/ix --explain "world trade"  # score breakdown
 
@@ -75,6 +76,11 @@ def main() -> None:
                          "index required); ranks by exact span_tf")
     ap.add_argument("--any-order", action="store_true",
                     help="with --span-near: drop the phrase-order constraint")
+    ap.add_argument("--tree", default=None, metavar="JSON",
+                    help="nested boolean query tree, e.g. "
+                         "'{\"op\":\"and\",\"kids\":[{\"term\":\"a\"},"
+                         "{\"op\":\"or\",\"kids\":[...]}]}' "
+                         "(query args are ignored)")
     ap.add_argument("--rescore", type=int, default=None, metavar="WINDOW",
                     help="two-phase ranking: BM25 top-WINDOW, then a "
                          "proximity second pass over those docs only "
@@ -151,6 +157,9 @@ def main() -> None:
                                       k=args.k,
                                       ordered=not args.any_order).collect():
             print(f"q1 {r['rank']} {r['url']} {r['span_tf']}")
+    elif args.tree is not None:
+        for r in eng.tree_search(json.loads(args.tree), args.k).collect():
+            print(f"q1 {r['rank']} {r['url']} {r['score']:.6f}")
     elif args.rescore is not None:
         text = " ".join(args.query)
         for r in eng.rescore_search(text, k=args.k,

@@ -772,6 +772,131 @@ class SearchEngine:
                     excl, ["shard", "local_id"], "left_anti")
         return self._score_topk(per_posting, k)
 
+    def tree_search(self, tree: dict, k: int | None = None) -> DataFrame:
+        """Nested boolean query trees — the full Lucene BooleanQuery
+        composition the flat must/should/must_not surface can't
+        express (``(a OR b) AND (c OR d) NOT e``).  ``tree`` nodes:
+
+        * ``{"term": t}`` — leaf; parsed with the full shared kernel,
+          must reduce to exactly ONE index term (multi-token rewrites
+          refuse loudly; a stop-word-only leaf or one missing from
+          the dictionary matches nothing);
+        * ``{"op": "and"|"or", "kids": [...]}`` — intersection /
+          union of the kids' match sets;
+        * ``{"op": "andnot", "kids": [pos, neg, ...]}`` — kids[0]
+          minus the union of the rest (Lucene's MUST_NOT inside a
+          boolean clause; a bare complement is refused, as Lucene's
+          pure-negative query matches nothing).
+
+        Matching docs score the usual BM25 + importance blend summed
+        over the tree's POSITIVE leaves (leaves reachable without
+        crossing into an andnot-negative branch — negative terms
+        never contribute score, exactly the boolean_search contract);
+        order score desc, url asc, cut to k.
+
+        Scale shape (10^12 docs): ALL leaves resolve in one
+        dictionary lookup and ONE bucket/row-group-pruned scan; every
+        leaf's doc set and the scoring rows are filters over that
+        single unpacked frame, so tree depth adds set-algebra joins
+        on (shard, local_id) — co-partitioned, match-set-sized —
+        never extra index scans; no clause touches non-matching
+        documents."""
+        k = k or self.cfg.top_k
+
+        def empty() -> DataFrame:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int")
+
+        # walk: collect leaf keys + score polarity, validate shape
+        leaves: list[tuple[str, bool]] = []
+
+        def collect(node: dict, positive: bool) -> None:
+            if "term" in node:
+                keys = self.parse_query(str(node["term"]))
+                if len(keys) > 1:
+                    raise ValueError(
+                        f"tree leaf {node['term']!r} parses to several index "
+                        f"terms ({keys}) — split it into an explicit subtree")
+                leaves.append((keys[0] if keys else "", positive))
+                return
+            op = node.get("op")
+            kids = node.get("kids") or []
+            if op not in ("and", "or", "andnot") or not kids:
+                raise ValueError(f"bad tree node: {node!r}")
+            if op == "andnot":
+                if len(kids) < 2:
+                    raise ValueError("andnot needs a positive kid and >=1 "
+                                     "negative kids (a bare complement "
+                                     "matches nothing in Lucene)")
+                collect(kids[0], positive)
+                for kid in kids[1:]:
+                    collect(kid, False)
+            else:
+                for kid in kids:
+                    collect(kid, positive)
+
+        collect(tree, True)
+        all_keys = sorted({key for key, _pos in leaves if key})
+        if not all_keys:
+            return empty()
+        resolved = self.resolve_terms(all_keys)
+        have = set(resolved["term_key"])
+        if resolved.empty:
+            return empty()
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        per_posting = self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key))
+        doc_keys = ["shard", "local_id"]
+
+        def docset(node: dict):
+            """The node's match set as a (shard, local_id) frame, or
+            None for the empty set."""
+            if "term" in node:
+                keys = self.parse_query(str(node["term"]))
+                if not keys or keys[0] not in have:
+                    return None
+                return (per_posting.filter(F.col("term_key") == keys[0])
+                        .select(*doc_keys).distinct())
+            op, kids = node["op"], node["kids"]
+            if op == "and":
+                out = docset(kids[0])
+                for kid in kids[1:]:
+                    nxt = docset(kid)
+                    if out is None or nxt is None:
+                        return None
+                    out = out.join(nxt, doc_keys, "left_semi")
+                return out
+            if op == "or":
+                parts = [p for p in (docset(kid) for kid in kids)
+                         if p is not None]
+                if not parts:
+                    return None
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                return out.distinct()
+            # andnot
+            pos = docset(kids[0])
+            if pos is None:
+                return None
+            for kid in kids[1:]:
+                neg = docset(kid)
+                if neg is not None:
+                    pos = pos.join(neg, doc_keys, "left_anti")
+            return pos
+
+        match = docset(tree)
+        if match is None:
+            return empty()
+        pos_keys = sorted({key for key, p in leaves if p and key and key in have})
+        if not pos_keys:
+            return empty()
+        scoring = (
+            per_posting.filter(F.col("term_key").isin(pos_keys))
+            .join(match, doc_keys, "left_semi")
+        )
+        return self._score_topk(scoring, k)
+
     # -- phrase search (positions path; requires keep_positions build) -------
     def parse_phrase(self, phrase: str) -> list[tuple[str, int]]:
         """Ordered (term_key, offset) pairs for a phrase query via the

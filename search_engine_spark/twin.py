@@ -574,6 +574,88 @@ def twin_proximity_topk(spark: SparkSession, engine, query: str, k: int,
     )
 
 
+def twin_tree_topk(spark: SparkSession, engine, tree: dict,
+                   k: int) -> DataFrame:
+    """(url, score, rank) — plain twin of ``SearchEngine.tree_search``:
+    the same set-algebra recursion evaluated url-keyed over the raw
+    postings store (distinct / left_semi / left_anti / union), scores
+    from ``twin_bm25_scores`` over the tree's positive leaves,
+    restricted to the match set."""
+    live = live_raw_postings(spark, engine)
+
+    leaves: list[tuple[str, bool]] = []
+
+    def collect(node: dict, positive: bool) -> None:
+        if "term" in node:
+            keys = engine.parse_query(str(node["term"]))
+            leaves.append((keys[0] if keys else "", positive))
+            return
+        kids = node["kids"]
+        if node["op"] == "andnot":
+            collect(kids[0], positive)
+            for kid in kids[1:]:
+                collect(kid, False)
+        else:
+            for kid in kids:
+                collect(kid, positive)
+
+    collect(tree, True)
+    empty = spark.createDataFrame([], "url string, score double, rank int")
+    all_keys = sorted({key for key, _p in leaves if key})
+    if not all_keys:
+        return empty
+    present = {
+        r["term_key"]
+        for r in live.filter(F.col("term_key").isin(all_keys))
+        .select("term_key").distinct().collect()
+    }
+
+    def docset(node: dict):
+        if "term" in node:
+            keys = engine.parse_query(str(node["term"]))
+            if not keys or keys[0] not in present:
+                return None
+            return (live.filter(F.col("term_key") == keys[0])
+                    .select("url").distinct())
+        op, kids = node["op"], node["kids"]
+        if op == "and":
+            out = docset(kids[0])
+            for kid in kids[1:]:
+                nxt = docset(kid)
+                if out is None or nxt is None:
+                    return None
+                out = out.join(nxt, "url", "left_semi")
+            return out
+        if op == "or":
+            parts = [p for p in (docset(kid) for kid in kids) if p is not None]
+            if not parts:
+                return None
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.distinct()
+        pos = docset(kids[0])
+        if pos is None:
+            return None
+        for kid in kids[1:]:
+            neg = docset(kid)
+            if neg is not None:
+                pos = pos.join(neg, "url", "left_anti")
+        return pos
+
+    match = docset(tree)
+    if match is None:
+        return empty
+    pos_keys = sorted({key for key, p in leaves
+                       if p and key and key in present})
+    if not pos_keys:
+        return empty
+    scores = twin_bm25_scores(spark, engine, pos_keys).join(
+        match, "url", "left_semi")
+    topk = scores.orderBy(F.desc("score"), F.asc("url")).limit(k)
+    return ranked(topk, [("score", "desc"), ("url", "asc")])
+
+
 def twin_rescore_topk(spark: SparkSession, engine, query: str, k: int,
                       window: int, weight: float) -> DataFrame:
     """(url, min_dist, rescore, rank) — plain twin of

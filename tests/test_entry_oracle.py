@@ -72,6 +72,8 @@ INTRODUCED_PAST_WINDOW = {
     "search_span_unordered",
     "ft_rescore_topk",
     "search_rescore",
+    "ft_tree_topk",
+    "search_tree",
 }
 
 
