@@ -1874,6 +1874,19 @@ def q_nb_classify(spark, sf):
     return CL.predict_nb(test, model, classes, label_col="lang")
 
 
+def q_c4_clean(spark, sf):
+    """C4-style per-doc line cleaning (Raffel et al. 2020 §2.2) over
+    a synthetic corpus exercising every rule: per-rule keep/drop via
+    one higher-order filter riding the scan (zero shuffles, no UDF),
+    kept-line counts, the page-drop flag (< 3 surviving lines), and
+    the md5 of the re-joined cleaned text — predicate spelled twice
+    (Spark codegen, DuckDB list_filter) and pinned."""
+    docs = CU.synthetic_c4(_tbl(spark, sf, "documents"))
+    return CU.c4_clean(docs).select(
+        "doc_id", "n_lines", "n_kept", "kept_doc",
+        F.md5(F.col("cleaned")).alias("cleaned_md5"))
+
+
 def q_pii_scrub(spark, sf):
     """PII masking over the synthetic-injection corpus (each non
     doc_id%7 doc gets one email + ipv4 + phone appended): per-rule
@@ -2980,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_span_near": q_search_span_near,
         "pii_scrub": q_pii_scrub,
         "pii_rollup": q_pii_rollup,
+        "c4_clean": q_c4_clean,
         "ft_span_unordered_topk": q_ft_span_unordered_topk,
         "search_span_unordered": q_search_span_unordered,
         "ft_rescore_topk": q_ft_rescore_topk,
@@ -3762,6 +3776,20 @@ SELECT prefix, completion, cf, rank FROM rk WHERE rank <= 4
         # the digest-keyed production variant must make the SAME
         # keep-decisions — pinned against the identical raw-line oracle
         "dedup_lines_digest": _DEDUP_LINES_SQL,
+        "c4_clean": f"""
+WITH c4 AS ({CU.DUCKDB_SYNTH_C4_SQL}),
+per AS (SELECT doc_id,
+               string_split(text, chr(10)) AS lines,
+               list_filter(string_split(text, chr(10)),
+                           l -> {CU.duckdb_c4_keep_sql('l')}) AS kept
+        FROM c4)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       len(kept) >= {CU.C4_MIN_KEPT} AS kept_doc,
+       md5(array_to_string(kept, chr(10))) AS cleaned_md5
+FROM per
+""",
         "pii_scrub": f"""
 WITH injected AS ({PII.DUCKDB_SYNTH_PII_SQL})
 SELECT doc_id,

@@ -39,7 +39,7 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import (
@@ -263,6 +263,105 @@ SELECT doc_id,
        'notice ' || (doc_id % 997) AS text
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style per-document line cleaning (Raffel et al. 2020, §2.2 —
+# the published rule set every webtext pipeline starts from).  The
+# cross-document pass (dedup_lines) removes shared boilerplate; this
+# pass removes lines that are junk on their own.
+
+C4_MIN_WORDS = 3        # "only retained lines that contained at least
+C4_MIN_KEPT = 3         #  3 words" / "at least 3 sentences" per doc
+C4_BAD_RE = "(?i)(javascript|lorem ipsum)"
+C4_PUNCT_RE = '[.!?"]$'  # line must end in terminal punctuation
+
+
+def c4_keep_expr(line: Column) -> Column:
+    """The C4 line-retention predicate as one codegen boolean: after
+    trimming, the line ends in terminal punctuation, has >= 3
+    whitespace words, mentions neither javascript nor lorem ipsum
+    (case-insensitive), and carries no curly brace (the code
+    tell).  Spelled a second time in :func:`duckdb_c4_keep_sql`;
+    regexes stay in the Java/RE2-shared dialect ((?i) inline flag,
+    char classes — no lookaround)."""
+    t = F.trim(line)
+    return (
+        t.rlike(C4_PUNCT_RE)
+        & (F.size(F.split(t, r"\s+")) >= C4_MIN_WORDS)
+        & ~t.rlike(C4_BAD_RE)
+        & ~line.contains("{")
+    )
+
+
+def c4_clean(docs: DataFrame, col: str = "text") -> DataFrame:
+    """All input columns + ``n_lines``/``n_kept`` (BIGINT), the
+    C4-cleaned text (kept lines re-joined), and ``kept_doc`` — False
+    when fewer than 3 lines survive (C4 drops the whole page then).
+    One map-only projection: the split / higher-order filter /
+    re-join all ride the scan — ZERO shuffles, no UDF."""
+    lines = F.split(F.col(col), "\n")
+    kept = F.filter(lines, lambda line: c4_keep_expr(line))
+    return docs.select(
+        "*",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(kept) >= C4_MIN_KEPT).alias("kept_doc"),
+        F.array_join(kept, "\n").alias("cleaned"),
+    )
+
+
+def synthetic_c4(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Deterministic line structure exercising EVERY C4 rule (the
+    testdata text is newline-free): per doc a keeper sentence, a
+    word-count reject, the body (punctuation appended -> keeper), a
+    javascript reject, a doc_id%3-switched lorem-ipsum reject /
+    third keeper (toggles the kept_doc threshold), a curly-brace
+    reject, and a no-terminal-punctuation reject.  Mirrored
+    byte-for-byte by DUCKDB_SYNTH_C4_SQL."""
+    d = F.col("doc_id")
+    return docs.withColumn(
+        col,
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("This sentence number "), (d % 100).cast("string"),
+                     F.lit(" is long enough to keep.")),
+            F.lit("Too short."),
+            F.concat(F.col(col), F.lit(".")),
+            F.lit("Enable javascript to view this page properly."),
+            F.when(d % 3 == 0, F.lit("lorem ipsum dolor sit amet."))
+            .otherwise(F.lit("Another perfectly fine sentence appears here!")),
+            F.lit("function() { return 1; }"),
+            F.lit("no terminal punctuation on this line"),
+        ),
+    )
+
+
+DUCKDB_SYNTH_C4_SQL = """
+SELECT doc_id,
+       'This sentence number ' || (doc_id % 100) || ' is long enough to keep.'
+       || chr(10) || 'Too short.'
+       || chr(10) || text || '.'
+       || chr(10) || 'Enable javascript to view this page properly.'
+       || chr(10) || CASE WHEN doc_id % 3 = 0
+                          THEN 'lorem ipsum dolor sit amet.'
+                          ELSE 'Another perfectly fine sentence appears here!'
+                     END
+       || chr(10) || 'function() { return 1; }'
+       || chr(10) || 'no terminal punctuation on this line' AS text
+FROM documents
+"""
+
+
+def duckdb_c4_keep_sql(line: str) -> str:
+    """RE2 side of :func:`c4_keep_expr` (same predicate, same
+    regexes)."""
+    return (
+        f"(regexp_matches(trim({line}), '{C4_PUNCT_RE}')"
+        f" AND len(regexp_split_to_array(trim({line}), '\\s+')) >= {C4_MIN_WORDS}"
+        f" AND NOT regexp_matches(trim({line}), '{C4_BAD_RE}')"
+        f" AND NOT contains({line}, chr(123)))"
+    )
 
 
 def training_mix(docs: DataFrame, rates: dict[str, float], salt: str,

@@ -68,6 +68,7 @@ INTRODUCED_PAST_WINDOW = {
     "search_span_near",
     "pii_scrub",
     "pii_rollup",
+    "c4_clean",
     "ft_span_unordered_topk",
     "search_span_unordered",
     "ft_rescore_topk",
