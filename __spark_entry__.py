@@ -2332,6 +2332,21 @@ def q_search_tree(spark, sf):
     )
 
 
+def q_search_querystring_tree(spark, sf):
+    """Parenthesized boolean syntax end-to-end: the ONE-STRING query
+    '(data OR query) AND (table OR row) NOT join' parsed by
+    parse_boolean_tree on the engine side ≡ the hand-built tree
+    through the url-keyed raw-postings twin — the parse and both data
+    paths are independent."""
+    eng = _engine_for(spark, sf)
+    return _rank_eq(
+        eng.query_string_search(
+            "(data OR query) AND (table OR row) NOT join", 20),
+        TW.twin_tree_topk(spark, eng, TREE_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
+
+
 RESCORE_WINDOW, RESCORE_WEIGHT = 50, 2.0
 
 
@@ -3000,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rescore": q_search_rescore,
         "ft_tree_topk": q_ft_tree_topk,
         "search_tree": q_search_tree,
+        "search_querystring_tree": q_search_querystring_tree,
         # --- window, part 2: last stamped r01-r03 (round 4's tail),
         # rotated back inside
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -4844,6 +4860,10 @@ rk AS (SELECT doc_id, span_tf,
 SELECT doc_id, span_tf, rank FROM rk WHERE rank <= 20
 """,
         "search_tree": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "search_querystring_tree": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
 """,

@@ -179,7 +179,9 @@ def main() -> None:
         else:
             # Lucene-QueryParser markers route through the composed
             # query-string dispatch (+must, -not, term*, "phrase")
-            has_qs = any(
+            from search_engine_spark.searcher import is_tree_syntax
+
+            has_qs = is_tree_syntax(text) or any(
                 (t[0] in '+-' and len(t) > 1)
                 or (t.endswith("*") and len(t) > 1)
                 or t.startswith('"')

@@ -77,6 +77,111 @@ def split_query_string(qs: str) -> tuple[list[str], list[str], list[str],
     return phrases, must, should, must_not, prefixes
 
 
+_TREE_KEYWORDS = {"AND", "OR", "NOT"}
+
+
+def parse_boolean_tree(qs: str) -> dict:
+    """Parenthesized Lucene-QueryParser boolean syntax -> a
+    :meth:`SearchEngine.tree_search` tree.  Grammar (NOT binds
+    tightest, then AND, then OR; juxtaposition is OR — Lucene's
+    default operator):
+
+        expr    := and ( [OR] and )*
+        and     := unary ( (AND unary) | (NOT unary) )*
+        unary   := NOT unary | atom
+        atom    := '(' expr ')' | term
+
+    ``a NOT b`` without an explicit AND binds as and-not, exactly
+    Lucene.  Pure-negative (sub)queries are refused (Lucene's match
+    nothing); the flat-syntax markers (``+``/``-``/``*``/quotes) are
+    refused inside tree mode with a pointer to the flat dispatch.
+    Driver-side deterministic kernel, pytest-golden like
+    split_query_string."""
+    import re
+
+    toks = re.findall(r'[()]|[^\s()]+', qs)
+    i = [0]
+
+    def peek():
+        return toks[i[0]] if i[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        i[0] += 1
+        return t
+
+    def atom() -> dict:
+        t = peek()
+        if t == "(":
+            take()
+            node = expr()
+            if take() != ")":
+                raise ValueError(f"unbalanced parentheses in {qs!r}")
+            return node
+        if t is None or t == ")" or t in _TREE_KEYWORDS:
+            raise ValueError(f"expected a term or '(' at {t!r} in {qs!r}")
+        take()
+        if t[0] in "+-" or t.endswith("*") or '"' in t:
+            raise ValueError(
+                f"clause {t!r}: +must/-not/wildcard/phrase markers belong "
+                "to the flat query-string syntax, not boolean-tree mode")
+        return {"term": t}
+
+    def unary() -> tuple[bool, dict]:
+        if peek() == "NOT":
+            take()
+            neg, node = unary()
+            return (not neg, node)
+        return (False, atom())
+
+    def and_expr() -> dict:
+        ops = [unary()]
+        while peek() in ("AND", "NOT"):
+            if peek() == "AND":
+                take()
+            ops.append(unary())
+        pos = [n for neg, n in ops if not neg]
+        neg = [n for neg, n in ops if neg]
+        if not pos:
+            raise ValueError(
+                f"pure-negative clause in {qs!r} matches nothing (Lucene "
+                "refuses it too) — add a positive term")
+        node = pos[0] if len(pos) == 1 else {"op": "and", "kids": pos}
+        if neg:
+            node = {"op": "andnot", "kids": [node] + neg}
+        return node
+
+    def expr() -> dict:
+        kids = [and_expr()]
+        while True:
+            t = peek()
+            if t == "OR":
+                take()
+                kids.append(and_expr())
+            elif t is not None and t != ")":
+                kids.append(and_expr())  # juxtaposition = OR (default op)
+            else:
+                break
+        return kids[0] if len(kids) == 1 else {"op": "or", "kids": kids}
+
+    if not toks:
+        raise ValueError("empty boolean-tree query")
+    out = expr()
+    if i[0] != len(toks):
+        raise ValueError(f"unbalanced parentheses in {qs!r}")
+    return out
+
+
+def is_tree_syntax(qs: str) -> bool:
+    """True when the query string uses boolean-tree syntax (parens or
+    an uppercase AND/OR/NOT operator token)."""
+    import re
+
+    if "(" in qs or ")" in qs:
+        return True
+    return any(t in _TREE_KEYWORDS for t in re.findall(r"\S+", qs))
+
+
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFAULT,
                  city_docs: DataFrame | None = None,
@@ -610,6 +715,8 @@ class SearchEngine:
           ``+term`` / ``-term`` -> :meth:`boolean_search` MUST/MUST_NOT
           ``term*``            -> wildcard expansion, scored as SHOULD
           bare terms           -> SHOULD (plain BM25)
+          parens / AND OR NOT  -> :func:`parse_boolean_tree` ->
+                                  :meth:`tree_search` (nested boolean)
 
         A phrase composes only as the entire query (mixing a
         positional gate into the boolean scorer is a different
@@ -617,6 +724,8 @@ class SearchEngine:
         shared splitter.  Dispatch is pure driver-side routing — every
         data path below it is the already-oracled one."""
         k = k or self.cfg.top_k
+        if is_tree_syntax(qs):
+            return self.tree_search(parse_boolean_tree(qs), k)
         phrases, must, should, must_not, prefixes = split_query_string(qs)
         if phrases:
             if len(phrases) == 1 and not (must or should or must_not or prefixes):

@@ -75,6 +75,7 @@ INTRODUCED_PAST_WINDOW = {
     "search_rescore",
     "ft_tree_topk",
     "search_tree",
+    "search_querystring_tree",
 }
 
 

@@ -87,3 +87,74 @@ def test_phrase_mixed_with_clauses_rejected(spark, built_index):
     eng = SearchEngine(spark, out, cfg)
     with pytest.raises(ValueError, match="whole query"):
         eng.query_string_search('+trade "world trade"', 10)
+
+
+def test_parse_boolean_tree_goldens():
+    """Grammar table for the parenthesized boolean syntax: precedence
+    (NOT > AND > OR), juxtaposition-as-OR, implicit and-not, nesting,
+    and the refusals (pure negative, flat markers, unbalanced)."""
+    from search_engine_spark.searcher import is_tree_syntax, parse_boolean_tree
+
+    t = parse_boolean_tree
+    assert t("a") == {"term": "a"}
+    assert t("a OR b") == {"op": "or", "kids": [{"term": "a"}, {"term": "b"}]}
+    assert t("a b") == t("a OR b")  # Lucene default operator
+    assert t("a AND b") == {"op": "and", "kids": [{"term": "a"}, {"term": "b"}]}
+    # AND binds tighter than OR
+    assert t("a OR b AND c") == {
+        "op": "or",
+        "kids": [{"term": "a"},
+                 {"op": "and", "kids": [{"term": "b"}, {"term": "c"}]}],
+    }
+    # a NOT b == a AND NOT b; explicit form identical
+    want = {"op": "andnot", "kids": [{"term": "a"}, {"term": "b"}]}
+    assert t("a NOT b") == want
+    assert t("a AND NOT b") == want
+    assert t("NOT NOT a") == {"term": "a"}  # double negation
+    # parens override precedence
+    assert t("(a OR b) AND c") == {
+        "op": "and",
+        "kids": [{"op": "or", "kids": [{"term": "a"}, {"term": "b"}]},
+                 {"term": "c"}],
+    }
+    assert t("((a))") == {"term": "a"}
+    import pytest as _pytest
+    for bad in ("NOT a", "a OR NOT b", "(a OR b", "a)", "", "a AND", "+a AND b",
+                "a* OR b"):
+        with _pytest.raises(ValueError):
+            t(bad)
+    assert is_tree_syntax("(a b)") and is_tree_syntax("a OR b")
+    assert not is_tree_syntax("+a -b c*") and not is_tree_syntax("and or not")
+
+
+def test_tree_syntax_routes_to_tree_search(spark, built_index):
+    """query_string_search on tree syntax ≡ tree_search on the
+    hand-built tree, and the no-paren flat path is untouched."""
+    out, cfg, _ = built_index
+    from search_engine_spark.searcher import SearchEngine
+
+    eng = SearchEngine(spark, out, cfg)
+    qs = "(water OR river) AND (nation OR policy) NOT growth"
+    tree = {
+        "op": "andnot",
+        "kids": [
+            {"op": "and", "kids": [
+                {"op": "or", "kids": [{"term": "water"}, {"term": "river"}]},
+                {"op": "or", "kids": [{"term": "nation"}, {"term": "policy"}]},
+            ]},
+            {"term": "growth"},
+        ],
+    }
+    got = [(r["url"], round(r["score"], 9))
+           for r in eng.query_string_search(qs, 30).collect()]
+    want = [(r["url"], round(r["score"], 9))
+            for r in eng.tree_search(tree, 30).collect()]
+    assert got == want and got
+    # flat syntax still routes through the flat dispatch
+    flat = [(r["url"], round(r["score"], 9))
+            for r in eng.query_string_search("+nation -growth policy", 20)
+            .collect()]
+    explicit = [(r["url"], round(r["score"], 9))
+                for r in eng.boolean_search("nation", "policy", "growth", 20)
+                .collect()]
+    assert flat == explicit
