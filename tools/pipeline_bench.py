@@ -99,6 +99,14 @@ def main() -> None:
     from search_engine_spark.operators import embed as EM
 
     run("hash_embed", lambda: EM.embed_summary(docs))
+    # round-5 curation additions: both pure codegen projections riding
+    # the scan (noop-sinked so Catalyst cannot prune the regex work)
+    from search_engine_spark.operators import pii as PI
+
+    run("pii_scrub_corpus", lambda: PI.scrub_pii(PI.synthetic_pii(docs)),
+        sink="noop")
+    run("c4_clean_corpus", lambda: CU.c4_clean(CU.synthetic_c4(docs)),
+        sink="noop")
     run("winnow_fingerprint", lambda: TS.winnow_fingerprint(docs), sink="noop")
 
     # count-min sketch straight over token OCCURRENCES (no dictionary
@@ -224,7 +232,8 @@ def main() -> None:
 
     _QP = {"fuzzy_top10", "fuzzy_top10_indexed", "proximity_top10",
            "result_page_top10", "docstore_fetch_10", "wildcard_top10",
-           "prf_top10"}
+           "prf_top10", "span_near_top10", "span_unordered_top10",
+           "rescore_top10", "tree_top10"}
     if args.only is None or _QP & set(args.only):
         # packed POSITIONAL index over the same corpus, built once
         # OUTSIDE the timers (a per-corpus artifact, like the anchor
@@ -254,6 +263,27 @@ def main() -> None:
             "wrold tade market", 10, suggest_path=sug_ix))
         run("proximity_top10", lambda: eng.proximity_search(
             "world trade market", 10))
+        # ordered/unordered span-near over the same head terms (the
+        # worst case: candidates ~ the corpus) — chain joins keyed on
+        # (shard, local_id) with the slop window as a band predicate
+        run("span_near_top10", lambda: eng.span_near_search(
+            "world trade", slop=3, k=10))
+        run("span_unordered_top10", lambda: eng.span_near_search(
+            "world trade", slop=3, k=10, ordered=False))
+        # two-phase rescore: BM25 top-50 window + candidate-restricted
+        # proximity second pass (the whole point: positional cost is
+        # window-sized no matter how common the terms are)
+        run("rescore_top10", lambda: eng.rescore_search(
+            "world trade market", k=10, window=50))
+        # nested boolean tree on the non-positional paths
+        run("tree_top10", lambda: eng.tree_search(
+            {"op": "andnot", "kids": [
+                {"op": "and", "kids": [
+                    {"op": "or", "kids": [{"term": "world"}, {"term": "global"}]},
+                    {"op": "or", "kids": [{"term": "trade"}, {"term": "market"}]},
+                ]},
+                {"term": "growth"},
+            ]}, 10))
         # stored-fields docstore (built once, outside the timer):
         # measured are the k-result text fetch alone and the fully
         # assembled result page (top-10 + match positions from the
