@@ -52,6 +52,7 @@ from search_engine_spark.operators import embed as EM
 from search_engine_spark.operators import graph as GR
 from search_engine_spark.operators import hybrid as HY
 from search_engine_spark.operators import ireval as IR
+from search_engine_spark.operators import kgram as KG
 from search_engine_spark.operators import mlt as MLT
 from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import pii as PII
@@ -92,6 +93,8 @@ _ANCHOR_CACHE: dict[str, str] = {}
 _AC_CACHE: dict[str, str] = {}
 _DOCSTORE_CACHE: dict[str, str] = {}
 _TV_CACHE: dict[str, str] = {}
+_KGRAM_CACHE: dict[str, str] = {}
+_KGRAM_ENG_CACHE: dict[str, str] = {}
 
 # suggest-box prefixes for the autocomplete rows (typed first letters)
 AC_PREFIXES = ("c", "d", "s")
@@ -311,6 +314,55 @@ def _tv_index_for(spark: SparkSession, sf_dir: str) -> str:
             published = _atomic_publish(out, build)
         _TV_CACHE[key] = published
     return os.path.join(_TV_CACHE[key], "tv")
+
+
+def _kgram_docs_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir, cached on disk) the k-gram
+    wildcard table over the documents vocabulary, so the ft row's
+    infix expansion is a gram-IN pruned lookup, never a vocab regex
+    scan.  No staleness stamp: the documents table never mutates."""
+    key = os.path.abspath(sf_dir)
+    if key not in _KGRAM_CACHE:
+        tag = hashlib.md5(f"{key}|kgram1".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_kgram_{tag}")
+
+        def build(tmp: str) -> None:
+            vocab = _doc_tf(_tbl(spark, key, "documents")).groupBy("tok").agg(
+                F.count(F.lit(1)).cast("long").alias("df"))
+            KG.write_kgram_index(vocab, os.path.join(tmp, "ix"),
+                                 term_col="tok", df_col="df")
+
+        _KGRAM_CACHE[key] = _atomic_publish(out, build)
+    return os.path.join(_KGRAM_CACHE[key], "ix")
+
+
+def _kgram_engine_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir, cached on disk) the k-gram
+    wildcard table over the PACKED index's dictionary, stamped with
+    its lineage position, so the infix-wildcard search row expands
+    patterns from a stored pruned layout exactly like the engine
+    would at 10^12 docs."""
+    key = os.path.abspath(sf_dir)
+    if key not in _KGRAM_ENG_CACHE:
+        eng = _engine_for(spark, key)  # ensure the index exists for the stamp
+        tag = hashlib.md5(f"{key}|kgrameng1|{_ENTRY_CFG}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_kgrameng_{tag}")
+
+        def build(tmp: str) -> None:
+            KG.write_kgram_index(eng._dictionary, os.path.join(tmp, "ix"),
+                                 term_col="term_key", df_col="df",
+                                 index_dir=_INDEX_CACHE[key])
+
+        published = _atomic_publish(out, build)
+        # self-heal a cache stamped at an older lineage position
+        # (the docstore pattern): rebuild rather than refuse
+        try:
+            KG._check_fresh(os.path.join(published, "ix"))
+        except RuntimeError:
+            shutil.rmtree(published, ignore_errors=True)
+            published = _atomic_publish(out, build)
+        _KGRAM_ENG_CACHE[key] = published
+    return os.path.join(_KGRAM_ENG_CACHE[key], "ix")
 
 
 def _autocomplete_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -1333,6 +1385,17 @@ def q_ann_cosine_topk(spark, sf):
     return SIM.cosine_topk(emb, qvec, k=10).transform(
         lambda d: ranked(d, [("cosine", "desc"), ("vec_id", "asc")])
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_int8_topk(spark, sf):
+    """int8 scalar-quantized MIPS top-10 (Lucene 9.10 SQ / FAISS SQ8
+    storage form): corpus AND query (vec_id=0) quantize half-up on the
+    shared corpus-absmax grid, score by the exact BIGINT dot product.
+    The DuckDB oracle recomputes the WHOLE path — absmax, grid,
+    integer dot, ranking — so quantization itself is exactness-gated,
+    not an unverified approximation."""
+    return SIM.ann_int8_topk(_tbl(spark, sf, "embeddings"),
+                             query_id=0, k=10)
 
 
 def q_ann_lsh_topk(spark, sf):
@@ -2623,6 +2686,45 @@ def q_search_wildcard(spark, sf):
     )
 
 
+# indexed-path + fallback-path + cap, over the documents vocabulary:
+# '*ata*' (infix), 's*ow' (anchored suffix gram only), '*er' (suffix),
+# '*a*' (gram-less single char -> the fallback vocabulary scan)
+KGRAM_PATTERNS = ["*ata*", "s*ow", "*er", "*a*"]
+
+
+def q_ft_kgram_expand(spark, sf):
+    """Infix/leading wildcard expansion served from the STORED k-gram
+    side-car (gram-IN pruned scan + count-distinct gate + anchored
+    regex verify, capped df desc / term asc) ≡ DuckDB's brute-force
+    LIKE over the whole vocabulary — the SymSpell-style full-recall
+    contract: if the gram gate dropped ANY true match, or the cap rule
+    diverged, the row goes red."""
+    path = _kgram_docs_index_for(spark, sf)
+    return KG.expand_wildcard_indexed(spark, path, KGRAM_PATTERNS,
+                                      MAX_EXPANSIONS)
+
+
+WILDCARD_INFIX_QUERY = "*ust* s*ow data"  # infix + mid-star + plain term
+
+
+def q_search_wildcard_infix(spark, sf):
+    """Arbitrary-position wildcard search from the packed index + the
+    stamped k-gram side-car ≡ plain-postings twin, per rank: the twin
+    expands by brute-force regex over a vocabulary re-derived
+    stats-as-packed from postings_raw (NO gram table in its path), so
+    a k-gram recall hole or a df divergence between the stores flips
+    the expansion set and the row goes red."""
+    eng = _engine_for(spark, sf)
+    kg = _kgram_engine_index_for(spark, sf)
+    return _rank_eq(
+        eng.wildcard_search_indexed(WILDCARD_INFIX_QUERY, kg, 20,
+                                    max_expansions=MAX_EXPANSIONS),
+        TW.twin_wildcard_any_topk(spark, eng, WILDCARD_INFIX_QUERY, 20,
+                                  max_expansions=MAX_EXPANSIONS),
+        exact=["url"], approx=["score"],
+    )
+
+
 FT_PRF_FB_DOCS, FT_PRF_FB_TERMS = 10, 5
 
 
@@ -2945,6 +3047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (list(queries())[50:]) against DuckDB every CI run."""
     return {
         # --- window, part 1: round-5 rows (never driver-stamped)
+        "ft_kgram_expand": q_ft_kgram_expand,
+        "search_wildcard_infix": q_search_wildcard_infix,
+        "ann_int8_topk": q_ann_int8_topk,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "ft_prefix_topk": q_ft_prefix_topk,
@@ -4087,6 +4192,28 @@ SELECT doc_id, score, rank FROM rankd WHERE rank <= 20
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
 """,
+        # k-gram infix wildcard expansion: brute-force LIKE over the
+        # vocabulary, capped per pattern by df desc, term asc — the
+        # Spark side serves the SAME rows from the gram-IN pruned
+        # side-car (full-recall gram gate + regex verify)
+        "ft_kgram_expand": f"""
+WITH {_TF_CTE},
+vocab AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY tok),
+pats(pattern, pat) AS (VALUES ('*ata*', '%ata%'), ('s*ow', 's%ow'),
+                              ('*er', '%er'), ('*a*', '%a%')),
+cand AS (SELECT p.pattern, v.term, v.df
+         FROM vocab v JOIN pats p ON v.term LIKE p.pat),
+r AS (SELECT pattern, term, df,
+             CAST(row_number() OVER (PARTITION BY pattern
+                  ORDER BY df DESC, term ASC) AS BIGINT) AS rank
+      FROM cand)
+SELECT pattern, term, df, rank FROM r WHERE rank <= {MAX_EXPANSIONS}
+""",
+        "search_wildcard_infix": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
         # pseudo-relevance feedback: base BM25 top-10 → feedback-term
         # weighting on the half-up 1e-6 idf grid → top-5 expansion →
         # the shared BM25 chain over the expanded union
@@ -4626,6 +4753,28 @@ ranked AS (SELECT vec_id, cosine,
                   CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
            FROM scored)
 SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 10
+""",
+        # int8 scalar quantization: half-up on the corpus-absmax grid,
+        # exact BIGINT dot — the identical IEEE double expression tree
+        # on both sides, then pure integer arithmetic
+        "ann_int8_topk": """
+WITH am AS (SELECT CASE WHEN m = 0 THEN 1.0 ELSE m END AS absmax FROM
+  (SELECT max(list_max(list_transform(embedding,
+          x -> abs(CAST(x AS DOUBLE))))) AS m FROM embeddings)),
+qv AS (SELECT list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) / am.absmax * 127.0 + 0.5) AS BIGINT)) AS q
+       FROM embeddings, am WHERE vec_id = 0),
+av AS (SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) / am.absmax * 127.0 + 0.5) AS BIGINT)) AS a
+       FROM embeddings, am),
+scored AS (SELECT av.vec_id,
+                  CAST(list_sum(list_transform(range(1, len(av.a) + 1),
+                       i -> av.a[i] * qv.q[i])) AS BIGINT) AS dot_int
+           FROM av, qv),
+rk AS (SELECT vec_id, dot_int,
+              CAST(row_number() OVER (ORDER BY dot_int DESC, vec_id ASC) AS BIGINT) AS rank
+       FROM scored)
+SELECT vec_id, dot_int, rank FROM rk WHERE rank <= 10
 """,
         "knn_join_first5": f"""
 WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 5),

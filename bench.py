@@ -148,6 +148,21 @@ def main() -> None:
     steal["termvectors_build"] = round(100 * (s1 - s0) / max(1, j1 - j0), 2)
     timed("prf_top10", lambda: eng.prf_search("world trade market", tv_dir, 10))
 
+    # infix/leading wildcard: the k-gram side-car is a one-off
+    # vocab-sized build (timed separately); the query then pays a
+    # gram-IN pruned lookup + regex verify + the ordinary BM25 tail
+    from search_engine_spark.operators.kgram import write_kgram_index
+
+    kg_dir = tempfile.mkdtemp(prefix="se_bench_kg_")
+    s0, j0 = _cpu_sample()
+    t0 = time.time()
+    write_kgram_index(eng._dictionary, kg_dir, index_dir=ix_dir)
+    timings["kgram_build"] = round(time.time() - t0, 3)
+    s1, j1 = _cpu_sample()
+    steal["kgram_build"] = round(100 * (s1 - s0) / max(1, j1 - j0), 2)
+    timed("wildcard_infix_top10",
+          lambda: eng.wildcard_search_indexed("*orld trade", kg_dir, 10))
+
     # -- relational / pipeline operators (driver-contract queries) -----------
     qs = entry.queries()
     for name in (
@@ -163,6 +178,7 @@ def main() -> None:
         "dedup_simhash",
         "ann_dup_pairs",
         "ann_lsh_topk",
+        "ann_int8_topk",
         "knn_join_first5",
         "text_quality",
         "text_gopher_quality",

@@ -97,6 +97,10 @@ def main() -> None:
     ap.add_argument("--explain", action="store_true",
                     help="print the top-1 result's per-term score "
                          "breakdown (BM25 contribution, bonus, blended part)")
+    ap.add_argument("--kgram", default=None, metavar="KGRAM_DIR",
+                    help="serve infix/leading wildcards (*fix, *in*, a*b) "
+                         "from a stored k-gram side-car "
+                         "(operators/kgram.write_kgram_index)")
     ap.add_argument("query", nargs="+")
     args = ap.parse_args()
 
@@ -151,6 +155,11 @@ def main() -> None:
                                           k=args.k).collect():
             print(f"q1 {r['rank']} {r['url']} {r['score']:.6f} "
                   f"[{r['match_pos']}] {r['snippet']}")
+    elif args.kgram is not None:
+        text = " ".join(args.query)
+        for r in eng.wildcard_search_indexed(text, args.kgram,
+                                             args.k).collect():
+            print(f"q1 {r['rank']} {r['url']} {r['score']:.6f}")
     elif args.span_near is not None:
         text = " ".join(args.query)
         for r in eng.span_near_search(text, slop=args.span_near,

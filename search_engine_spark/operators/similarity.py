@@ -391,3 +391,144 @@ def knn_join_exact(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> Dat
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# -- int8 scalar quantization -------------------------------------------------
+#
+# The storage/bandwidth lever every large-scale vector system ships
+# (Lucene 9.10 scalar-quantized HNSW, FAISS SQ8): store each component
+# as one signed byte on a corpus-wide symmetric grid instead of a
+# 4-byte float, score with INTEGER dot products.  4x smaller vectors,
+# SIMD-friendly arithmetic — and, here, an EXACTLY oracle-able
+# operator: the quantization rule (half-up on the absmax grid) and the
+# BIGINT dot are bit-identical across engines, so the DuckDB twin
+# recomputes the whole path, not an approximation of it.  No reference
+# counterpart (the reference is purely lexical); this extends the ANN
+# family (sign-LSH / IVF / exact) with the quantized serving form.
+
+
+def _quant_component(x, absmax):
+    """floor(x/absmax*127 + 0.5) — symmetric int8 grid, half-up.
+    The shared contract with the DuckDB oracle: identical IEEE double
+    expression tree on both sides, then an exact BIGINT."""
+    return F.floor(
+        x.cast("double") / absmax * F.lit(127.0) + F.lit(0.5)
+    ).cast("long")
+
+
+def corpus_absmax(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """1-row (absmax) frame: the corpus-wide symmetric scale, 0 mapped
+    to 1.0 so an all-zero corpus quantizes to zeros instead of NaN.
+    One map-side-combining agg over the table."""
+    m = embeddings.select(
+        F.max(
+            F.aggregate(
+                F.col(vec_col), F.lit(0.0),
+                lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+            )
+        ).alias("m")
+    )
+    return m.select(
+        F.when(F.col("m") == 0.0, F.lit(1.0)).otherwise(F.col("m")).alias("absmax")
+    )
+
+
+def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(id, qvec array<long in [-127, 127]>): int8 symmetric scalar
+    quantization on the corpus absmax grid.  The absmax joins in as a
+    broadcast 1-row frame (an O(1)-row scalar subquery, the same shape
+    as blend_prior's maxes), so the whole thing is ONE plan — no
+    driver round trip, no collected literal baked into the lineage."""
+    am = corpus_absmax(embeddings, vec_col)
+    return embeddings.crossJoin(F.broadcast(am)).select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: _quant_component(x, F.col("absmax")),
+        ).alias("qvec"),
+    )
+
+
+def _int_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+
+
+def ann_int8_topk(embeddings: DataFrame, query_id: int = 0,
+                  k: int = 10) -> DataFrame:
+    """(vec_id, dot_int, rank): MIPS top-k on the int8 grid — both the
+    corpus and the query row (``vec_id = query_id``) quantize on the
+    same absmax scale, candidates rank by the exact BIGINT dot product
+    (desc, vec_id asc).  Ties cannot flip across engines or
+    partitionings: every compared value is an integer.  The top-k is
+    an orderBy().limit() — TakeOrderedAndProject, per-partition heaps
+    + a k-row driver merge, never a global sort — and the rank column
+    is stamped on the k-row result."""
+    from ..ranking import ranked
+
+    q = quantize_embeddings(embeddings)
+    qv = q.filter(F.col("vec_id") == query_id).select(
+        F.col("qvec").alias("q_qvec"))
+    scored = q.crossJoin(F.broadcast(qv)).select(
+        "vec_id",
+        _int_dot(F.col("qvec"), F.col("q_qvec")).alias("dot_int"),
+    )
+    topk = scored.orderBy(F.desc("dot_int"), F.asc("vec_id")).limit(k)
+    return ranked(topk, [("dot_int", "desc"), ("vec_id", "asc")]).select(
+        "vec_id", "dot_int", F.col("rank").cast("long").alias("rank"))
+
+
+def write_quantized_embeddings(embeddings: DataFrame, path: str,
+                               n_planes: int = 8, dim: int = 64) -> None:
+    """The stored serving layout: int8 vectors partitioned by sign-LSH
+    bucket (the write_bucketed_embeddings directories, 4x smaller
+    payload), absmax in a side-car meta so queries quantize on the
+    SAME grid the corpus did.  A probe reads only the probed bucket
+    directories (partition pruning) and moves byte-sized components."""
+    import json
+    import os
+
+    q = quantize_embeddings(embeddings)
+    b = assign_buckets(embeddings, n_planes, dim).select("vec_id", "bucket")
+    (q.join(b, "vec_id")
+     .repartition(F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(path, "vectors")))
+    absmax = corpus_absmax(embeddings).collect()[0]["absmax"]
+    with open(os.path.join(path, "_quant_meta.json"), "w") as fh:
+        json.dump({"absmax": absmax, "n_planes": n_planes, "dim": dim}, fh)
+
+
+def ann_int8_topk_stored(spark, path: str, query_vec: list[float],
+                         k: int = 10, probe_hamming: int = 1) -> DataFrame:
+    """(vec_id, dot_int, rank) over the stored int8 layout: the query
+    quantizes driver-side on the STORED absmax (grid consistency with
+    the corpus build), its sign-LSH bucket + neighbors prune the scan
+    to the probed directories, and scoring is the same BIGINT dot."""
+    import json
+    import math
+    import os
+
+    from ..ranking import ranked
+
+    with open(os.path.join(path, "_quant_meta.json")) as fh:
+        meta = json.load(fh)
+    absmax = float(meta["absmax"]) or 1.0
+    qq = [int(math.floor(v / absmax * 127.0 + 0.5)) for v in query_vec]
+    probe = query_bucket_and_probe(query_vec, int(meta["n_planes"]),
+                                   probe_hamming)
+    vecs = (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .filter(F.col("bucket").isin(probe))
+    )
+    scored = vecs.select(
+        "vec_id",
+        _int_dot(F.col("qvec"),
+                 F.array(*[F.lit(v).cast("long") for v in qq])).alias("dot_int"),
+    )
+    topk = scored.orderBy(F.desc("dot_int"), F.asc("vec_id")).limit(k)
+    return ranked(topk, [("dot_int", "desc"), ("vec_id", "asc")]).select(
+        "vec_id", "dot_int", F.col("rank").cast("long").alias("rank"))

@@ -706,6 +706,36 @@ class SearchEngine:
         )
         return sorted({r.term_key for r in rows})
 
+    def wildcard_search_indexed(self, query: str, kgram_path: str,
+                                k: int | None = None,
+                                max_expansions: int = 16) -> DataFrame:
+        """Arbitrary-position wildcard search — ``*fix``, ``*infix*``,
+        ``a*b`` — served from the stored k-gram side-car
+        (operators/kgram.py): each wildcard token expands to at most
+        ``max_expansions`` index terms (df desc, term asc — the same
+        TopTermsRewrite cap as the trailing path) via a gram-IN pruned
+        scan + anchored-regex verify, and the expansions score as an
+        ordinary multi-term OR query alongside the plain tokens.
+        Wildcard tokens bypass the analyzer (lowercased only, never
+        stemmed) exactly like :meth:`wildcard_search`; the side-car
+        refuses to serve once the index has moved (staleness stamp)."""
+        from .operators import kgram as KG
+
+        k = k or self.cfg.top_k
+        parts = query.split()
+        patterns = sorted({p.lower() for p in parts
+                           if "*" in p and p.strip("*")})
+        plain = " ".join(p for p in parts if "*" not in p)
+        keys = set(self.parse_query(plain)) if plain.strip() else set()
+        if patterns:
+            exp = KG.expand_wildcard_indexed(
+                self.spark, kgram_path, patterns, max_expansions)
+            keys |= {r.term for r in exp.select("term").distinct().collect()}
+        if not keys:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int")
+        return self._search_keys(sorted(keys), k)
+
     def query_string_search(self, qs: str, k: int | None = None,
                             max_expansions: int = 16) -> DataFrame:
         """One string in, the right engine path out — the Lucene

@@ -274,6 +274,36 @@ def twin_wildcard_topk(spark: SparkSession, engine, query: str, k: int,
     return ranked(topk, [("score", "desc"), ("url", "asc")])
 
 
+def twin_wildcard_any_topk(spark: SparkSession, engine, query: str, k: int,
+                           max_expansions: int = 16) -> DataFrame:
+    """(url, score, rank) — the plain twin of
+    ``SearchEngine.wildcard_search_indexed``.  The expansion is the
+    BRUTE-FORCE anchored-regex scan (operators/kgram.expand_wildcard)
+    over a vocabulary recomputed stats-as-packed from postings_raw —
+    no gram table anywhere in this path, so a k-gram recall hole
+    (a candidate the gram gate missed) or a stale/df-divergent
+    side-car flips the expansion set and the row goes red."""
+    from .operators.kgram import expand_wildcard
+
+    parts = query.split()
+    patterns = sorted({p.lower() for p in parts if "*" in p and p.strip("*")})
+    plain = " ".join(p for p in parts if "*" not in p)
+    keys = set(engine.parse_query(plain)) if plain.strip() else set()
+    if patterns:
+        vocab = (
+            raw_postings(spark, engine)
+            .groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+        )
+        exp = expand_wildcard(vocab, patterns, max_expansions,
+                              term_col="term_key", df_col="df")
+        keys |= {r.term for r in exp.select("term").distinct().collect()}
+    if not keys:
+        return spark.createDataFrame([], "url string, score double, rank int")
+    scores = twin_bm25_scores(spark, engine, sorted(keys))
+    topk = scores.orderBy(F.desc("score"), F.asc("url")).limit(k)
+    return ranked(topk, [("score", "desc"), ("url", "asc")])
+
+
 def twin_prf_topk(spark: SparkSession, engine, query: str, k: int,
                   fb_docs: int = 10, fb_terms: int = 5) -> DataFrame:
     """(url, score, rank) — the plain twin of
