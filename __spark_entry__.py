@@ -55,6 +55,7 @@ from search_engine_spark.operators import ireval as IR
 from search_engine_spark.operators import kgram as KG
 from search_engine_spark.operators import mlt as MLT
 from search_engine_spark.operators import multimodal as MM
+from search_engine_spark.operators import packing as PK
 from search_engine_spark.operators import pii as PII
 from search_engine_spark.operators import similarity as SIM
 from search_engine_spark.operators import sketches as SK
@@ -1385,6 +1386,22 @@ def q_ann_cosine_topk(spark, sf):
     return SIM.cosine_topk(emb, qvec, k=10).transform(
         lambda d: ranked(d, [("cosine", "desc"), ("vec_id", "asc")])
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+PACK_BUDGET = 2000  # tokens per training shard (sandbox-sized)
+
+
+def q_pack_shards(spark, sf):
+    """Token-budget shard packing — next-fit over the doc-id total
+    order: shard = floor(exclusive-prefix-sum / budget), documents
+    never split.  Spark runs the distributed scan (range partition →
+    per-partition totals → offset broadcast → one Arrow pass); the
+    DuckDB oracle is the single global window — equal row for row
+    because the assignment depends only on (order, weights, budget)."""
+    docs = _tbl(spark, sf, "documents")
+    w = docs.select(
+        "doc_id", F.size(TS.simple_tokens()).cast("long").alias("n_tokens"))
+    return PK.pack_shards(w, PACK_BUDGET, n_parts=8)
 
 
 def q_ann_int8_topk(spark, sf):
@@ -3050,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_kgram_expand": q_ft_kgram_expand,
         "search_wildcard_infix": q_search_wildcard_infix,
         "ann_int8_topk": q_ann_int8_topk,
+        "pack_shards": q_pack_shards,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "ft_prefix_topk": q_ft_prefix_topk,
@@ -4753,6 +4771,21 @@ ranked AS (SELECT vec_id, cosine,
                   CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
            FROM scored)
 SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 10
+""",
+        # token-budget shard packing: exclusive prefix sum over the
+        # doc-id total order, BIGINT floor division by the budget —
+        # the single-window form of the distributed scan
+        "pack_shards": f"""
+WITH {_TOK_CTE},
+w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+c AS (SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+      FROM w)
+SELECT doc_id, n_tokens,
+       CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS shard_id
+FROM c
 """,
         # int8 scalar quantization: half-up on the corpus-absmax grid,
         # exact BIGINT dot — the identical IEEE double expression tree

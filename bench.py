@@ -179,6 +179,7 @@ def main() -> None:
         "ann_dup_pairs",
         "ann_lsh_topk",
         "ann_int8_topk",
+        "pack_shards",
         "knn_join_first5",
         "text_quality",
         "text_gopher_quality",
