@@ -1388,6 +1388,19 @@ def q_ann_cosine_topk(spark, sf):
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+CHUNK_WINDOW, CHUNK_STRIDE = 32, 24  # context-window chunking (sandbox-sized)
+
+
+def q_chunk_windows(spark, sf):
+    """Overlapping fixed-token-window chunking (the context-window
+    materialization between curation and shard packing): one map-only
+    codegen projection — tokenize, sequence() explode of the chunk
+    index, slice + array_join.  Pure integer chunk arithmetic, so the
+    DuckDB oracle recomputes the identical layout."""
+    return PK.chunk_documents(_tbl(spark, sf, "documents"),
+                              CHUNK_WINDOW, CHUNK_STRIDE)
+
+
 PACK_BUDGET = 2000  # tokens per training shard (sandbox-sized)
 
 
@@ -3068,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_wildcard_infix": q_search_wildcard_infix,
         "ann_int8_topk": q_ann_int8_topk,
         "pack_shards": q_pack_shards,
+        "chunk_windows": q_chunk_windows,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "ft_prefix_topk": q_ft_prefix_topk,
@@ -4771,6 +4785,27 @@ ranked AS (SELECT vec_id, cosine,
                   CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
            FROM scored)
 SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 10
+""",
+        # context-window chunking: integer chunk arithmetic + 1-based
+        # clamped list slices — identical layout on both engines
+        "chunk_windows": f"""
+WITH {_TOK_CTE},
+base AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
+nc AS (SELECT doc_id, toks,
+              1 + CAST((greatest(n - {CHUNK_WINDOW}, 0)
+                        + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE} AS BIGINT)
+              AS n_chunks
+       FROM base),
+ex AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM nc)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {CHUNK_STRIDE} AS BIGINT) AS start_pos,
+       CAST(len(toks[(chunk_id * {CHUNK_STRIDE} + 1):
+                     (chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW})]) AS BIGINT)
+       AS n_tokens,
+       array_to_string(toks[(chunk_id * {CHUNK_STRIDE} + 1):
+                            (chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW})], ' ')
+       AS chunk_text
+FROM ex
 """,
         # token-budget shard packing: exclusive prefix sum over the
         # doc-id total order, BIGINT floor division by the budget —

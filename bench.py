@@ -180,6 +180,7 @@ def main() -> None:
         "ann_lsh_topk",
         "ann_int8_topk",
         "pack_shards",
+        "chunk_windows",
         "knn_join_first5",
         "text_quality",
         "text_gopher_quality",

@@ -129,3 +129,49 @@ def write_packed_shards(docs: DataFrame, path: str, budget: int,
     (out.repartition(F.col("shard_id"))
      .write.mode("overwrite").partitionBy("shard_id")
      .parquet(os.path.join(path, "shards")))
+
+
+def chunk_documents(docs: DataFrame, window: int = 128, stride: int = 96,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, chunk_id, start_pos, n_tokens, chunk_text): overlapping
+    fixed-token-window chunking — the context-window materialization
+    every training pipeline runs between curation and shard packing
+    (and every RAG indexer runs before embedding).
+
+    Rule (pure integer arithmetic, engine-independent): a document of
+    n tokens yields ``1 + ceil(max(n - window, 0) / stride)`` chunks
+    starting at 0, stride, 2*stride, ...; the last window may be
+    short; an empty document yields one empty chunk (the row is
+    preserved — droppable downstream, never silently lost).  Chunks
+    are (window - stride)-token overlapped so no span is split across
+    a boundary unseen.
+
+    Plan: ONE map-only codegen projection — tokenize, a sequence()
+    explode of the chunk index, slice + array_join per chunk.  No
+    shuffle, no Python; scan speed, trivially linear at 100 TB."""
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    from .textstats import simple_tokens
+
+    toks = simple_tokens(text_col)
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.floor((F.greatest(n - F.lit(window), F.lit(0))
+                   + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    )
+    d = docs.select(
+        F.col(id_col), toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("_toks"),
+                    F.col("chunk_id") * F.lit(stride) + F.lit(1),
+                    F.lit(window))
+    return d.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id").cast("long") * F.lit(stride)).alias("start_pos"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -90,3 +90,51 @@ def test_writer_partitions_by_shard(spark, tmp_dir):
 def test_invalid_budget_raises(spark):
     with pytest.raises(ValueError):
         pack_shards(_docs(spark, [1]), 0)
+
+
+def test_chunking_layout_and_overlap(spark):
+    from search_engine_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, "x")], "doc_id long, text string")
+    rows = chunk_documents(docs, window=4, stride=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 10 tokens, window 4, stride 3 -> 1 + ceil(6/3) = 3 chunks
+    c = by_doc[1]
+    assert [(r["start_pos"], r["n_tokens"]) for r in c] == [
+        (0, 4), (3, 4), (6, 4)]
+    assert c[0]["chunk_text"] == "t0 t1 t2 t3"
+    # one-token overlap between consecutive windows (window - stride)
+    assert c[0]["chunk_text"].split()[-1] == c[1]["chunk_text"].split()[0]
+    # shorter-than-window doc -> exactly one whole chunk
+    assert [(r["n_tokens"], r["chunk_text"]) for r in by_doc[2]] == [
+        (3, "a b c")]
+    assert [(r["n_tokens"], r["chunk_text"]) for r in by_doc[3]] == [(1, "x")]
+
+
+def test_chunking_exact_multiple_and_short_tail(spark):
+    from search_engine_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(8))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(chunk_documents(docs, window=4, stride=4).collect(),
+                  key=lambda r: r["chunk_id"])
+    # 8 tokens, window 4 = stride 4 -> two full disjoint chunks
+    assert [(r["start_pos"], r["n_tokens"]) for r in rows] == [(0, 4), (4, 4)]
+    rows = sorted(chunk_documents(docs, window=5, stride=4).collect(),
+                  key=lambda r: r["chunk_id"])
+    # ceil((8-5)/4) = 1 -> 2 chunks; tail has 4 tokens (positions 5-8)
+    assert [(r["start_pos"], r["n_tokens"]) for r in rows] == [(0, 5), (4, 4)]
+
+
+def test_chunking_invalid_args(spark):
+    from search_engine_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=0, stride=3)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=3, stride=0)
