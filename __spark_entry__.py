@@ -1388,6 +1388,56 @@ def q_ann_cosine_topk(spark, sf):
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+HIST_BUCKET_SECS = 60  # date-histogram bucket (sandbox corpus spans ~500s)
+
+
+def _time_dims(spark, sf):
+    """(url, t_bucket): crawl time bucketed RELATIVE to the corpus min
+    (the min joins as a broadcast 1-row scalar subquery) — the offset
+    subtraction cancels any epoch/timezone skew between engines, the
+    recency-prior discipline applied to bucketing."""
+    pages = load_documents_as_pages(spark, sf)
+    mn = pages.select(F.min(F.col("warc_ts").cast("long")).alias("mn"))
+    return pages.crossJoin(F.broadcast(mn)).select(
+        "url",
+        ((F.col("warc_ts").cast("long") - F.col("mn"))
+         / F.lit(HIST_BUCKET_SECS)).cast("long").alias("t_bucket"),
+    )
+
+
+def q_ft_date_histogram(spark, sf):
+    """ES-style date_histogram under a query context, fully
+    SQL-checkable: distinct docs containing 'data', counted per
+    relative crawl-time bucket.  Spark buckets pages.warc_ts seconds;
+    the oracle buckets the doc_id offset the synthetic timestamps are
+    built from — equal because the corpus-min subtraction cancels the
+    epoch."""
+    dims = _time_dims(spark, sf)
+    match = (
+        _doc_tf(_tbl(spark, sf, "documents"))
+        .filter(F.col("tok") == "data")
+        .select(F.col("doc_id").cast("string").alias("url")).distinct()
+    )
+    return (
+        match.join(dims, "url")
+        .groupBy("t_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def q_search_date_histogram(spark, sf):
+    """The same histogram served through the PACKED index: the facets
+    kernel (pruned scan -> distinct candidates -> doc_map -> dim join
+    -> hash agg) fed the derived time dimension, compared per bucket
+    against the plain-postings twin."""
+    eng = _engine_for(spark, sf)
+    dims = _time_dims(spark, sf).withColumnRenamed("t_bucket", "facet")
+    e = eng.search_facets(ENGINE_QUERY, dims, "facet")
+    t = TW.twin_facets(spark, eng, ENGINE_QUERY, dims, "facet")
+    return TW.compare_topk(e, t, ["facet"], exact_cols=["n_docs"],
+                           approx_cols=[])
+
+
 CHUNK_WINDOW, CHUNK_STRIDE = 32, 24  # context-window chunking (sandbox-sized)
 
 
@@ -3082,6 +3132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_topk": q_ann_int8_topk,
         "pack_shards": q_pack_shards,
         "chunk_windows": q_chunk_windows,
+        "ft_date_histogram": q_ft_date_histogram,
+        "search_date_histogram": q_search_date_histogram,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "ft_prefix_topk": q_ft_prefix_topk,
@@ -4785,6 +4837,21 @@ ranked AS (SELECT vec_id, cosine,
                   CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
            FROM scored)
 SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 10
+""",
+        # date histogram under a query context: distinct matching docs
+        # per relative crawl-time bucket (the corpus-min subtraction
+        # cancels the epoch between the two engines' ts derivations)
+        "ft_date_histogram": f"""
+WITH {_TF_CTE},
+mn AS (SELECT min(doc_id) AS m FROM documents),
+match AS (SELECT DISTINCT doc_id FROM tf WHERE tok = 'data')
+SELECT CAST((doc_id - mn.m) // {HIST_BUCKET_SECS} AS BIGINT) AS t_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM match, mn GROUP BY t_bucket
+""",
+        "search_date_histogram": """
+SELECT CAST(range AS BIGINT) AS facet, true AS n_docs_match
+FROM range(0, 9)
 """,
         # context-window chunking: integer chunk arithmetic + 1-based
         # clamped list slices — identical layout on both engines
