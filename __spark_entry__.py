@@ -1388,6 +1388,46 @@ def q_ann_cosine_topk(spark, sf):
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def _ts_keys(spark, sf):
+    """(url, sort_key): crawl time in seconds RELATIVE to the corpus
+    min (broadcast scalar subquery — epoch/timezone skew cancels)."""
+    pages = load_documents_as_pages(spark, sf)
+    mn = pages.select(F.min(F.col("warc_ts").cast("long")).alias("mn"))
+    return pages.crossJoin(F.broadcast(mn)).select(
+        "url",
+        (F.col("warc_ts").cast("long") - F.col("mn")).alias("sort_key"))
+
+
+def q_ft_sort_by_time(spark, sf):
+    """Sort-by-field retrieval, fully SQL-checkable: the 20 NEWEST
+    docs containing 'data' — matching from the shared tokenization,
+    ordered by the relative crawl time desc, doc asc."""
+    match = (
+        _doc_tf(_tbl(spark, sf, "documents"))
+        .filter(F.col("tok") == "data")
+        .select(F.col("doc_id").cast("string").alias("url")).distinct()
+    )
+    keyed = match.join(_ts_keys(spark, sf), "url")
+    topk = keyed.orderBy(F.desc("sort_key"), F.asc("url")).limit(20)
+    return ranked(topk, [("sort_key", "desc"), ("url", "asc")]).select(
+        F.col("url").cast("long").alias("doc_id"), "sort_key",
+        F.col("rank").cast("long").alias("rank"))
+
+
+def q_search_sort_by_time(spark, sf):
+    """The same newest-first page served through the PACKED index
+    (searcher.search_sorted: pruned scan -> distinct candidates ->
+    sort-key join -> TakeOrderedAndProject; relevance skipped
+    entirely) ≡ the plain-postings twin, per rank."""
+    eng = _engine_for(spark, sf)
+    keys = _ts_keys(spark, sf)
+    return _rank_eq(
+        eng.search_sorted(ENGINE_QUERY, keys, 20),
+        TW.twin_sorted_topk(spark, eng, ENGINE_QUERY, keys, 20),
+        exact=["url", "sort_key"], approx=[],
+    )
+
+
 HIST_BUCKET_SECS = 60  # date-histogram bucket (sandbox corpus spans ~500s)
 
 
@@ -3134,6 +3174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": q_chunk_windows,
         "ft_date_histogram": q_ft_date_histogram,
         "search_date_histogram": q_search_date_histogram,
+        "ft_sort_by_time": q_ft_sort_by_time,
+        "search_sort_by_time": q_search_sort_by_time,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "ft_prefix_topk": q_ft_prefix_topk,
@@ -4837,6 +4879,24 @@ ranked AS (SELECT vec_id, cosine,
                   CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
            FROM scored)
 SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 10
+""",
+        # sort-by-field retrieval: newest-first page over the matching
+        # set, relative crawl seconds (min-subtraction cancels epoch)
+        "ft_sort_by_time": f"""
+WITH {_TF_CTE},
+mn AS (SELECT min(doc_id) AS m FROM documents),
+match AS (SELECT DISTINCT doc_id FROM tf WHERE tok = 'data'),
+keyed AS (SELECT doc_id, CAST(doc_id - mn.m AS BIGINT) AS sort_key
+          FROM match, mn),
+rk AS (SELECT doc_id, sort_key,
+              CAST(row_number() OVER (ORDER BY sort_key DESC, doc_id ASC)
+                   AS BIGINT) AS rank
+       FROM keyed)
+SELECT doc_id, sort_key, rank FROM rk WHERE rank <= 20
+""",
+        "search_sort_by_time": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS sort_key_match
+FROM range(1, 21)
 """,
         # date histogram under a query context: distinct matching docs
         # per relative crawl-time bucket (the corpus-min subtraction

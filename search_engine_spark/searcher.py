@@ -706,6 +706,42 @@ class SearchEngine:
         )
         return sorted({r.term_key for r in rows})
 
+    def search_sorted(self, query: str, sort_keys: DataFrame,
+                      k: int | None = None, descending: bool = True,
+                      key_col: str = "sort_key") -> DataFrame:
+        """(url, sort_key, rank): the FULL matching doc set ordered by
+        a caller-supplied field instead of relevance — Lucene/ES
+        ``sort: [{field}]`` (newest-first result pages, id-ordered
+        exports).  Matching = >= 1 query term on the posting list
+        (tombstones excluded), exactly the facets candidate rule;
+        scoring is skipped entirely, so the plan is pruned scan ->
+        distinct candidates -> doc_map -> sort-key join ->
+        TakeOrderedAndProject (per-partition heaps + a k-row driver
+        merge, never a global sort).  Ties break url asc — total
+        order, deterministic across partitionings."""
+        k = k or self.cfg.top_k
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            return self.spark.createDataFrame(
+                [], "url string, sort_key long, rank int")
+        idf_by_key = dict(zip(resolved["term_key"],
+                              resolved["idf"].astype(float)))
+        cand = (
+            self._drop_deleted(
+                self._unpack(self._scan_index(resolved), idf_by_key))
+            .select("shard", "local_id").distinct()
+        )
+        urls = cand.join(self._doc_map(), ["shard", "local_id"]).select("url")
+        keyed = urls.join(
+            sort_keys.select("url", F.col(key_col).alias("sort_key")), "url")
+        order = [F.desc("sort_key") if descending else F.asc("sort_key"),
+                 F.asc("url")]
+        topk = keyed.orderBy(*order).limit(k)
+        return ranked(
+            topk,
+            [("sort_key", "desc" if descending else "asc"), ("url", "asc")],
+        ).select("url", "sort_key", "rank")
+
     def wildcard_search_indexed(self, query: str, kgram_path: str,
                                 k: int | None = None,
                                 max_expansions: int = 16) -> DataFrame:

@@ -304,6 +304,30 @@ def twin_wildcard_any_topk(spark: SparkSession, engine, query: str, k: int,
     return ranked(topk, [("score", "desc"), ("url", "asc")])
 
 
+def twin_sorted_topk(spark: SparkSession, engine, query: str,
+                     sort_keys: DataFrame, k: int,
+                     descending: bool = True,
+                     key_col: str = "sort_key") -> DataFrame:
+    """(url, sort_key, rank) — the plain twin of
+    ``SearchEngine.search_sorted``: distinct matching urls recomputed
+    from live raw postings (tombstones/superseded generations
+    masked), the same sort-key join and (key, url) total order."""
+    keys = engine.parse_query(query)
+    urls = (
+        live_raw_postings(spark, engine)
+        .filter(F.col("term_key").isin(list(keys)))
+        .select("url").distinct()
+    )
+    keyed = urls.join(
+        sort_keys.select("url", F.col(key_col).alias("sort_key")), "url")
+    order = [F.desc("sort_key") if descending else F.asc("sort_key"),
+             F.asc("url")]
+    topk = keyed.orderBy(*order).limit(k)
+    return ranked(
+        topk, [("sort_key", "desc" if descending else "asc"), ("url", "asc")]
+    ).select("url", "sort_key", "rank")
+
+
 def twin_prf_topk(spark: SparkSession, engine, query: str, k: int,
                   fb_docs: int = 10, fb_terms: int = 5) -> DataFrame:
     """(url, score, rank) — the plain twin of

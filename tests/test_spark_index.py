@@ -250,3 +250,41 @@ def test_search_filtered_context(spark, built_index):
 
     empty = allowed.limit(0)
     assert eng.search_filtered(q, empty, k=5).count() == 0
+
+
+def test_search_sorted_by_field(spark, built_index):
+    """Sort-by-field contract: the page is the MATCHING set (>= 1
+    query term, same candidate rule as facets) ordered by the
+    caller's key — relevance plays no part; ascending flips the
+    page; an unknown query yields the empty frame; ties break
+    url asc."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.twin import twin_sorted_topk
+
+    out, cfg, meta = built_index
+    eng = SearchEngine(spark, out, cfg)
+    q = "nation policy report"
+    # deterministic keys with deliberate TIES: url length
+    pages_urls = eng._doc_map().select("url")
+    keys = pages_urls.select(
+        "url", F.length("url").cast("long").alias("sort_key"))
+
+    got = [(r["url"], r["sort_key"], r["rank"])
+           for r in eng.search_sorted(q, keys, 12).collect()]
+    want = [(r["url"], r["sort_key"], r["rank"])
+            for r in twin_sorted_topk(spark, eng, q, keys, 12).collect()]
+    assert got == want and len(got) == 12
+    # descending by key, ties url asc
+    ks = [k for _, k, _ in got]
+    assert ks == sorted(ks, reverse=True)
+    for (u1, k1, _), (u2, k2, _) in zip(got, got[1:]):
+        if k1 == k2:
+            assert u1 < u2
+
+    asc = [(r["url"], r["sort_key"])
+           for r in eng.search_sorted(q, keys, 12, descending=False).collect()]
+    ka = [k for _, k in asc]
+    assert ka == sorted(ka)
+
+    assert eng.search_sorted("zzzunknownterm", keys, 5).count() == 0
