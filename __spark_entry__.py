@@ -96,6 +96,7 @@ _DOCSTORE_CACHE: dict[str, str] = {}
 _TV_CACHE: dict[str, str] = {}
 _KGRAM_CACHE: dict[str, str] = {}
 _KGRAM_ENG_CACHE: dict[str, str] = {}
+_FED_CACHE: dict[str, str] = {}
 
 # suggest-box prefixes for the autocomplete rows (typed first letters)
 AC_PREFIXES = ("c", "d", "s")
@@ -315,6 +316,46 @@ def _tv_index_for(spark: SparkSession, sf_dir: str) -> str:
             published = _atomic_publish(out, build)
         _TV_CACHE[key] = published
     return os.path.join(_TV_CACHE[key], "tv")
+
+
+def _federated_halves_for(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Materialize (once per sf_dir, cached on disk) TWO separately
+    built half-corpus indexes (doc_id parity split — disjoint, same
+    cfg as the full entry index) for the federated-search row."""
+    key = os.path.abspath(sf_dir)
+    if key not in _FED_CACHE:
+        tag = hashlib.md5(f"{key}|fed1|{_ENTRY_CFG}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_fed_{tag}")
+
+        def build(tmp: str) -> None:
+            pages = load_documents_as_pages(spark, key)
+            even = pages.filter(F.col("url").cast("long") % 2 == 0)
+            odd = pages.filter(F.col("url").cast("long") % 2 == 1)
+            build_index(spark, even, os.path.join(tmp, "ix_even"), _ENTRY_CFG)
+            build_index(spark, odd, os.path.join(tmp, "ix_odd"), _ENTRY_CFG)
+
+        _FED_CACHE[key] = _atomic_publish(out, build)
+    root = _FED_CACHE[key]
+    return [os.path.join(root, "ix_even"), os.path.join(root, "ix_odd")]
+
+
+def q_search_federated(spark, sf):
+    """Federated multi-index search (Lucene's MultiReader contract):
+    two SEPARATELY BUILT half-corpus indexes searched together with
+    global collection statistics (Σdf, ΣN, exact global avgdl; idf
+    through the build stage's own Spark expression) ≡ the ONE index
+    built over the whole corpus, per rank.  A member scoring with its
+    local stats — the naive federation bug — flips ranks and goes
+    red."""
+    from search_engine_spark.federated import federated_search
+
+    eng = _engine_for(spark, sf)
+    halves = _federated_halves_for(spark, sf)
+    fed = federated_search(spark, halves, ENGINE_QUERY, 20, _ENTRY_CFG)
+    return _rank_eq(
+        fed, eng.search(ENGINE_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
 
 
 def _kgram_docs_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -3176,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_date_histogram": q_search_date_histogram,
         "ft_sort_by_time": q_ft_sort_by_time,
         "search_sort_by_time": q_search_sort_by_time,
+        "search_federated": q_search_federated,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "ft_prefix_topk": q_ft_prefix_topk,
@@ -4879,6 +4921,10 @@ ranked AS (SELECT vec_id, cosine,
                   CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
            FROM scored)
 SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 10
+""",
+        "search_federated": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
 """,
         # sort-by-field retrieval: newest-first page over the matching
         # set, relative crawl seconds (min-subtraction cancels epoch)

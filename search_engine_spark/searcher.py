@@ -358,9 +358,14 @@ class SearchEngine:
             F.col("bucket").isin(buckets) & F.col("term_key").isin(keys)
         )
 
-    def _unpack(self, scan: DataFrame, idf_by_key: dict[str, float]) -> DataFrame:
+    def _unpack(self, scan: DataFrame, idf_by_key: dict[str, float],
+                avgdl: float | None = None) -> DataFrame:
+        """``avgdl`` overrides the index's own collection stat — the
+        federated multi-index path passes the GLOBAL average doc
+        length so every member index scores on the same norm
+        (federated.py); every single-index path leaves it None."""
         k1, b = self.meta["k1"], self.meta["b"]
-        avgdl = self.meta["avgdl"]
+        avgdl = self.meta["avgdl"] if avgdl is None else float(avgdl)
 
         def unpack_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:

@@ -230,10 +230,39 @@ def main() -> None:
     run("hybrid_rrf_top10", lambda: HYB.hybrid_rrf_topk(
         docs, ["world", "trade", "market"], k=10, candidate_k=20))
 
+    # round-5 training-layout ops over the full corpus: the packing
+    # scan (range shuffle + tiny totals collect + one Arrow pass) and
+    # the map-only chunk explode (noop-sinked — a count would prune
+    # the slice/join work being measured)
+    from search_engine_spark.operators import packing as PKG
+
+    def _pack():
+        w = docs.select(
+            "doc_id",
+            F.size(TS.simple_tokens()).cast("long").alias("n_tokens"))
+        return PKG.pack_shards(w, budget=100_000, n_parts=args.cpus)
+
+    run("pack_shards_full", _pack)
+    run("chunk_windows_full", lambda: PKG.chunk_documents(docs, 128, 96),
+        sink="noop")
+
+    # int8-quantized MIPS over hash embeddings of the full corpus:
+    # quantize (absmax scalar subquery) + BIGINT dot + TakeOrdered
+    from search_engine_spark.operators import embed as EMB
+    from search_engine_spark.operators import similarity as SIML
+
+    def _int8():
+        e = EMB.hash_embed(docs).select(
+            F.col("doc_id").alias("vec_id"), "embedding")
+        return SIML.ann_int8_topk(e, query_id=0, k=10)
+
+    run("ann_int8_top10_full", _int8)
+
     _QP = {"fuzzy_top10", "fuzzy_top10_indexed", "proximity_top10",
            "result_page_top10", "docstore_fetch_10", "wildcard_top10",
            "prf_top10", "span_near_top10", "span_unordered_top10",
-           "rescore_top10", "tree_top10"}
+           "rescore_top10", "tree_top10", "kgram_build",
+           "wildcard_infix_top10", "sort_by_time_top10"}
     if args.only is None or _QP & set(args.only):
         # packed POSITIONAL index over the same corpus, built once
         # OUTSIDE the timers (a per-corpus artifact, like the anchor
@@ -314,6 +343,24 @@ def main() -> None:
                                index_dir=qp_ix)
         run("prf_top10", lambda: eng.prf_search(
             "world trade market", tv_path, 10))
+        # k-gram side-car over the 240k dictionary (built once,
+        # outside the timers like the suggest/tv layouts); measured:
+        # the gram-IN pruned infix-wildcard serve
+        from search_engine_spark.operators import kgram as KGO
+
+        kg_ix = _tf3.mkdtemp(prefix="pb_kg_")
+        t0 = time.time()
+        KGO.write_kgram_index(eng._dictionary, kg_ix, index_dir=qp_ix)
+        timings["kgram_build"] = round(time.time() - t0, 2)
+        print(f"kgram_build: {timings['kgram_build']}s",
+              file=sys.stderr, flush=True)
+        run("wildcard_infix_top10", lambda: eng.wildcard_search_indexed(
+            "*rld trade", kg_ix, 10))
+        # newest-first sorted page over the matching set
+        pages_ts = spark.read.parquet(corpus).select(
+            "url", F.col("warc_ts").cast("long").alias("sort_key"))
+        run("sort_by_time_top10", lambda: eng.search_sorted(
+            "world trade market", pages_ts, 10))
 
     print(json.dumps({
         "metric": "pipeline ops at scale corpus",
