@@ -246,17 +246,24 @@ def main() -> None:
     run("chunk_windows_full", lambda: PKG.chunk_documents(docs, 128, 96),
         sink="noop")
 
-    # int8-quantized MIPS over hash embeddings of the full corpus:
-    # quantize (absmax scalar subquery) + BIGINT dot + TakeOrdered
-    from search_engine_spark.operators import embed as EMB
-    from search_engine_spark.operators import similarity as SIML
+    # int8-quantized MIPS over the full corpus's embeddings table:
+    # the embeddings materialize ONCE outside the timer (they are an
+    # upstream artifact — hash_embed has its own row, and the driver
+    # rows read a stored embeddings table the same way); measured:
+    # quantize (absmax scalar subquery) + BIGINT dot + TakeOrdered,
+    # which an in-plan lazy hash_embed would otherwise recompute 3x
+    if args.only is None or "ann_int8_top10_full" in args.only:
+        import tempfile as _tf4
 
-    def _int8():
-        e = EMB.hash_embed(docs).select(
-            F.col("doc_id").alias("vec_id"), "embedding")
-        return SIML.ann_int8_topk(e, query_id=0, k=10)
+        from search_engine_spark.operators import embed as EMB
+        from search_engine_spark.operators import similarity as SIML
 
-    run("ann_int8_top10_full", _int8)
+        emb_path = _tf4.mkdtemp(prefix="pb_emb_")
+        (EMB.hash_embed(docs)
+         .select(F.col("doc_id").alias("vec_id"), "embedding")
+         .write.mode("overwrite").parquet(emb_path))
+        run("ann_int8_top10_full", lambda: SIML.ann_int8_topk(
+            spark.read.parquet(emb_path), query_id=0, k=10))
 
     _QP = {"fuzzy_top10", "fuzzy_top10_indexed", "proximity_top10",
            "result_page_top10", "docstore_fetch_10", "wildcard_top10",
