@@ -2391,6 +2391,44 @@ def q_search_phrase(spark, sf):
     )
 
 
+PHRASE_PREFIX_QUERY = "hash jo*"  # as-you-type box: head term + prefix
+
+
+def q_ft_phrase_prefix(spark, sf):
+    """Phrase-prefix matching (ES match_phrase_prefix semantics),
+    fully SQL-checkable on raw positions: docs where 'hash' is
+    immediately followed by a token starting 'jo', ranked by the
+    exact occurrence count."""
+    docs = _tbl(spark, sf, "documents")
+    ex = docs.select(
+        "doc_id", F.posexplode(TS.simple_tokens()).alias("pos0", "tok"))
+    a = ex.filter(F.col("tok") == "hash").select("doc_id", "pos0")
+    b = ex.filter(F.col("tok").startswith("jo")).select(
+        "doc_id", (F.col("pos0") - 1).alias("pos0"))
+    m = (
+        a.join(b, ["doc_id", "pos0"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("phrase_tf"))
+    )
+    topk = m.orderBy(F.desc("phrase_tf"), F.asc("doc_id")).limit(20)
+    return ranked(topk, [("phrase_tf", "desc"), ("doc_id", "asc")]).select(
+        "doc_id", "phrase_tf", F.col("rank").cast("long").alias("rank"))
+
+
+def q_search_phrase_prefix(spark, sf):
+    """The packed-index as-you-type path (phrase chain join + ONE
+    expansion leg pruned to the df-capped prefix set) ≡ the plain
+    twin whose expansion re-derives from postings_raw, per rank."""
+    eng = _engine_for(spark, sf)
+    return _rank_eq(
+        eng.phrase_prefix_search(PHRASE_PREFIX_QUERY, 20,
+                                 max_expansions=MAX_EXPANSIONS),
+        TW.twin_phrase_prefix_topk(spark, eng, PHRASE_PREFIX_QUERY, 20,
+                                   max_expansions=MAX_EXPANSIONS),
+        exact=["url", "phrase_tf"], approx=[],
+    )
+
+
 # ordered span-near row: terms in phrase order, slop widens the window
 SPAN_TERMS = ("data", "row", "query")
 SPAN_SLOP = 4
@@ -3218,6 +3256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_by_time": q_ft_sort_by_time,
         "search_sort_by_time": q_search_sort_by_time,
         "search_federated": q_search_federated,
+        "ft_phrase_prefix": q_ft_phrase_prefix,
+        "search_phrase_prefix": q_search_phrase_prefix,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "ft_prefix_topk": q_ft_prefix_topk,
@@ -4924,6 +4964,25 @@ SELECT vec_id, cosine, rank FROM ranked WHERE rank <= 10
 """,
         "search_federated": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        # phrase-prefix (as-you-type): head token immediately followed
+        # by any token carrying the prefix, exact occurrence counts
+        "ft_phrase_prefix": f"""
+WITH {_TOK_CTE},
+m AS (SELECT doc_id,
+             CAST(len(list_filter(range(1, len(toks)),
+                  i -> toks[i] = 'hash' AND starts_with(toks[i+1], 'jo')))
+                  AS BIGINT) AS phrase_tf
+      FROM tok),
+rk AS (SELECT doc_id, phrase_tf,
+              CAST(row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC)
+                   AS BIGINT) AS rank
+       FROM m WHERE phrase_tf > 0)
+SELECT doc_id, phrase_tf, rank FROM rk WHERE rank <= 20
+""",
+        "search_phrase_prefix": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS phrase_tf_match
 FROM range(1, 21)
 """,
         # sort-by-field retrieval: newest-first page over the matching

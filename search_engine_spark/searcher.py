@@ -1177,6 +1177,76 @@ class SearchEngine:
             .select("url", "phrase_tf", "rank")
         )
 
+    def phrase_prefix_search(self, phrase: str, k: int | None = None,
+                             max_expansions: int = 16) -> DataFrame:
+        """ES ``match_phrase_prefix`` — the as-you-type phrase box:
+        the phrase's last token is a prefix (``"quick bro*"``) that
+        expands against the index vocabulary (df desc, term asc, the
+        shared TopTermsRewrite cap; lowercased, never stemmed — the
+        analyzer bypass every wildcard path uses), and a doc matches
+        where the head phrase is followed, at the next raw token
+        position, by ANY expansion.  Ranked by match count (ties url
+        asc).  Plan: the phrase chain join with ONE extra leg whose
+        scan is pruned to the expansion keys — a (doc, pos) holds one
+        term, so the union of expansions stays a set and the tuple
+        count is exact.  Requires ``keep_positions=True``."""
+        if not self.meta.get("keep_positions"):
+            raise ValueError(
+                "phrase_prefix_search requires an index built with "
+                "keep_positions=True")
+        k = k or self.cfg.top_k
+        toks = phrase.split()
+        empty = self.spark.createDataFrame(
+            [], "url string, phrase_tf long, rank int")
+        if not toks or not toks[-1].endswith("*") or len(toks[-1]) < 2:
+            raise ValueError(
+                "phrase_prefix_search wants 'head terms pre*' — a "
+                "phrase whose last token is a non-empty prefix + '*'")
+        prefix = toks[-1][:-1].lower()
+        prefix_off = len(toks) - 1  # raw token position of the star
+        head = " ".join(toks[:-1])
+        terms = self.parse_phrase(head) if head else []
+        expansions = self._expand_prefixes([prefix], max_expansions)
+        if not expansions:
+            return empty
+        keys = sorted({t for t, _ in terms})
+        resolved = self.resolve_terms(sorted(set(keys) | set(expansions)))
+        if set(keys) - set(resolved["term_key"]):
+            return empty  # a head term missing from the dictionary
+        base = None
+        for key, off in terms:
+            part = (
+                self._unpack_positions(
+                    self._scan_index(resolved[resolved["term_key"] == key])
+                )
+                .select("shard", "local_id",
+                        (F.col("pos") - F.lit(off)).alias("base"))
+            )
+            base = part if base is None else base.join(
+                part, ["shard", "local_id", "base"])
+        exp_rows = resolved[resolved["term_key"].isin(expansions)]
+        exp_leg = (
+            self._unpack_positions(self._scan_index(exp_rows))
+            .select("shard", "local_id",
+                    (F.col("pos") - F.lit(prefix_off)).alias("base"))
+        )
+        base = exp_leg if base is None else base.join(
+            exp_leg, ["shard", "local_id", "base"])
+        matches = self._drop_deleted(
+            base.groupBy("shard", "local_id").agg(
+                F.count(F.lit(1)).alias("phrase_tf"))
+        )
+        topk = (
+            matches.join(self._doc_map(), ["shard", "local_id"])
+            .orderBy(F.desc("phrase_tf"), F.asc("url"))
+            .limit(k)
+        )
+        return (
+            ranked(topk.select("url", "phrase_tf"),
+                   [("phrase_tf", "desc"), ("url", "asc")])
+            .select("url", "phrase_tf", "rank")
+        )
+
     def span_near_search(self, phrase: str, slop: int = 0,
                          k: int | None = None,
                          ordered: bool = True) -> DataFrame:

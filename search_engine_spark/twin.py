@@ -535,6 +535,64 @@ def twin_phrase_topk(spark: SparkSession, engine, phrase: str, k: int) -> DataFr
     return ranked(topk, [("phrase_tf", "desc"), ("url", "asc")])
 
 
+def twin_phrase_prefix_topk(spark: SparkSession, engine, phrase: str,
+                            k: int, max_expansions: int = 16) -> DataFrame:
+    """(url, phrase_tf, rank) — plain twin of
+    ``SearchEngine.phrase_prefix_search``: head offsets from the
+    shared phrase parse, the prefix expansion re-derived from
+    postings_raw stats-as-packed (df desc, term asc — the shared cap
+    rule, like twin_wildcard_topk), and the chain matched on raw
+    ``positions`` arrays."""
+    from pyspark.sql import Window
+
+    toks = phrase.split()
+    prefix = toks[-1][:-1].lower()
+    prefix_off = len(toks) - 1
+    head = " ".join(toks[:-1])
+    terms = engine.parse_phrase(head) if head else []
+    empty = spark.createDataFrame([], "url string, phrase_tf long, rank int")
+    raw = live_raw_postings(spark, engine)
+    vocab = (
+        raw_postings(spark, engine)
+        .groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("term_key").startswith(prefix))
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("term_key"))
+    expansions = sorted(
+        r["term_key"]
+        for r in vocab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_expansions).select("term_key").collect()
+    )
+    if not expansions:
+        return empty
+    present = {
+        r["term_key"]
+        for r in raw.filter(
+            F.col("term_key").isin(sorted({t for t, _ in terms})))
+        .select("term_key").distinct().collect()
+    }
+    if {t for t, _ in terms} - present:
+        return empty
+    base = None
+    for key, off in terms:
+        part = (
+            raw.filter(F.col("term_key") == key)
+            .select("url", F.explode("positions").alias("pos"))
+            .select("url", (F.col("pos") - F.lit(off)).alias("base"))
+        )
+        base = part if base is None else base.join(part, ["url", "base"])
+    exp_leg = (
+        raw.filter(F.col("term_key").isin(expansions))
+        .select("url", F.explode("positions").alias("pos"))
+        .select("url", (F.col("pos") - F.lit(prefix_off)).alias("base"))
+    )
+    base = exp_leg if base is None else base.join(exp_leg, ["url", "base"])
+    matches = base.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("phrase_tf"))
+    topk = matches.orderBy(F.desc("phrase_tf"), F.asc("url")).limit(k)
+    return ranked(topk, [("phrase_tf", "desc"), ("url", "asc")])
+
+
 def twin_span_near_topk(spark: SparkSession, engine, phrase: str,
                         slop: int, k: int, ordered: bool = True) -> DataFrame:
     """(url, span_tf, rank) — plain twin of

@@ -278,3 +278,57 @@ def test_rescore_two_phase(spark, prox_index):
 
     with pytest.raises(ValueError, match="window"):
         eng.rescore_search(q, k=20, window=10)
+
+
+def test_phrase_prefix_engine_equals_twin_and_golden(spark, prox_index):
+    """match_phrase_prefix: engine (packed chain + df-capped expansion
+    leg) ≡ raw-positions twin per rank, and both equal a single-node
+    golden recomputation over parse_doc positions with the SAME
+    df-desc/term-asc expansion cap."""
+    from search_engine_spark.textproc import parse_doc
+    from search_engine_spark.twin import twin_phrase_prefix_topk
+
+    eng, pages, cfg = prox_index
+    q = "world tra*"
+    got = [(r["url"], r["phrase_tf"])
+           for r in eng.phrase_prefix_search(q, 30).orderBy("rank").collect()]
+    want = [(r["url"], r["phrase_tf"])
+            for r in twin_phrase_prefix_topk(spark, eng, q, 30)
+            .orderBy("rank").collect()]
+    assert got == want and got
+    # single-node golden: expansion = engine's own cap rule result
+    exps = set(eng._expand_prefixes(["tra"], 16))
+    stop = cfg.stop_set()
+    counts: dict[str, int] = {}
+    for p in pages:
+        pos_by_term: dict[str, set] = {}
+        for key, ts in parse_doc(p["text"], stop, cfg.stem).items():
+            pos_by_term.setdefault(key.lower(), set()).update(ts.positions)
+        heads = pos_by_term.get("world", set())
+        follow = set()
+        for t in exps:
+            follow |= {x - 1 for x in pos_by_term.get(t, set())}
+        n = len(heads & follow)
+        if n:
+            counts[p["url"]] = n
+    golden = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:30]
+    assert got == golden
+
+
+def test_phrase_prefix_guards(spark, prox_index, built_index):
+    eng, _, _ = prox_index
+    with pytest.raises(ValueError, match="last token"):
+        eng.phrase_prefix_search("world trade", 10)
+    with pytest.raises(ValueError, match="last token"):
+        eng.phrase_prefix_search("world *", 10)
+    # unknown prefix -> empty; prefix-only query counts occurrences
+    assert eng.phrase_prefix_search("world zzz*", 10).count() == 0
+    solo = eng.phrase_prefix_search("tra*", 10)
+    assert solo.count() > 0
+    # a positions-free index refuses loudly
+    from search_engine_spark.searcher import SearchEngine
+
+    out, cfg0, _ = built_index
+    flat = SearchEngine(spark, out, cfg0)
+    with pytest.raises(ValueError, match="keep_positions"):
+        flat.phrase_prefix_search("world tra*", 10)
