@@ -76,6 +76,11 @@ def main() -> None:
                          "index required); ranks by exact span_tf")
     ap.add_argument("--any-order", action="store_true",
                     help="with --span-near: drop the phrase-order constraint")
+    ap.add_argument("--phrase-prefix", dest="phrase_prefix",
+                    action="store_true",
+                    help="as-you-type phrase box: the query's last token is "
+                         "a prefix ('quick bro*') expanded against the "
+                         "vocabulary (df-capped); positional index required")
     ap.add_argument("--tree", default=None, metavar="JSON",
                     help="nested boolean query tree, e.g. "
                          "'{\"op\":\"and\",\"kids\":[{\"term\":\"a\"},"
@@ -160,6 +165,10 @@ def main() -> None:
         for r in eng.wildcard_search_indexed(text, args.kgram,
                                              args.k).collect():
             print(f"q1 {r['rank']} {r['url']} {r['score']:.6f}")
+    elif args.phrase_prefix:
+        text = " ".join(args.query)
+        for r in eng.phrase_prefix_search(text, args.k).collect():
+            print(f"q1 {r['rank']} {r['url']} {r['phrase_tf']}")
     elif args.span_near is not None:
         text = " ".join(args.query)
         for r in eng.span_near_search(text, slop=args.span_near,

@@ -269,7 +269,8 @@ def main() -> None:
            "result_page_top10", "docstore_fetch_10", "wildcard_top10",
            "prf_top10", "span_near_top10", "span_unordered_top10",
            "rescore_top10", "tree_top10", "kgram_build",
-           "wildcard_infix_top10", "sort_by_time_top10"}
+           "wildcard_infix_top10", "sort_by_time_top10",
+           "phrase_prefix_top10"}
     if args.only is None or _QP & set(args.only):
         # packed POSITIONAL index over the same corpus, built once
         # OUTSIDE the timers (a per-corpus artifact, like the anchor
@@ -363,6 +364,10 @@ def main() -> None:
               file=sys.stderr, flush=True)
         run("wildcard_infix_top10", lambda: eng.wildcard_search_indexed(
             "*rld trade", kg_ix, 10))
+        # as-you-type phrase box: head chain join + ONE expansion leg
+        # pruned to the df-capped prefix set over the 240k vocabulary
+        run("phrase_prefix_top10",
+            lambda: eng.phrase_prefix_search("world tra*", 10))
         # newest-first sorted page over the matching set
         pages_ts = spark.read.parquet(corpus).select(
             "url", F.col("warc_ts").cast("long").alias("sort_key"))
