@@ -1813,6 +1813,47 @@ def q_text_suggest(spark, sf):
                                     list(MISSPELLED), 2)
 
 
+DYM_TERMS = ("data", "tabel", "quey", "dup", "zzzzqqq")
+DYM_GAIN = 4
+
+
+def q_text_did_you_mean(spark, sf):
+    """Whole-query 'did you mean' banner (the ES term-suggester
+    suggest_mode=popular rule with a confidence gate): EVERY input
+    term keeps a row.  'tabel'/'quey' are out-of-vocabulary and
+    correct to their frequent neighbors; 'data' and 'dup' are
+    in-vocabulary with no >gain x-more-frequent neighbor within 2
+    edits, so they stay (changed=false); 'zzzzqqq' has no candidate
+    and stays as itself — a banner never drops words."""
+    docs = _tbl(spark, sf, "documents")
+    vocab = _doc_tf(docs).groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return SN.did_you_mean(vocab, list(DYM_TERMS), max_dist=2,
+                           gain=DYM_GAIN, term_col="tok", df_col="df")
+
+
+# every token is a Porter fixed point, so the analyzed term keys the
+# banner rows carry equal the typed tokens (the static oracle lists
+# them verbatim); 'tabel'/'quer' correct to the stems 'tabl'/'queri'
+DYM_ENGINE_QUERY = "data tabel quer dup zzzzqqq"
+
+
+def q_search_did_you_mean(spark, sf):
+    """Engine banner over the packed dictionary ≡ stats-as-packed
+    twin per term: the same gain gate and (dist asc, df desc, term
+    asc) pick, engine via one min_by-struct pass, twin via a
+    row_number window over raw-posting df — different physical
+    plans pinned column-for-column."""
+    eng = _engine_for(spark, sf)
+    return TW.compare_topk(
+        eng.did_you_mean(DYM_ENGINE_QUERY, max_dist=2, gain=DYM_GAIN),
+        TW.twin_did_you_mean(spark, eng, DYM_ENGINE_QUERY,
+                             max_dist=2, gain=DYM_GAIN),
+        ["term"],
+        ["suggestion", "dist", "df_term", "df_sugg", "changed"],
+        [],
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
 SAMPLE_SALT = "r3"
 SAMPLE_DEFAULT = 0.05
@@ -3258,6 +3299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_federated": q_search_federated,
         "ft_phrase_prefix": q_ft_phrase_prefix,
         "search_phrase_prefix": q_search_phrase_prefix,
+        "text_did_you_mean": q_text_did_you_mean,
+        "search_did_you_mean": q_search_did_you_mean,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "ft_prefix_topk": q_ft_prefix_topk,
@@ -4984,6 +5027,36 @@ SELECT doc_id, phrase_tf, rank FROM rk WHERE rank <= 20
         "search_phrase_prefix": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS phrase_tf_match
 FROM range(1, 21)
+""",
+        # whole-query did-you-mean: suggest_mode=popular + gain gate,
+        # every term keeps a row; DISTINCT ON replicates the argmin
+        "text_did_you_mean": f"""
+WITH {_TF_CTE},
+vocab AS (SELECT tok AS suggestion, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY tok),
+q AS (SELECT unnest([{", ".join(f"'{t}'" for t in DYM_TERMS)}]) AS term),
+orig AS (SELECT term, coalesce(v.df, 0) AS df_term
+         FROM q LEFT JOIN vocab v ON v.suggestion = q.term),
+cand AS (SELECT o.term, v.suggestion, v.df,
+                levenshtein(o.term, v.suggestion) AS dist
+         FROM orig o CROSS JOIN vocab v
+         WHERE abs(length(v.suggestion) - length(o.term)) <= 2
+           AND levenshtein(o.term, v.suggestion) BETWEEN 1 AND 2
+           AND v.df > {DYM_GAIN} * o.df_term),
+best AS (SELECT DISTINCT ON (term) term, suggestion, dist, df
+         FROM cand ORDER BY term, dist, df DESC, suggestion)
+SELECT o.term,
+       coalesce(b.suggestion, o.term) AS suggestion,
+       CAST(coalesce(b.dist, 0) AS BIGINT) AS dist,
+       CAST(o.df_term AS BIGINT) AS df_term,
+       CAST(coalesce(b.df, o.df_term) AS BIGINT) AS df_sugg,
+       b.term IS NOT NULL AS changed
+FROM orig o LEFT JOIN best b USING (term)
+""",
+        "search_did_you_mean": """
+SELECT unnest(['data', 'tabel', 'quer', 'dup', 'zzzzqqq']) AS term,
+       true AS suggestion_match, true AS dist_match,
+       true AS df_term_match, true AS df_sugg_match, true AS changed_match
 """,
         # sort-by-field retrieval: newest-first page over the matching
         # set, relative crawl seconds (min-subtraction cancels epoch)

@@ -10,6 +10,7 @@
     python query.py --index /tmp/ix --collapse 2 "world trade" # <=2 hits/host
     python query.py --index /tmp/ix --complete wor tra       # suggest box
     python query.py --index /tmp/ix --fuzzy "wrold tade"      # typo correction
+    python query.py --index /tmp/ix --did-you-mean "wrold tade"  # banner + search
     python query.py --index /tmp/ix "trade ma*"               # trailing wildcard
     python query.py --index /tmp/ix '+trade ma* -growth'      # query-string syntax
     python query.py --index /tmp/ix --prf /tmp/tv "world trade"  # feedback expansion
@@ -69,6 +70,12 @@ def main() -> None:
     ap.add_argument("--fuzzy", action="store_true",
                     help="correct out-of-vocabulary query terms to their "
                          "closest dictionary term (<=2 edits) before scoring")
+    ap.add_argument("--did-you-mean", dest="did_you_mean",
+                    action="store_true",
+                    help="print a whole-query correction banner (every "
+                         "term kept; in-vocabulary terms replaced only on "
+                         "a >4x-more-frequent neighbor) and score the "
+                         "corrected query")
     ap.add_argument("--span-near", dest="span_near", type=int, default=None,
                     metavar="SLOP",
                     help="ordered span-near: phrase terms in order within "
@@ -169,6 +176,15 @@ def main() -> None:
         text = " ".join(args.query)
         for r in eng.phrase_prefix_search(text, args.k).collect():
             print(f"q1 {r['rank']} {r['url']} {r['phrase_tf']}")
+    elif args.did_you_mean:
+        text = " ".join(args.query)
+        banner = eng.did_you_mean(text).collect()
+        for r in banner:
+            mark = "->" if r["changed"] else "=="
+            print(f"banner {r['term']} {mark} {r['suggestion']} "
+                  f"dist={r['dist']} df={r['df_term']}->{r['df_sugg']}")
+        for r in eng.did_you_mean_search(text, args.k).collect():
+            print(f"q1 {r['rank']} {r['url']} {r['score']:.6f}")
     elif args.span_near is not None:
         text = " ".join(args.query)
         for r in eng.span_near_search(text, slop=args.span_near,

@@ -17,6 +17,12 @@ the HANDFUL of query terms against a pruned scan of the vocab —
 vocab-linear, never corpus-linear, and the distance filter runs as a
 codegen expression.
 
+``did_you_mean`` — the whole-query banner form: every input term
+gets a row, and an IN-vocabulary term is replaced only when a near
+neighbor is more than ``gain``x as frequent (the ES term-suggester
+``suggest_mode=popular`` rule with a confidence gate) — real-word
+error correction, not just out-of-vocabulary repair.
+
 ``suggest_index`` / ``suggest_terms_indexed`` — the SymSpell form of
 the same operator: materialize the vocabulary's deletion
 neighborhood ONCE per index (every string reachable from a vocab
@@ -126,6 +132,69 @@ def suggest_terms(dictionary: DataFrame, terms: list[str],
         F.col("b.suggestion").alias("suggestion"),
         F.col("b.dist").cast("long").alias("dist"),
         (-F.col("b.neg_df")).cast("long").alias("df"),
+    )
+
+
+def did_you_mean(dictionary: DataFrame, terms: list[str],
+                 max_dist: int = 2, gain: int = 4,
+                 term_col: str = "term_key", df_col: str = "df") -> DataFrame:
+    """(term, suggestion, dist, df_term, df_sugg, changed) — the
+    whole-query "did you mean" banner.  Unlike :func:`suggest_terms`
+    (which only corrects and silently drops hopeless terms), this is
+    the ES term-suggester ``suggest_mode=popular`` rule generalized
+    with a confidence gate: EVERY input term gets a row, and a term
+    is replaced only when a candidate within ``max_dist`` edits is
+    MORE THAN ``gain``x as frequent (df_sugg > gain * df_term,
+    BIGINT compare — an out-of-vocabulary term has df 0, so any
+    candidate clears the gate; an in-vocabulary term needs strong
+    frequency evidence, which is what makes real-word corrections
+    safe).  The winning candidate follows the shared spell rule:
+    dist asc, df desc, suggestion asc.  Unreplaced terms suggest
+    themselves at dist 0 with ``changed = false`` — a banner never
+    drops words.
+
+    Plan: ONE broadcast of the handful of query terms against the
+    vocab scan (codegen length-prefiltered levenshtein, dist 0 rows
+    doubling as the exact-match df_term lookup), a q-sized join to
+    thread df_term into the gate, then a tiny min_by-struct agg.
+    Vocab-linear, never corpus-linear."""
+    spark = dictionary.sparkSession
+    q = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    vocab = dictionary.select(
+        F.col(term_col).alias("suggestion"),
+        F.col(df_col).cast("long").alias("df"),
+    )
+    cand = (
+        vocab.crossJoin(F.broadcast(q))
+        .filter(F.abs(F.length("suggestion") - F.length("term")) <= max_dist)
+        .withColumn("dist", F.levenshtein("term", "suggestion"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    exact = cand.filter(F.col("dist") == 0).select(
+        "term", F.col("df").alias("df_term"))
+    orig = q.join(exact, "term", "left").na.fill(0, ["df_term"])
+    gated = (
+        cand.filter(F.col("dist") >= 1)
+        .join(F.broadcast(orig), "term")
+        .filter(F.col("df") > F.lit(gain) * F.col("df_term"))
+    )
+    best = gated.groupBy("term").agg(
+        F.min(
+            F.struct(
+                F.col("dist"),
+                (-F.col("df")).alias("neg_df"),
+                F.col("suggestion"),
+            )
+        ).alias("b")
+    )
+    return orig.join(best, "term", "left").select(
+        "term",
+        F.coalesce(F.col("b.suggestion"), F.col("term")).alias("suggestion"),
+        F.coalesce(F.col("b.dist").cast("long"), F.lit(0)).alias("dist"),
+        F.col("df_term").cast("long").alias("df_term"),
+        F.coalesce((-F.col("b.neg_df")).cast("long"),
+                   F.col("df_term").cast("long")).alias("df_sugg"),
+        F.col("b").isNotNull().alias("changed"),
     )
 
 

@@ -654,6 +654,47 @@ class SearchEngine:
                 [], "url string, score double, rank int")
         return self._search_keys(sorted(corrected), k)
 
+    def did_you_mean(self, query: str, max_dist: int = 2,
+                     gain: int = 4) -> DataFrame:
+        """Whole-query "did you mean" banner over the index
+        dictionary: (term, suggestion, dist, df_term, df_sugg,
+        changed), one row per analyzed term key.  Unlike
+        :meth:`fuzzy_search` (which only repairs OUT-of-vocabulary
+        keys), this also corrects real-word errors — an in-vocabulary
+        key is replaced when a neighbor within ``max_dist`` edits is
+        more than ``gain``x as frequent (df_sugg > gain * df_term,
+        BIGINT compare; the ES term-suggester ``suggest_mode=popular``
+        rule with a confidence gate).  Terms the banner keeps suggest
+        themselves with ``changed = false`` — no word is dropped.
+        Corrections live in analyzed (stemmed) key space, the same
+        convention as every suggest path here.
+
+        Scale shape: the operator broadcasts the handful of query
+        keys against ONE dictionary scan (codegen length-prefiltered
+        levenshtein) — vocab-linear, never corpus-linear
+        (operators/snippets.did_you_mean)."""
+        from .operators.snippets import did_you_mean as _dym
+
+        keys = sorted(set(self.parse_query(query)))
+        return _dym(self._dictionary, keys, max_dist=max_dist, gain=gain)
+
+    def did_you_mean_search(self, query: str, k: int | None = None,
+                            max_dist: int = 2, gain: int = 4) -> DataFrame:
+        """Search the corrected query: apply :meth:`did_you_mean` and
+        score the suggestion set through the ordinary pruned-scan
+        BM25 tail.  Kept-but-unknown terms flow through the standard
+        dictionary-membership filter (F3) exactly as in
+        :meth:`search`; the correction set collected to the driver is
+        <= |query terms| rows (the resolve_terms footprint)."""
+        k = k or self.cfg.top_k
+        rows = self.did_you_mean(query, max_dist=max_dist,
+                                 gain=gain).collect()
+        keys = sorted({r["suggestion"] for r in rows})
+        if not keys:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int")
+        return self._search_keys(keys, k)
+
     def wildcard_search(self, query: str, k: int | None = None,
                         max_expansions: int = 16) -> DataFrame:
         """Trailing-wildcard (prefix) search: query tokens ending in

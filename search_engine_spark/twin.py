@@ -234,6 +234,57 @@ def twin_fuzzy_topk(spark: SparkSession, engine, query: str, k: int,
     return ranked(topk, [("score", "desc"), ("url", "asc")])
 
 
+def twin_did_you_mean(spark: SparkSession, engine, query: str,
+                      max_dist: int = 2, gain: int = 4) -> DataFrame:
+    """(term, suggestion, dist, df_term, df_sugg, changed) — plain
+    twin of ``SearchEngine.did_you_mean``.  Vocabulary df is
+    recomputed stats-as-packed from postings_raw (every generation
+    counts, matching the additively merged dictionary), and the
+    gain-gated argmin runs through a row_number window plus
+    driver-side assembly — a DIFFERENT physical plan than the
+    engine's single-pass min_by struct, so the equivalence pins the
+    gate and the tie-breaks."""
+    from pyspark.sql import Window
+
+    keys = sorted(set(engine.parse_query(query)))
+    vocab = (
+        raw_postings(spark, engine)
+        .groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+    )
+    df_term = {
+        r["term_key"]: r["df"]
+        for r in vocab.filter(F.col("term_key").isin(keys)).collect()
+    }
+    q = spark.createDataFrame(
+        [(t, int(df_term.get(t, 0))) for t in keys],
+        "term string, df_term long")
+    cand = (
+        vocab.crossJoin(F.broadcast(q))
+        .withColumn("dist", F.levenshtein("term", "term_key"))
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+        .filter(F.col("df") > F.lit(gain) * F.col("df_term"))
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term_key"))
+    best = {
+        r["term"]: (r["term_key"], r["dist"], r["df"])
+        for r in cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1).collect()
+    }
+    rows = []
+    for t in keys:
+        if t in best:
+            s, d, dfs = best[t]
+            rows.append((t, s, int(d), int(df_term.get(t, 0)),
+                         int(dfs), True))
+        else:
+            rows.append((t, t, 0, int(df_term.get(t, 0)),
+                         int(df_term.get(t, 0)), False))
+    return spark.createDataFrame(
+        rows, "term string, suggestion string, dist long, "
+              "df_term long, df_sugg long, changed boolean")
+
+
 def twin_wildcard_topk(spark: SparkSession, engine, query: str, k: int,
                        max_expansions: int = 16) -> DataFrame:
     """(url, score, rank) — the plain twin of

@@ -71,6 +71,68 @@ def test_suggest_prefers_higher_df_on_dist_tie(spark):
     assert [(r["suggestion"], r["dist"], r["df"]) for r in got] == [("fable", 1, 90)]
 
 
+def test_did_you_mean_gate_and_rows(spark):
+    from search_engine_spark.operators.snippets import did_you_mean
+
+    vocab = spark.createDataFrame(
+        [("table", 100), ("cable", 30), ("tale", 24), ("query", 7)],
+        "term_key string, df long",
+    )
+    got = {r["term"]: r for r in did_you_mean(
+        vocab, ["tabel", "tale", "query", "zzzzz"], gain=4).collect()}
+    # every input term keeps a row — a banner never drops words
+    assert set(got) == {"tabel", "tale", "query", "zzzzz"}
+    # OOV (df_term 0): any candidate clears the gate; dist wins first
+    # ('tale' at 2 edits ties 'table' — plain Levenshtein has no
+    # transposition — so df desc picks 'table')
+    r = got["tabel"]
+    assert (r["suggestion"], r["dist"], r["df_term"], r["df_sugg"],
+            r["changed"]) == ("table", 2, 0, 100, True)
+    # real-word error: 'tale' IS in vocab (df 24) but 'table' is
+    # 100 > 4*24 — replaced despite being a valid word
+    r = got["tale"]
+    assert (r["suggestion"], r["df_term"], r["df_sugg"], r["changed"]) == (
+        "table", 24, 100, True)
+    # in-vocab with no strong neighbor: suggests itself, changed=false
+    r = got["query"]
+    assert (r["suggestion"], r["dist"], r["df_term"], r["df_sugg"],
+            r["changed"]) == ("query", 0, 7, 7, False)
+    # no candidate at all: still a self row
+    r = got["zzzzz"]
+    assert (r["suggestion"], r["dist"], r["df_term"], r["changed"]) == (
+        "zzzzz", 0, 0, False)
+
+
+def test_did_you_mean_gate_is_strict(spark):
+    """df_sugg must EXCEED gain*df_term — equality keeps the term."""
+    from search_engine_spark.operators.snippets import did_you_mean
+
+    vocab = spark.createDataFrame(
+        [("cable", 40), ("table", 10)], "term_key string, df long")
+    got = {r["term"]: r for r in
+           did_you_mean(vocab, ["table"], gain=4).collect()}
+    assert got["table"]["changed"] is False      # 40 == 4*10, not >
+    got = {r["term"]: r for r in
+           did_you_mean(vocab, ["table"], gain=3).collect()}
+    assert (got["table"]["suggestion"], got["table"]["changed"]) == (
+        "cable", True)                           # 40 > 3*10
+
+
+def test_did_you_mean_tie_breaks(spark):
+    """Candidate pick follows the shared spell rule: dist asc, df
+    desc, suggestion asc."""
+    from search_engine_spark.operators.snippets import did_you_mean
+
+    vocab = spark.createDataFrame(
+        [("cable", 80), ("fable", 80), ("tables", 200)],
+        "term_key string, df long",
+    )
+    r = did_you_mean(vocab, ["aable"], gain=4).collect()[0]
+    # dist 1 (cable/fable) beats dist 2 (tables) despite lower df;
+    # equal dist+df -> lexicographic asc
+    assert (r["suggestion"], r["dist"], r["df_sugg"]) == ("cable", 1, 80)
+
+
 # ---------------------------------------------------------------------------
 # SymSpell deletion-neighborhood index
 
