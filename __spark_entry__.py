@@ -2926,6 +2926,54 @@ def q_search_wildcard(spark, sf):
     )
 
 
+# regex term query (Lucene RegexpQuery): anchored-prefix gram
+# evidence ('sor[a-z]*'), split start+end runs ('win.ow'), an
+# optional char leaving only a suffix gram ('da?ta'), alternation ->
+# the full-vocab fallback ('gr(ou|u)p.*'), and a no-match pattern
+# ('zz+q' — absent from the result on both sides); '.*[aeo].*' is
+# gram-less and matches far more than the cap, so the
+# df-desc/term-asc TopTermsRewrite cut binds
+REGEX_PATTERNS = ["sor[a-z]*", "win.ow", "da?ta", "gr(ou|u)p.*", "zz+q",
+                  ".*[aeo].*"]
+
+
+def q_ft_regex_expand(spark, sf):
+    """Regex term expansion served from the STORED k-gram side-car
+    (mandatory-literal-run grams -> gram-IN pruned scan +
+    count-distinct gate + anchored regex verify; alternation patterns
+    fall back to the stored vocab scan) ≡ DuckDB's brute-force
+    regexp_full_match over the whole vocabulary — the full-recall
+    contract: if the run extractor wrongly dropped ANY true match, or
+    the df-desc/term-asc cap diverged, the row goes red."""
+    path = _kgram_docs_index_for(spark, sf)
+    return KG.expand_regex_indexed(spark, path, REGEX_PATTERNS,
+                                   MAX_EXPANSIONS)
+
+
+# stems: 'queri' <- query/queries, 'group' (fixed point); the plain
+# term 'data' rides along through the ordinary analyzer
+REGEX_ENGINE_QUERY = "data /quer[a-z]*/ /gr(ou|u)p.*/"
+
+
+def q_search_regex(spark, sf):
+    """Regex search from the packed index + the stamped k-gram
+    side-car ≡ plain-postings twin, per rank: the twin expands by
+    brute-force anchored regex over a vocabulary re-derived
+    stats-as-packed from postings_raw (NO gram table, NO run
+    extractor in its path), so an extractor unsoundness or a df
+    divergence between the stores flips the expansion set and the
+    row goes red."""
+    eng = _engine_for(spark, sf)
+    kg = _kgram_engine_index_for(spark, sf)
+    return _rank_eq(
+        eng.regex_search_indexed(REGEX_ENGINE_QUERY, kg, 20,
+                                 max_expansions=MAX_EXPANSIONS),
+        TW.twin_regex_topk(spark, eng, REGEX_ENGINE_QUERY, 20,
+                           max_expansions=MAX_EXPANSIONS),
+        exact=["url"], approx=["score"],
+    )
+
+
 # indexed-path + fallback-path + cap, over the documents vocabulary:
 # '*ata*' (infix), 's*ow' (anchored suffix gram only), '*er' (suffix),
 # '*a*' (gram-less single char -> the fallback vocabulary scan)
@@ -3287,6 +3335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (list(queries())[50:]) against DuckDB every CI run."""
     return {
         # --- window, part 1: round-5 rows (never driver-stamped)
+        "ft_regex_expand": q_ft_regex_expand,
+        "search_regex": q_search_regex,
         "ft_kgram_expand": q_ft_kgram_expand,
         "search_wildcard_infix": q_search_wildcard_infix,
         "ann_int8_topk": q_ann_int8_topk,
@@ -4447,6 +4497,26 @@ FROM range(1, 21)
         # vocabulary, capped per pattern by df desc, term asc — the
         # Spark side serves the SAME rows from the gram-IN pruned
         # side-car (full-recall gram gate + regex verify)
+        # regex term expansion: brute-force whole-term regexp over
+        # the vocabulary, same df-desc/term-asc cap as the engine
+        "ft_regex_expand": f"""
+WITH {_TF_CTE},
+vocab AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY tok),
+pats(pattern) AS (VALUES ('sor[a-z]*'), ('win.ow'), ('da?ta'),
+                         ('gr(ou|u)p.*'), ('zz+q'), ('.*[aeo].*')),
+cand AS (SELECT p.pattern, v.term, v.df
+         FROM vocab v JOIN pats p ON regexp_full_match(v.term, p.pattern)),
+r AS (SELECT pattern, term, df,
+             CAST(row_number() OVER (PARTITION BY pattern
+                  ORDER BY df DESC, term ASC) AS BIGINT) AS rank
+      FROM cand)
+SELECT pattern, term, df, rank FROM r WHERE rank <= {MAX_EXPANSIONS}
+""",
+        "search_regex": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
         "ft_kgram_expand": f"""
 WITH {_TF_CTE},
 vocab AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS df

@@ -12,6 +12,7 @@
     python query.py --index /tmp/ix --fuzzy "wrold tade"      # typo correction
     python query.py --index /tmp/ix --did-you-mean "wrold tade"  # banner + search
     python query.py --index /tmp/ix "trade ma*"               # trailing wildcard
+    python query.py --index /tmp/ix 'data /tr[ae]d.*/'        # regex term query
     python query.py --index /tmp/ix '+trade ma* -growth'      # query-string syntax
     python query.py --index /tmp/ix --prf /tmp/tv "world trade"  # feedback expansion
     python query.py --index /tmp/ix --proximity "world trade" # closest-pair rank
@@ -169,8 +170,11 @@ def main() -> None:
                   f"[{r['match_pos']}] {r['snippet']}")
     elif args.kgram is not None:
         text = " ".join(args.query)
-        for r in eng.wildcard_search_indexed(text, args.kgram,
-                                             args.k).collect():
+        has_rx = any(len(t) > 2 and t[0] == "/" and t[-1] == "/"
+                     for t in text.split())
+        run_ix = (eng.regex_search_indexed if has_rx
+                  else eng.wildcard_search_indexed)
+        for r in run_ix(text, args.kgram, args.k).collect():
             print(f"q1 {r['rank']} {r['url']} {r['score']:.6f}")
     elif args.phrase_prefix:
         text = " ".join(args.query)
@@ -220,9 +224,12 @@ def main() -> None:
                 or (t.endswith("*") and len(t) > 1)
                 or t.startswith('"')
                 for t in text.split())
+            has_rx = any(len(t) > 2 and t[0] == "/" and t[-1] == "/"
+                         for t in text.split())
             run = (lambda: wand_search(eng, text, args.k)) if args.wand else (
                 (lambda: eng.prf_search(text, args.prf, args.k)) if args.prf else
                 (lambda: eng.fuzzy_search(text, args.k)) if args.fuzzy else
+                (lambda: eng.regex_search(text, args.k)) if has_rx else
                 (lambda: eng.query_string_search(text, args.k)) if has_qs else
                 (lambda: eng.search_page(text, args.k, args.page))
                 if args.page > 1 else

@@ -209,3 +209,184 @@ def expand_wildcard_indexed(spark: SparkSession, path: str,
         return spark.createDataFrame(
             [], "pattern string, term string, df long, rank long")
     return out
+
+# ---------------------------------------------------------------------------
+# Regex term query (Lucene RegexpQuery) over the same k-gram layout
+
+_UNSAFE_RX = re.compile(r"[(|]|\\[0-9]")
+
+
+def regex_mandatory_runs(pattern: str) -> list[str] | None:
+    """Literal runs every match of the (implicitly anchored — Lucene
+    RegexpQuery semantics) regex must contain as contiguous
+    substrings, with ``^``/``$`` boundary markers when a run is
+    pinned to the start/end of the term.  Returns ``None`` when no
+    SOUND evidence is extractable (alternation, groups, backrefs —
+    a branch could avoid any literal we pick), and may return fewer
+    /shorter runs than the theoretical maximum: under-constraining
+    only costs pruning, never recall, because the grams are used as
+    NECESSARY conditions ahead of an exact regex verify.
+
+    The conservative atom rules: ``.``/``[class]``/``\\d``-style
+    escapes break the current run; ``?``/``*``/``{m,n}`` drop the
+    previous literal from its run (the atom may be absent) and break;
+    ``+`` keeps it (>= 1 occurrence is contiguous with what precedes)
+    but still breaks (the repetition unpins whatever follows)."""
+    if _UNSAFE_RX.search(pattern):
+        return None
+    runs: list[str] = []
+    run = ""
+    run_at_start = True  # current run began before any other atom
+
+    def close() -> None:
+        nonlocal run, run_at_start
+        if run:
+            runs.append(("^" + run) if run_at_start else run)
+        run = ""
+        run_at_start = False
+
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            if nxt.isalnum():          # \d \w \s \b ... : wildcard atom
+                close()
+            else:                      # \. \* ... : literal char
+                run += nxt
+            i += 2
+            continue
+        if c in ".^$" or c == "[":
+            if c == "[":               # skip the class body
+                j = i + 1
+                if j < n and pattern[j] == "]":
+                    j += 1
+                while j < n and pattern[j] != "]":
+                    j += 2 if pattern[j] == "\\" else 1
+                i = j
+            close()
+            i += 1
+            continue
+        if c in "?*" or c == "{":
+            if c == "{":               # skip the quantifier body
+                while i < n and pattern[i] != "}":
+                    i += 1
+            if run:
+                run = run[:-1]         # previous literal is optional
+                if not run:
+                    run_at_start = False  # a?bc: 'bc' is NOT anchored
+            close()
+            i += 1
+            continue
+        if c == "+":
+            close()                    # run stays mandatory, contiguity
+            i += 1                     # with what follows does not
+            continue
+        run += c                       # plain literal
+        i += 1
+    # final close by exhaustion: the run is pinned to the term's end
+    if run:
+        tail = ("^" + run) if run_at_start else run
+        runs.append(tail + "$")
+    return runs
+
+
+def regex_grams(pattern: str, k: int = GRAM_K) -> list[str] | None:
+    """The k-grams a term matching ``pattern`` MUST contain, or
+    ``None``/``[]`` when the pattern yields no usable evidence (the
+    caller falls back to the full-vocabulary scan)."""
+    runs = regex_mandatory_runs(pattern)
+    if runs is None:
+        return None
+    grams: set[str] = set()
+    for run in runs:
+        for i in range(len(run) - k + 1):
+            grams.add(run[i:i + k])
+    return sorted(grams)
+
+
+def regex_anchor(pattern: str) -> str:
+    """Whole-term verify form: Lucene RegexpQuery matches the ENTIRE
+    term, Spark ``rlike`` is a substring search — anchor explicitly.
+    The non-capturing group keeps top-level alternation honest
+    (``a|b`` must mean ``^(?:a|b)$``, not ``^a|b$``)."""
+    return "^(?:" + pattern + ")$"
+
+
+def expand_regex(vocab: DataFrame, patterns: list[str],
+                 max_expansions: int = 16,
+                 term_col: str = "term", df_col: str = "df") -> DataFrame:
+    """(pattern, term, df, rank): brute-force regex expansion —
+    anchored match over the FULL vocabulary, capped per pattern by df
+    desc, term asc (TopTermsRewrite).  Vocab-linear; the recall
+    baseline the indexed path is verified against, and the fallback
+    for patterns without gram evidence."""
+    spark = vocab.sparkSession
+    q = spark.createDataFrame(
+        [(p, regex_anchor(p)) for p in sorted(set(patterns))],
+        "pattern string, rx string")
+    cand = (
+        vocab.select(F.col(term_col).alias("term"),
+                     F.col(df_col).cast("long").alias("df"))
+        .join(F.broadcast(q), F.expr("term rlike rx"))
+    )
+    w = Window.partitionBy("pattern").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= max_expansions)
+        .select("pattern", "term", "df", "rank")
+    )
+
+
+def expand_regex_indexed(spark: SparkSession, path: str,
+                         patterns: list[str],
+                         max_expansions: int = 16) -> DataFrame:
+    """(pattern, term, df, rank) served from the STORED k-gram layout
+    — output identical to :func:`expand_regex` over the same
+    vocabulary.  Patterns whose mandatory literal runs yield k-grams
+    are answered by the gram-IN pruned scan + count-distinct gate +
+    anchored-regex verify (grams are necessary conditions, so recall
+    is total); alternation/group patterns and gram-less ones fall
+    back to the stored full-vocabulary scan, unioned in the same
+    plan — still vocab-linear, exactly Lucene's RegexpQuery degrade
+    path."""
+    meta = _check_fresh(path)
+    k = int(meta["k"])
+    pats = sorted(set(patterns))
+    with_grams = [(p, regex_grams(p, k)) for p in pats]
+    indexed = [(p, gs) for p, gs in with_grams if gs]
+    fallback = [p for p, gs in with_grams if not gs]
+
+    out: DataFrame | None = None
+    if indexed:
+        all_grams = sorted({g for _, gs in indexed for g in gs})
+        need = spark.createDataFrame(
+            [(p, g, len(gs), regex_anchor(p)) for p, gs in indexed
+             for g in gs],
+            "pattern string, gram string, n_grams int, rx string")
+        grams = (
+            spark.read.parquet(os.path.join(path, "grams"))
+            .filter(F.col("gram").isin(all_grams))
+        )
+        cand = (
+            grams.join(F.broadcast(need), "gram")
+            .groupBy("pattern", "term", "df", "n_grams", "rx")
+            .agg(F.countDistinct("gram").alias("got"))
+            .filter(F.col("got") == F.col("n_grams"))
+            .filter(F.expr("term rlike rx"))
+        )
+        w = Window.partitionBy("pattern").orderBy(
+            F.desc("df"), F.asc("term"))
+        out = (
+            cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= max_expansions)
+            .select("pattern", "term", "df", "rank")
+        )
+    if fallback:
+        vocab = spark.read.parquet(os.path.join(path, "vocab"))
+        fb = expand_regex(vocab, fallback, max_expansions)
+        out = fb if out is None else out.unionByName(fb)
+    if out is None:
+        return spark.createDataFrame(
+            [], "pattern string, term string, df long, rank long")
+    return out

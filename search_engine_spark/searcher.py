@@ -818,6 +818,76 @@ class SearchEngine:
                 [], "url string, score double, rank int")
         return self._search_keys(sorted(keys), k)
 
+    @staticmethod
+    def _split_regex_query(query: str) -> tuple[list[str], str]:
+        """Lucene QueryParser regex syntax: ``/pattern/`` tokens are
+        regex terms, the rest is a plain sub-query.  Patterns are
+        lowercased (index terms are lowercase stems) and matched
+        whole-term, RegexpQuery semantics."""
+        parts = query.split()
+        patterns = sorted({p[1:-1].lower() for p in parts
+                           if len(p) > 2 and p[0] == "/" and p[-1] == "/"})
+        plain = " ".join(p for p in parts
+                         if not (len(p) > 2 and p[0] == "/" and p[-1] == "/"))
+        return patterns, plain
+
+    def regex_search(self, query: str, k: int | None = None,
+                     max_expansions: int = 16) -> DataFrame:
+        """Regex term search — Lucene's RegexpQuery under the
+        top-terms scoring rewrite: ``/pattern/`` tokens expand against
+        the index vocabulary (whole-term anchored match, capped at
+        ``max_expansions`` per pattern by df desc / term asc) and the
+        expansions score as an ordinary multi-term OR query alongside
+        the plain tokens.  Regex tokens bypass the analyzer
+        (lowercased only, never stemmed) exactly like the wildcard
+        paths.
+
+        Scale shape: the expansion is a codegen anchored ``rlike``
+        join of the HANDFUL of patterns against the dictionary —
+        vocab-linear, never corpus-linear — collecting at most
+        |patterns| × max_expansions keys to the driver; scoring is
+        the unchanged pruned-scan BM25 tail.  At 10^12 docs use
+        :meth:`regex_search_indexed` so gram evidence prunes the
+        vocabulary scan too."""
+        from .operators.kgram import expand_regex
+
+        k = k or self.cfg.top_k
+        patterns, plain = self._split_regex_query(query)
+        keys = set(self.parse_query(plain)) if plain.strip() else set()
+        if patterns:
+            exp = expand_regex(self._dictionary, patterns, max_expansions,
+                               term_col="term_key", df_col="df")
+            keys |= {r.term for r in exp.select("term").distinct().collect()}
+        if not keys:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int")
+        return self._search_keys(sorted(keys), k)
+
+    def regex_search_indexed(self, query: str, kgram_path: str,
+                             k: int | None = None,
+                             max_expansions: int = 16) -> DataFrame:
+        """:meth:`regex_search` served from the stored k-gram side-car
+        (the SAME layout the wildcard paths read — one artifact serves
+        both query families): each pattern's mandatory literal runs
+        become a gram-IN pruned scan + count-distinct gate + anchored
+        regex verify (operators/kgram.expand_regex_indexed); patterns
+        without sound gram evidence (alternation/groups) fall back to
+        the stored full-vocabulary scan.  The side-car refuses to
+        serve once the index has moved (staleness stamp)."""
+        from .operators import kgram as KG
+
+        k = k or self.cfg.top_k
+        patterns, plain = self._split_regex_query(query)
+        keys = set(self.parse_query(plain)) if plain.strip() else set()
+        if patterns:
+            exp = KG.expand_regex_indexed(
+                self.spark, kgram_path, patterns, max_expansions)
+            keys |= {r.term for r in exp.select("term").distinct().collect()}
+        if not keys:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int")
+        return self._search_keys(sorted(keys), k)
+
     def query_string_search(self, qs: str, k: int | None = None,
                             max_expansions: int = 16) -> DataFrame:
         """One string in, the right engine path out — the Lucene

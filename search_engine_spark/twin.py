@@ -355,6 +355,35 @@ def twin_wildcard_any_topk(spark: SparkSession, engine, query: str, k: int,
     return ranked(topk, [("score", "desc"), ("url", "asc")])
 
 
+def twin_regex_topk(spark: SparkSession, engine, query: str, k: int,
+                    max_expansions: int = 16) -> DataFrame:
+    """(url, score, rank) — the plain twin of
+    ``SearchEngine.regex_search_indexed``: the expansion is the
+    brute-force anchored-regex scan (operators/kgram.expand_regex)
+    over a vocabulary recomputed stats-as-packed from postings_raw —
+    no gram table anywhere in this path, so a mandatory-run extractor
+    unsoundness (a candidate the gram gate wrongly dropped) or a
+    stale/df-divergent side-car flips the expansion set and the row
+    goes red."""
+    from .operators.kgram import expand_regex
+
+    patterns, plain = engine._split_regex_query(query)
+    keys = set(engine.parse_query(plain)) if plain.strip() else set()
+    if patterns:
+        vocab = (
+            raw_postings(spark, engine)
+            .groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+        )
+        exp = expand_regex(vocab, patterns, max_expansions,
+                           term_col="term_key", df_col="df")
+        keys |= {r.term for r in exp.select("term").distinct().collect()}
+    if not keys:
+        return spark.createDataFrame([], "url string, score double, rank int")
+    scores = twin_bm25_scores(spark, engine, sorted(keys))
+    topk = scores.orderBy(F.desc("score"), F.asc("url")).limit(k)
+    return ranked(topk, [("score", "desc"), ("url", "asc")])
+
+
 def twin_sorted_topk(spark: SparkSession, engine, query: str,
                      sort_keys: DataFrame, k: int,
                      descending: bool = True,

@@ -164,3 +164,119 @@ def test_property_indexed_equals_brute(spark, terms, cut_a, cut_b):
                 expand_wildcard(vocab, [pattern],
                                 term_col="term").collect()}
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Regex term query (expand_regex / expand_regex_indexed)
+
+
+REGEX_PATTERNS = [
+    "win.ow",        # split start+end runs
+    "da?ta",         # optional char: only the suffix run survives
+    "d[au].*",       # class mid-pattern: anchored-prefix gram only... "^d"
+    "wind(ow)?",     # group -> unsafe -> fallback scan
+    "s(l|h)a?dow",   # alternation -> fallback
+    ".*dow",         # suffix run
+    "f.*w",          # runs too short for grams -> fallback
+    "zzz+q",         # no match at all
+    "upd\\w*",       # escape-class wildcard atom
+    "ab{1,2}",       # bounded quantifier
+]
+
+
+def _brute_rx(pattern, max_expansions=16):
+    from search_engine_spark.operators.kgram import regex_anchor
+
+    rx = re.compile(regex_anchor(pattern))
+    hits = [(t, df) for t, df in VOCAB if rx.match(t)]
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return [(pattern, t, df, i + 1)
+            for i, (t, df) in enumerate(hits[:max_expansions])]
+
+
+def test_regex_mandatory_runs_soundness():
+    """Every extracted run (markers resolved) must be a substring of
+    every true match — the necessary-condition contract that makes
+    gram pruning recall-safe."""
+    from search_engine_spark.operators.kgram import (
+        regex_anchor, regex_mandatory_runs)
+
+    for pattern in REGEX_PATTERNS:
+        runs = regex_mandatory_runs(pattern)
+        if runs is None:
+            continue
+        rx = re.compile(regex_anchor(pattern))
+        for t, _ in VOCAB:
+            if not rx.match(t):
+                continue
+            padded = "^" + t + "$"
+            for run in runs:
+                assert run in padded, (pattern, t, run)
+
+
+def test_regex_runs_shapes():
+    from search_engine_spark.operators.kgram import regex_mandatory_runs
+
+    assert regex_mandatory_runs("win.ow") == ["^win", "ow$"]
+    assert regex_mandatory_runs("da?ta") == ["^d", "ta$"]
+    # alternation / groups: no sound evidence
+    assert regex_mandatory_runs("gr(ou|u)p") is None
+    assert regex_mandatory_runs("a|b") is None
+    # backreference: bail
+    assert regex_mandatory_runs(r"(a)\1") is None
+    # '+' keeps the repeated literal, breaks contiguity after it
+    assert regex_mandatory_runs("zz+q") == ["^zz", "q$"]
+    # a dropped leading optional unpins the next run from the start
+    assert regex_mandatory_runs("a?bc") == ["bc$"]
+    # escaped metachar is a plain literal
+    assert regex_mandatory_runs(r"a\.b") == ["^a.b$"]
+
+
+def test_regex_indexed_matches_brute_per_pattern(spark, kgram_dir):
+    from search_engine_spark.operators.kgram import expand_regex_indexed
+
+    got = expand_regex_indexed(spark, kgram_dir, REGEX_PATTERNS)
+    rows = {(r.pattern, r.term, r.df, r.rank) for r in got.collect()}
+    want = {row for p in REGEX_PATTERNS for row in _brute_rx(p)}
+    assert rows == want
+
+
+def test_regex_grams_necessary_not_sufficient(spark, tmp_path):
+    """A term containing all mandatory grams but failing the regex
+    must be rejected by the verify stage."""
+    from search_engine_spark.operators.kgram import (
+        expand_regex_indexed, write_kgram_index)
+
+    # 'win.ow' grams are ^wi win ow$; 'winxowxow' contains all three
+    # but the anchored regex requires exactly 6 chars — only the
+    # verify stage can reject it
+    vocab2 = spark.createDataFrame(
+        [("window", 9), ("winxowxow", 8)], "term string, df long")
+    out2 = str(tmp_path / "kg2")
+    write_kgram_index(vocab2, out2, term_col="term", df_col="df")
+    got = [(r.term,) for r in
+           expand_regex_indexed(spark, out2, ["win.ow"]).collect()]
+    assert got == [("window",)]
+
+
+def test_regex_search_engine_matches_twin(spark, built_index):
+    """End-to-end: regex search over the packed index ≡ the
+    plain-postings twin, rank for rank, on the 300-doc fixture."""
+    from search_engine_spark.operators.kgram import write_kgram_index
+    from search_engine_spark.searcher import SearchEngine
+    from search_engine_spark.twin import twin_regex_topk
+
+    out, cfg, _ = built_index
+    eng = SearchEngine(spark, out, cfg)
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="kgram_rx_") as kg:
+        write_kgram_index(eng._dictionary, kg, term_col="term_key",
+                          df_col="df", index_dir=out)
+        q = "/dat.*/ /t[ar].*/"
+        got = eng.regex_search_indexed(q, kg, 15).collect()
+        want = twin_regex_topk(spark, eng, q, 15).collect()
+        assert [r["url"] for r in got] == [r["url"] for r in want]
+        assert got, "fixture corpus must match the regex query"
+        for g, w in zip(got, want):
+            assert abs(g["score"] - w["score"]) < 1e-6
