@@ -162,6 +162,14 @@ def main() -> None:
     steal["kgram_build"] = round(100 * (s1 - s0) / max(1, j1 - j0), 2)
     timed("wildcard_infix_top10",
           lambda: eng.wildcard_search_indexed("*orld trade", kg_dir, 10))
+    # regex term query: same stored k-gram layout, mandatory-run gram
+    # gate + anchored verify (alternation falls back to the vocab scan)
+    timed("regex_top10",
+          lambda: eng.regex_search_indexed("/w[ou]rld.*/ trade", kg_dir, 10))
+    # whole-query correction banner: one length-prefiltered
+    # levenshtein pass over the dictionary scan
+    timed("did_you_mean",
+          lambda: eng.did_you_mean("wrld tade market"))
 
     # -- relational / pipeline operators (driver-contract queries) -----------
     qs = entry.queries()
