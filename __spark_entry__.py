@@ -87,6 +87,7 @@ _ENTRY_CFG = EngineConfig(n_doc_shards=8, n_term_buckets=8, n_bucket_groups=2,
 _INDEX_CACHE: dict[str, str] = {}
 _INC_CACHE: dict[str, str] = {}
 _UPD_CACHE: dict[str, str] = {}
+_DBQ_CACHE: dict[str, str] = {}
 _ANN_CACHE: dict[str, str] = {}
 _MLT_CACHE: dict[str, str] = {}
 _SUGGEST_CACHE: dict[str, str] = {}
@@ -213,6 +214,36 @@ def _upd_engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
 
         _UPD_CACHE[key] = _atomic_publish(out, build, marker="_UPDATED_DONE")
     return SearchEngine(spark, _UPD_CACHE[key], _ENTRY_CFG)
+
+
+DBQ_QUERY = "vectorized"
+
+
+def _dbq_engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Delete-by-query twin of :func:`_engine_for`: the same corpus
+    built whole, then ONE ``delete_by_query(DBQ_QUERY)`` call
+    (incremental.py) — the ES ``_delete_by_query`` contract: every
+    live doc matching >=1 query term is tombstoned at call time,
+    through the index's own pruned scan (dictionary lookup -> the
+    query terms' posting rows, never a corpus pass).  DBQ_QUERY
+    matches ~77% of the synthetic corpus and kills most of
+    ENGINE_QUERY's pristine top-10, so the serving rows exercise the
+    tombstone mask hard while ENGINE_QUERY keeps a deep live match
+    set.  Cached on disk per sf_dir behind the atomic publish."""
+    key = os.path.abspath(sf_dir)
+    if key not in _DBQ_CACHE:
+        tag = hashlib.md5(f"{key}|dbq|{_ENTRY_CFG}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_dbqix_{tag}")
+
+        def build(tmp: str) -> None:
+            from search_engine_spark.incremental import delete_by_query
+
+            pages = load_documents_as_pages(spark, key)
+            build_index(spark, pages, tmp, _ENTRY_CFG)
+            delete_by_query(spark, DBQ_QUERY, tmp, _ENTRY_CFG)
+
+        _DBQ_CACHE[key] = _atomic_publish(out, build, marker="_DBQ_DONE")
+    return SearchEngine(spark, _DBQ_CACHE[key], _ENTRY_CFG)
 
 
 def _ann_layouts_for(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -1157,6 +1188,44 @@ def q_search_updates_wand(spark, sf):
         wand_search(eng, UPDATE_QUERY, 20),
         eng.search(UPDATE_QUERY, 20),
         exact=["url"], approx=["score"],
+    )
+
+
+def q_search_delete_by_query(spark, sf):
+    """Post-delete-by-query BM25 top-10 ≡ the gen-aware live-postings
+    twin, per rank.  delete_by_query(DBQ_QUERY) tombstones ~77% of
+    the corpus — including most of ENGINE_QUERY's pristine top-10 —
+    so the serving scan must surface the deep survivors under
+    stale-stats scoring (df/avgdl as packed); the twin recomputes
+    from LIVE raw postings through a different plan.  A dead doc
+    appearing, a survivor missing, or any score moving flips a
+    flag."""
+    eng = _dbq_engine_for(spark, sf)
+    return _rank_eq(
+        eng.search(ENGINE_QUERY, 10),
+        TW.twin_bm25_topk(spark, eng, ENGINE_QUERY, 10),
+        exact=["url"], approx=["score"],
+    )
+
+
+def q_search_delete_by_query_empty(spark, sf):
+    """The deleting query itself matches NOTHING afterwards, on every
+    read path: exact count_hits (pruned-scan distinct), exhaustive
+    search, and block-max WAND (whose θ-bootstrap must survive a
+    posting list that is 100% tombstones).  Also pins idempotence:
+    a second delete_by_query of the same string tombstones zero urls
+    (matching_urls is tombstone-masked, the snapshot-at-call
+    contract)."""
+    from search_engine_spark.incremental import delete_by_query
+
+    eng = _dbq_engine_for(spark, sf)
+    n_again = delete_by_query(spark, DBQ_QUERY, eng.paths.root, _ENTRY_CFG)
+    return spark.createDataFrame(
+        [(int(eng.count_hits(DBQ_QUERY)),
+          int(eng.search(DBQ_QUERY, 10).count()),
+          int(wand_search(eng, DBQ_QUERY, 10).count()),
+          int(n_again))],
+        "n_hits long, n_search long, n_wand long, n_redelete long",
     )
 
 
@@ -3335,6 +3404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (list(queries())[50:]) against DuckDB every CI run."""
     return {
         # --- window, part 1: round-5 rows (never driver-stamped)
+        "search_delete_by_query": q_search_delete_by_query,
+        "search_delete_by_query_empty": q_search_delete_by_query_empty,
         "ft_regex_expand": q_ft_regex_expand,
         "search_regex": q_search_regex,
         "ft_kgram_expand": q_ft_kgram_expand,
@@ -5577,6 +5648,14 @@ FROM range(1, 21)
         "search_deletes": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 11)
+""",
+        "search_delete_by_query": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 11)
+""",
+        "search_delete_by_query_empty": """
+SELECT CAST(0 AS BIGINT) AS n_hits, CAST(0 AS BIGINT) AS n_search,
+       CAST(0 AS BIGINT) AS n_wand, CAST(0 AS BIGINT) AS n_redelete
 """,
         "search_deletes_wand": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match

@@ -6,6 +6,7 @@ Local (sandbox)::
     python index_admin.py update  --index /tmp/ix --input recrawled.parquet
     python index_admin.py delete  --index /tmp/ix --url http://a --url http://b
     python index_admin.py delete  --index /tmp/ix --url-file dead_urls.txt
+    python index_admin.py delete-by-query --index /tmp/ix --query "spam casino"
     python index_admin.py compact --index /tmp/ix
     python index_admin.py refresh --index /tmp/ix [--full]
     python index_admin.py stats   --index /tmp/ix   # no Spark: meta+footers
@@ -45,7 +46,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("verb", choices=["add", "update", "delete", "compact",
+    ap.add_argument("verb", choices=["add", "update", "delete",
+                                     "delete-by-query", "compact",
                                      "refresh", "stats", "docstore",
                                      "termvectors", "snapshot"])
     ap.add_argument("--index", required=True)
@@ -55,6 +57,8 @@ def main() -> None:
     ap.add_argument("--url", action="append", default=[],
                     help="url to delete (repeatable)")
     ap.add_argument("--url-file", help="file with one url per line (delete)")
+    ap.add_argument("--query", help="delete-by-query: tombstone every live "
+                                    "doc matching >=1 query term")
     ap.add_argument("--full", action="store_true",
                     help="refresh: full derived rebuild instead of the "
                          "incremental epoch fold")
@@ -175,6 +179,13 @@ def main() -> None:
         if not urls:
             ap.error("delete requires --url or --url-file")
         out["n_deleted"] = delete_documents(spark, urls, args.index)
+    elif args.verb == "delete-by-query":
+        if not args.query:
+            ap.error("delete-by-query requires --query")
+        from search_engine_spark.incremental import delete_by_query
+
+        out["n_deleted"] = delete_by_query(spark, args.query, args.index, cfg)
+        out["query"] = args.query
     elif args.verb == "compact":
         if args.if_over is not None:
             from search_engine_spark.incremental import maybe_compact

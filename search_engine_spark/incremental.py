@@ -583,6 +583,33 @@ def delete_documents(
     return n
 
 
+def delete_by_query(
+    spark: SparkSession,
+    query: str,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+) -> int:
+    """ES ``_delete_by_query``: tombstone every LIVE document the
+    query matches at call time (≥1 query term — the engine's match
+    rule, :meth:`SearchEngine.matching_urls`), in one call.
+
+    The match set resolves through the packed index's own pruned
+    scan (dictionary lookup → the query terms' posting rows only —
+    never a corpus pass; this is why delete-by-query is cheap on an
+    inverted index and a full scan everywhere else), then the urls
+    flow into :func:`delete_documents` — the ordinary url-level
+    tombstone append, so visibility, stale-stats, WAND-masking and
+    compaction semantics are all inherited unchanged.  Deleting is
+    snapshot-at-call: documents added AFTER the call that would have
+    matched are untouched (the ES contract).  Stop-word-only or
+    out-of-dictionary queries match nothing and write nothing.
+    Returns the number of urls tombstoned."""
+    from .searcher import SearchEngine
+
+    eng = SearchEngine(spark, index_dir, cfg)
+    return delete_documents(spark, eng.matching_urls(query), index_dir)
+
+
 def live_segments(paths: IndexPaths) -> int:
     """Packed generations currently serving a (term, shard): 1 for
     the base pack plus one per segment appended since the last

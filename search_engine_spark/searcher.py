@@ -499,6 +499,25 @@ class SearchEngine:
             self._unpack(self._scan_index(resolved), idf_by_key))
         return per.select("shard", "local_id").distinct().count()
 
+    def matching_urls(self, query: str) -> DataFrame:
+        """Distinct LIVE urls matching ≥1 query term — the match set
+        behind :meth:`count_hits`, materialized as a (url) frame.
+        This is the resolution step of delete-by-query
+        (incremental.delete_by_query): ES's ``_delete_by_query``
+        tombstones exactly the documents the query would match at
+        call time.  Same pruned scan as :meth:`search`; the tail is
+        a distinct + doc_map join, no scoring.  Stop-word-only /
+        out-of-dictionary queries match nothing (F5)."""
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            return self.spark.createDataFrame([], "url string")
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        per = self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key))
+        return (per.select("shard", "local_id").distinct()
+                .join(self._doc_map(), ["shard", "local_id"])
+                .select("url"))
+
     def search_page(self, query: str, k: int | None = None,
                     page: int = 1) -> DataFrame:
         """Result page ``page`` (1-based, ``k`` rows per page) under

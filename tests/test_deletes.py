@@ -167,3 +167,49 @@ def test_compact_purges_and_matches_fresh_build(
             assert abs(gs - rs) < 1e-12, q
         wand = _top(wand_search(got_eng, q, 20))
         assert [u for u, _ in got] == [u for u, _ in wand], q
+
+
+def test_delete_by_query_lifecycle(spark, fixture_pages_parquet, tmp_path):
+    """ES _delete_by_query: tombstone exactly the live match set of a
+    query in one call (incremental.delete_by_query).
+
+    Pins: (a) the tombstoned count equals the engine's own match set
+    (count_hits / matching_urls agreement); (b) the deleting query
+    afterwards matches nothing on any path; (c) an unrelated query's
+    survivors keep bit-identical stale-stats scores (the ordinary
+    url-delete contract, inherited unchanged); (d) a second identical
+    call is a no-op (snapshot-at-call + idempotence); (e) stop-word
+    and out-of-vocabulary queries delete nothing and write nothing."""
+    from search_engine_spark.incremental import delete_by_query
+
+    out = str(tmp_path / "dbq_ix")
+    pages = spark.read.parquet(fixture_pages_parquet)
+    build_index(spark, pages, out, CFG)
+    eng = SearchEngine(spark, out, CFG)
+    q_del, q_other = QUERIES[0], QUERIES[3]
+
+    expected = sorted(r["url"] for r in eng.matching_urls(q_del).collect())
+    assert len(expected) == eng.count_hits(q_del) > 0
+    pre_other = _top(eng.search(q_other, 300))
+
+    n = delete_by_query(spark, q_del, out, CFG)
+    assert n == len(expected)
+
+    post = SearchEngine(spark, out, CFG)
+    assert post.count_hits(q_del) == 0
+    assert post.search(q_del, 50).count() == 0
+    assert wand_search(post, q_del, 50).count() == 0
+
+    dead = set(expected)
+    want = [(u, s) for u, s in pre_other if u not in dead][:20]
+    got = _top(post.search(q_other, 20))[:len(want)]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (_, gs), (_, es) in zip(got, want):
+        assert abs(gs - es) < 1e-12
+
+    # idempotent: the match set is empty now (matching_urls is
+    # tombstone-masked), so nothing new is tombstoned
+    assert delete_by_query(spark, q_del, out, CFG) == 0
+    # no-match queries write nothing
+    assert delete_by_query(spark, "the of and", out, CFG) == 0
+    assert delete_by_query(spark, "zzqqxximpossibleterm", out, CFG) == 0
