@@ -582,6 +582,82 @@ def q_ft_bm25_topk(spark, sf):
     )
 
 
+FT_BOOSTS = {"table": 2.0, "join": 1.0, "query": 0.5}
+
+
+def q_ft_boosted_topk(spark, sf):
+    """Boosted relational BM25 top-20, fully SQL-checkable: each query
+    term's contribution is multiplied by its boost (table^2 join
+    query^0.5) before the per-doc sum — the relational statement of
+    the packed engine's boosted_search semantics.  The weight rides a
+    literal map lookup (codegen, no extra shuffle vs ft_bm25_topk)."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    qtf = tf.filter(F.col("tok").isin(*FT_BOOSTS))
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    wmap = F.create_map(*[F.lit(x) for t, w in sorted(FT_BOOSTS.items())
+                          for x in (t, float(w))])
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            wmap[F.col("tok")] * F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return (
+        ranked(topk, [("score", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "score", "rank")
+    )
+
+
+def q_ft_top_hits(spark, sf):
+    """Relational ES ``top_hits``: per-language top-3 of the
+    ft_bm25_topk scored set plus each bucket's total match count,
+    fully SQL-checkable.  One window pass over the match-set-sized
+    frame serves both the rank and the count — never a corpus sort;
+    a hot language pays only its own bucket's window."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    qtf = tf.filter(F.col("tok").isin(*FT_QUERY_TERMS))
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = (
+        contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored
+        .withColumn("bucket_rank", F.row_number().over(w).cast("long"))
+        .withColumn("n_docs",
+                    F.count(F.lit(1)).over(Window.partitionBy("lang"))
+                    .cast("long"))
+        .filter(F.col("bucket_rank") <= 3)
+        .select("lang", "n_docs", "bucket_rank", "doc_id", "score")
+    )
+
+
 def q_ft_fuzzy_topk(spark, sf):
     """Typo-tolerant relational BM25 top-20, fully SQL-checkable: each
     misspelled query term corrects to its single closest vocabulary
@@ -1774,6 +1850,39 @@ def q_ir_eval_summary(spark, sf):
     """Run-level MAP / mean-NDCG / mean-P@10 rollup of the per-query
     metrics — the leaderboard row."""
     return IR.mean_metrics(q_ir_eval(spark, sf))
+
+
+BOOST_QUERY = "data^2 table row^0.5"
+
+
+def q_search_boosted(spark, sf):
+    """Lucene per-term boosts (``data^2 table row^0.5``) through the
+    packed engine ≡ the plain-postings twin, per rank.  The engine
+    applies the weight as a driver-literal codegen map lookup over the
+    unpacked rows; the twin joins a boosts DataFrame into its
+    raw-postings recompute — different physical plans, and the skewed
+    weights reshuffle the plain BM25 ranking, so an unweighted slip on
+    either side flips a flag."""
+    eng = _engine_for(spark, sf)
+    return _rank_eq(
+        eng.query_string_search(BOOST_QUERY, 20),
+        TW.twin_boosted_topk(spark, eng, BOOST_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
+
+
+def q_search_top_hits(spark, sf):
+    """ES ``top_hits`` aggregation — best 3 hits per language plus the
+    bucket's total match count, in one window pass over the pruned
+    scored set — ≡ the plain-postings twin (scores recomputed from
+    raw, counts via a separate groupBy joined back).  Compared per
+    (facet, bucket_rank) on url, count, and score."""
+    eng = _engine_for(spark, sf)
+    dims = load_documents_as_pages(spark, sf).select("url", "lang")
+    e = eng.search_top_hits(ENGINE_QUERY, dims, "lang", 3)
+    t = TW.twin_top_hits(spark, eng, ENGINE_QUERY, dims, "lang", 3)
+    return TW.compare_topk(e, t, ["facet", "bucket_rank"],
+                           exact_cols=["url", "n_docs"], approx_cols=["score"])
 
 
 def q_search_facets(spark, sf):
@@ -3406,6 +3515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window, part 1: round-5 rows (never driver-stamped)
         "search_delete_by_query": q_search_delete_by_query,
         "search_delete_by_query_empty": q_search_delete_by_query_empty,
+        "ft_boosted_topk": q_ft_boosted_topk,
+        "search_boosted": q_search_boosted,
+        "ft_top_hits": q_ft_top_hits,
+        "search_top_hits": q_search_top_hits,
         "ft_regex_expand": q_ft_regex_expand,
         "search_regex": q_search_regex,
         "ft_kgram_expand": q_ft_kgram_expand,
@@ -4498,6 +4611,32 @@ ranked AS (SELECT doc_id, phrase_tf,
 SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 20
 """,
         "ft_bm25_topk": _FT_BM25_SQL,
+        "ft_boosted_topk": f"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n FROM dl),
+boosts AS (SELECT * FROM (VALUES {", ".join(f"('{t}', {w})" for t, w in sorted(FT_BOOSTS.items()))}) AS b(tok, w)),
+qtf AS (SELECT tf.*, b.w FROM tf JOIN boosts b USING (tok)),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY tok),
+contrib AS (
+  SELECT qtf.doc_id, qtf.w, log2((SELECT n FROM stats) / dfreq.df) AS idf, qtf.tf, dl.dl
+  FROM qtf JOIN dfreq ON qtf.tok = dfreq.tok JOIN dl ON qtf.doc_id = dl.doc_id
+),
+scored AS (SELECT doc_id, round(sum(w * ({_BM25_EXPR})), 6) AS score FROM contrib GROUP BY doc_id),
+ranked AS (SELECT doc_id, score,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM scored)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
+""",
+        "ft_top_hits": f"""
+WITH {_FT_SCORED},
+lg AS (SELECT s.doc_id, s.score, d.lang FROM scored s JOIN documents d USING (doc_id)),
+rk AS (SELECT lang, doc_id, score,
+              CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS BIGINT) AS bucket_rank,
+              CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+       FROM lg)
+SELECT lang, n_docs, bucket_rank, doc_id, score FROM rk WHERE bucket_rank <= 3
+""",
         # hybrid lexical ⊕ dense RRF: the full pipeline recomputed —
         # the _FT_SCORED BM25 chain, the md5 feature-hash projection
         # (same expressions as the embed_docs oracle), BIGINT dot
@@ -5688,6 +5827,15 @@ FROM (VALUES ('q1'), ('q2')) AS t(qid)
         "search_facets": """
 SELECT lang AS facet, true AS n_docs_match
 FROM (SELECT DISTINCT lang FROM documents)
+""",
+        "search_boosted": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "search_top_hits": """
+SELECT lang AS facet, CAST(r.range AS INT) AS bucket_rank,
+       true AS url_match, true AS n_docs_match, true AS score_match
+FROM (SELECT DISTINCT lang FROM documents) CROSS JOIN range(1, 4) AS r
 """,
         "search_facets_multi": """
 SELECT 'lang' AS dim, lang AS facet, true AS n_docs_match

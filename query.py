@@ -223,6 +223,7 @@ def main() -> None:
                 (t[0] in '+-' and len(t) > 1)
                 or (t.endswith("*") and len(t) > 1)
                 or t.startswith('"')
+                or "^" in t
                 for t in text.split())
             has_rx = any(len(t) > 2 and t[0] == "/" and t[-1] == "/"
                          for t in text.split())

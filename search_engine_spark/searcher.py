@@ -915,6 +915,7 @@ class SearchEngine:
           ``"exact phrase"``   -> :meth:`phrase_search` (whole-query)
           ``+term`` / ``-term`` -> :meth:`boolean_search` MUST/MUST_NOT
           ``term*``            -> wildcard expansion, scored as SHOULD
+          ``term^2.5``         -> :meth:`boosted_search` (bare terms only)
           bare terms           -> SHOULD (plain BM25)
           parens / AND OR NOT  -> :func:`parse_boolean_tree` ->
                                   :meth:`tree_search` (nested boolean)
@@ -927,6 +928,14 @@ class SearchEngine:
         k = k or self.cfg.top_k
         if is_tree_syntax(qs):
             return self.tree_search(parse_boolean_tree(qs), k)
+        if "^" in qs:
+            # per-term boosts (term^2.5) compose only with bare SHOULD
+            # terms — a boosted MUST/phrase/wildcard is a different
+            # scorer and is rejected rather than silently mis-weighted
+            if (any(c in qs for c in '"*()')
+                    or any(t and t[0] in "+-" for t in qs.split())):
+                raise ValueError("boosts compose only with bare terms")
+            return self.boosted_search(qs, k)
         phrases, must, should, must_not, prefixes = split_query_string(qs)
         if phrases:
             if len(phrases) == 1 and not (must or should or must_not or prefixes):
@@ -944,6 +953,104 @@ class SearchEngine:
             return self.spark.createDataFrame(
                 [], "url string, score double, rank int")
         return self._search_keys(sorted(keys), k)
+
+    def boosted_search(self, qs: str, k: int | None = None) -> DataFrame:
+        """Lucene per-term boost syntax — ``world^2 trade market^0.5``:
+        each term's ENTIRE contribution (BM25 part and importance
+        bonus alike, so the blend still decomposes per term) is
+        multiplied by its boost before the doc-level sum; unboosted
+        terms weigh 1.0, and a term repeated in the query accumulates
+        its boosts (the duplicate-clause contract: ``a a b`` scores
+        ``a`` twice).  Boosts must be >= 0; a stop word or
+        out-of-dictionary term drops out exactly as in :meth:`search`
+        (F5), boost and all.
+
+        Plan shape: identical to :meth:`search` — the weights ride the
+        unpacked posting rows as a driver-side literal ``map`` lookup
+        (codegen, no join, no shuffle beyond the scoring agg), so
+        boosting is free at any scale."""
+        k = k or self.cfg.top_k
+        boosts: dict[str, float] = {}
+        for tok in qs.split():
+            if "^" in tok:
+                t, _, bs = tok.rpartition("^")
+                try:
+                    w = float(bs)
+                except ValueError:
+                    raise ValueError(f"malformed boost: {tok!r}")
+                if not t or w < 0:
+                    raise ValueError(f"malformed boost: {tok!r}")
+            else:
+                t, w = tok, 1.0
+            for key in self.parse_query(t):
+                boosts[key] = boosts.get(key, 0.0) + w
+        return self._search_keys_boosted(boosts, k)
+
+    def _search_keys_boosted(self, boosts: dict[str, float],
+                             k: int) -> DataFrame:
+        """:meth:`boosted_search` body below the parse: the ordinary
+        pruned-scan unpack with a per-term weight column applied to
+        both score parts."""
+        resolved = self.resolve_terms(sorted(boosts))
+        if resolved.empty:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int")
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        per = self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key))
+        wmap = F.create_map(
+            *[F.lit(x) for key in sorted(boosts)
+              for x in (key, float(boosts[key]))])
+        per = (
+            per.withColumn("_w", wmap[F.col("term_key")])
+            .withColumn("contrib", F.col("contrib") * F.col("_w"))
+            .withColumn("bonus", F.col("bonus") * F.col("_w"))
+            .drop("_w")
+        )
+        return self._score_topk(per, k)
+
+    def search_top_hits(self, query: str, dims: DataFrame, dim_col: str,
+                        k_per_bucket: int = 3,
+                        url_col: str = "url") -> DataFrame:
+        """ES ``top_hits`` aggregation — the grouped result page
+        ("best 3 hits per language"): the query's FULL scored match
+        set joined to the dimension table, then the top
+        ``k_per_bucket`` docs per facet value by the engine's
+        ordinary (score desc, url asc) order, each row also carrying
+        the bucket's total match count.  Returns
+        (facet, n_docs, bucket_rank, url, score).
+
+        Plan shape at scale: the scored set is posting-union-sized
+        (pruned scan, never the corpus); one join to the dims table;
+        then ONE shuffle on facet serving both the count and the
+        rank window.  The per-bucket sort is the window's — a
+        pathologically hot facet value pays its own bucket's
+        sort, not the corpus's; k stays out of every exchange."""
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            return self.spark.createDataFrame(
+                [], "facet string, n_docs long, bucket_rank int, "
+                    "url string, score double")
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        per = self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key))
+        scored = self._doc_scores(per).join(
+            dims.select(F.col(url_col).alias("url"),
+                        F.col(dim_col).cast("string").alias("facet"))
+                .distinct(),
+            "url",
+        )
+        w = Window.partitionBy("facet").orderBy(
+            F.desc("score"), F.asc("url"))
+        return (
+            scored
+            .withColumn("bucket_rank", F.row_number().over(w))
+            .withColumn("n_docs",
+                        F.count(F.lit(1)).over(Window.partitionBy("facet")))
+            .filter(F.col("bucket_rank") <= k_per_bucket)
+            .select("facet", F.col("n_docs").cast("long").alias("n_docs"),
+                    "bucket_rank", "url", "score")
+        )
 
     def prf_search(self, query: str, tv_path: str, k: int | None = None,
                    fb_docs: int = 10, fb_terms: int = 5) -> DataFrame:

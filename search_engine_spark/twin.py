@@ -100,6 +100,99 @@ def twin_bm25_scores(spark: SparkSession, engine, term_keys: list[str]) -> DataF
     )
 
 
+def twin_boosted_scores(spark: SparkSession, engine,
+                        boosts: dict[str, float]) -> DataFrame:
+    """(url, score) under per-term boosts — the plain twin of
+    ``SearchEngine.boosted_search`` below its parse.  Same
+    stats-as-packed arithmetic as ``twin_bm25_scores``, but the
+    weight arrives through a JOINED boosts DataFrame (the engine uses
+    a driver-literal map lookup — a different physical plan), applied
+    to both score parts before the doc-level sum."""
+    meta = engine.meta
+    k1, b = float(meta["k1"]), float(meta["b"])
+    avgdl, n_docs = float(meta["avgdl"]), float(meta["n_docs"])
+    blend_a, blend_b = float(meta["blend_bm25"]), float(meta["blend_bonus"])
+    keys = sorted(boosts)
+    wdf = spark.createDataFrame(
+        [(t, float(boosts[t])) for t in keys], "term_key string, w double")
+    live = live_raw_postings(spark, engine)
+    dl = live.groupBy("url").agg(F.sum("tf").alias("dl"))
+    qt = (live.filter(F.col("term_key").isin(keys))
+          .select("url", "term_key", "tf", "important"))
+    dfreq = (
+        raw_postings(spark, engine)
+        .filter(F.col("term_key").isin(keys))
+        .groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (F.lit(1.0 - b)
+                             + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl)))
+    contrib = F.lit(k1 + 1.0) * tf * F.col("idf") / norm
+    per = (
+        qt.join(F.broadcast(dfreq), "term_key")
+        .join(F.broadcast(wdf), "term_key")
+        .join(dl, "url")
+        .withColumn("idf", F.log2(F.lit(n_docs) / F.col("df")))
+        .withColumn("contrib", contrib * F.col("w"))
+        .withColumn("bonus", F.col("w") * F.when(F.col("important"), F.lit(1.2))
+                    .otherwise(F.lit(1.0)))
+    )
+    return (
+        per.groupBy("url")
+        .agg(F.sum("contrib").alias("bm25"), F.sum("bonus").alias("bonus"))
+        .select(
+            "url",
+            (F.lit(blend_a) * F.col("bm25")
+             + F.lit(blend_b) * F.col("bonus")).alias("score"),
+        )
+    )
+
+
+def twin_boosted_topk(spark: SparkSession, engine, qs: str,
+                      k: int) -> DataFrame:
+    """(url, score, rank) — the plain twin of
+    ``SearchEngine.boosted_search``.  Boost-syntax parsing is shared
+    with the engine (driver-side string split + the shared query
+    parser); everything data-side is recomputed through the joined
+    boosts plan."""
+    boosts: dict[str, float] = {}
+    for tok in qs.split():
+        t, _, bs = tok.rpartition("^") if "^" in tok else (tok, "", "")
+        w = float(bs) if bs else 1.0
+        for key in engine.parse_query(t):
+            boosts[key] = boosts.get(key, 0.0) + w
+    scores = twin_boosted_scores(spark, engine, boosts)
+    topk = scores.orderBy(F.desc("score"), F.asc("url")).limit(k)
+    return ranked(topk, [("score", "desc"), ("url", "asc")])
+
+
+def twin_top_hits(spark: SparkSession, engine, query: str,
+                  dims: DataFrame, dim_col: str, k_per_bucket: int,
+                  url_col: str = "url") -> DataFrame:
+    """(facet, n_docs, bucket_rank, url, score) — the plain twin of
+    ``SearchEngine.search_top_hits``: scores recomputed from
+    postings_raw (twin_bm25_scores), bucket counts via a separate
+    groupBy joined back (the engine computes both through one window
+    pass — different plan, same frame)."""
+    keys = engine.parse_query(query)
+    scored = twin_bm25_scores(spark, engine, keys).join(
+        dims.select(F.col(url_col).alias("url"),
+                    F.col(dim_col).cast("string").alias("facet")).distinct(),
+        "url",
+    )
+    from pyspark.sql import Window
+
+    counts = scored.groupBy("facet").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = Window.partitionBy("facet").orderBy(F.desc("score"), F.asc("url"))
+    return (
+        scored.withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= k_per_bucket)
+        .join(counts, "facet")
+        .select("facet", "n_docs", "bucket_rank", "url", "score")
+    )
+
+
 def twin_explain(spark: SparkSession, engine, query: str,
                  url: str) -> DataFrame:
     """(term_key, bm25_contrib, bonus, part) — the plain twin of

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from search_engine_spark import twin as TW
@@ -158,3 +160,85 @@ def test_tree_syntax_routes_to_tree_search(spark, built_index):
                 for r in eng.boolean_search("nation", "policy", "growth", 20)
                 .collect()]
     assert flat == explicit
+
+
+def test_boost_syntax(spark, built_index):
+    """term^2.5 routing + semantics: all-1.0 boosts ≡ plain search
+    (identity), skewed boosts ≡ the twin's joined-weights recompute
+    (rank AND score), duplicate terms accumulate (a a ≡ a^2), and
+    malformed / composed boosts raise."""
+    import pytest as _pytest
+
+    out, cfg, _ = built_index
+    eng = SearchEngine(spark, out, cfg)
+
+    # identity: explicit ^1 boosts change nothing
+    _assert_rank_identical(
+        eng.query_string_search("trade^1 market^1.0", 10),
+        eng.search("trade market", 10))
+
+    # skewed boosts vs the independent twin (joined-weights plan)
+    qs = "trade^2 market nation^0.5"
+    _assert_rank_identical(
+        eng.query_string_search(qs, 10),
+        TW.twin_boosted_topk(spark, eng, qs, 10))
+
+    # boosts must actually reshuffle vs plain for this corpus
+    plain = [r["url"] for r in eng.search("trade market nation", 10).collect()]
+    boosted = [r["url"] for r in eng.query_string_search(qs, 10).collect()]
+    assert plain != boosted
+
+    # duplicate clauses accumulate: "a a b" == "a^2 b"
+    _assert_rank_identical(
+        eng.boosted_search("trade trade market", 10),
+        eng.boosted_search("trade^2 market", 10))
+
+    # stop words / unknown terms drop out, boost and all
+    assert eng.boosted_search("the^9 zzzzunknown^3", 10).count() == 0
+
+    for bad in ("trade^x", "trade^-1", "^2", "+trade^2 market",
+                'tr*^2', '"trade market"^2'):
+        with _pytest.raises(ValueError):
+            eng.query_string_search(bad, 10)
+
+
+def test_top_hits_per_bucket(spark, built_index):
+    """search_top_hits: per-bucket ranks are the engine's own search
+    order restricted to the bucket, n_docs equals search_facets'
+    count for every facet, and the twin (separate count groupBy plan)
+    agrees row for row."""
+    out, cfg, _ = built_index
+    eng = SearchEngine(spark, out, cfg)
+    # dims: url -> parity bucket, derived from the engine's own doc map
+    dims = (eng._doc_map().select("url")
+            .withColumn("b", ((F.xxhash64("url") % 3 + 3) % 3).cast("string")))
+    q = "trade market"
+    hits = eng.search_top_hits(q, dims, "b", 3).collect()
+    assert hits and all(r["bucket_rank"] <= 3 for r in hits)
+
+    # counts agree with the facets kernel
+    fac = {r["facet"]: r["n_docs"]
+           for r in eng.search_facets(q, dims, "b").collect()}
+    for r in hits:
+        assert fac[r["facet"]] == r["n_docs"]
+
+    # per-bucket order is the global order restricted to the bucket
+    deep = eng.search(q, 10_000)
+    dimmed = {r["url"]: str(r["b"]) for r in dims.collect()}
+    by_bucket: dict[str, list[str]] = {}
+    for r in deep.orderBy("rank").collect():
+        by_bucket.setdefault(dimmed[r["url"]], []).append(r["url"])
+    got = {}
+    for r in hits:
+        got.setdefault(r["facet"], []).append((r["bucket_rank"], r["url"]))
+    for facet, pairs in got.items():
+        want = by_bucket[facet][:3]
+        assert [u for _, u in sorted(pairs)] == want
+
+    # twin agreement (different count plan)
+    tw = TW.twin_top_hits(spark, eng, q, dims, "b", 3)
+    a = sorted((r["facet"], r["bucket_rank"], r["url"], r["n_docs"],
+                round(r["score"], 9)) for r in hits)
+    b = sorted((r["facet"], r["bucket_rank"], r["url"], r["n_docs"],
+                round(r["score"], 9)) for r in tw.collect())
+    assert a == b
