@@ -658,6 +658,52 @@ def q_ft_top_hits(spark, sf):
     )
 
 
+FT_SYNONYMS = (("table", "table"), ("row", "table"),
+               ("join", "join"), ("query", "query"), ("scan", "query"))
+
+
+def q_ft_synonym_topk(spark, sf):
+    """Relational Lucene SynonymQuery top-20, fully SQL-checkable:
+    each query concept is a GROUP of terms (table|row, join,
+    query|scan) scored as one pseudo-term — tf summed across members
+    BEFORE the BM25 saturation, group df = MAX member df (blended
+    docFreq, so a rare synonym cannot smuggle a huge idf into a
+    common concept)."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    mem = spark.createDataFrame(list(FT_SYNONYMS), "tok string, gid string")
+    dfreq = (
+        tf.filter(F.col("tok").isin([m for m, _ in FT_SYNONYMS]))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    gdf = (
+        dfreq.join(F.broadcast(mem), "tok")
+        .groupBy("gid").agg(F.max("df").alias("df_g"))
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df_g")))
+    )
+    blended = (
+        tf.join(F.broadcast(mem), "tok")
+        .groupBy("gid", "doc_id").agg(F.sum("tf").alias("tf"))
+        .join(F.broadcast(gdf.select("gid", "idf")), "gid")
+        .join(dl, "doc_id")
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = blended.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return (
+        ranked(topk, [("score", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "score", "rank")
+    )
+
+
 def q_ft_fuzzy_topk(spark, sf):
     """Typo-tolerant relational BM25 top-20, fully SQL-checkable: each
     misspelled query term corrects to its single closest vocabulary
@@ -1883,6 +1929,27 @@ def q_search_top_hits(spark, sf):
     t = TW.twin_top_hits(spark, eng, ENGINE_QUERY, dims, "lang", 3)
     return TW.compare_topk(e, t, ["facet", "bucket_rank"],
                            exact_cols=["url", "n_docs"], approx_cols=["score"])
+
+
+SYN_TABLE = (("data", "stream"), ("row", "line"))
+
+
+def q_search_synonyms(spark, sf):
+    """Query-time synonym expansion (Lucene SynonymQuery) through the
+    packed engine ≡ the plain-postings twin, per rank.  The synonyms
+    table maps data→stream and row→line, so two of ENGINE_QUERY's
+    three concepts blend a second posting list in — tf summed BEFORE
+    the saturation and group df = max member df on both sides, but
+    through different plans (engine: pruned packed scan + raw-tf
+    unpack + driver-literal group idf map; twin: raw-postings
+    recompute with joined group frames)."""
+    eng = _engine_for(spark, sf)
+    syn = spark.createDataFrame(list(SYN_TABLE), "term string, syn string")
+    return _rank_eq(
+        eng.synonym_search(ENGINE_QUERY, syn, 20),
+        TW.twin_synonym_topk(spark, eng, ENGINE_QUERY, syn, 20),
+        exact=["url"], approx=["score"],
+    )
 
 
 def q_search_facets(spark, sf):
@@ -3517,6 +3584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_delete_by_query_empty": q_search_delete_by_query_empty,
         "ft_boosted_topk": q_ft_boosted_topk,
         "search_boosted": q_search_boosted,
+        "ft_synonym_topk": q_ft_synonym_topk,
+        "search_synonyms": q_search_synonyms,
         "ft_top_hits": q_ft_top_hits,
         "search_top_hits": q_search_top_hits,
         "ft_regex_expand": q_ft_regex_expand,
@@ -4611,6 +4680,25 @@ ranked AS (SELECT doc_id, phrase_tf,
 SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 20
 """,
         "ft_bm25_topk": _FT_BM25_SQL,
+        "ft_synonym_topk": f"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n FROM dl),
+mem AS (SELECT * FROM (VALUES ('table', 'table'), ('row', 'table'), ('join', 'join'), ('query', 'query'), ('scan', 'query')) AS m(tok, gid)),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf WHERE tok IN ('table', 'row', 'join', 'query', 'scan') GROUP BY tok),
+gdf AS (SELECT m.gid, max(df) AS df_g FROM dfreq JOIN mem m USING (tok) GROUP BY m.gid),
+blended AS (SELECT m.gid, tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS tf
+            FROM tf JOIN mem m USING (tok) GROUP BY m.gid, tf.doc_id),
+contrib AS (
+  SELECT b.doc_id, log2((SELECT n FROM stats) / g.df_g) AS idf, b.tf, dl.dl
+  FROM blended b JOIN gdf g USING (gid) JOIN dl ON b.doc_id = dl.doc_id
+),
+scored AS (SELECT doc_id, round(sum(idf * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats)))), 6) AS score FROM contrib GROUP BY doc_id),
+ranked AS (SELECT doc_id, score,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM scored)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
+""",
         "ft_boosted_topk": f"""
 WITH {_TF_CTE},
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
@@ -5829,6 +5917,10 @@ SELECT lang AS facet, true AS n_docs_match
 FROM (SELECT DISTINCT lang FROM documents)
 """,
         "search_boosted": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "search_synonyms": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
 """,

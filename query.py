@@ -21,6 +21,8 @@
     python query.py --index /tmp/ix --tree '{"op":"or","kids":[...]}' x  # boolean tree
     python query.py --index /tmp/ix --snippets /tmp/store "world trade"  # result page
     python query.py --index /tmp/ix --explain "world trade"  # score breakdown
+    python query.py --index /tmp/ix --synonyms syn.parquet "data row"  # synonym groups
+    python query.py --index /tmp/ix "data^2 table row^0.5"    # per-term boosts
 
 Cluster: ``spark-submit --py-files engine.zip query.py ...``.
 Outputs TREC-style lines ``qid rank url score`` (real scores — the
@@ -114,6 +116,10 @@ def main() -> None:
                     help="serve infix/leading wildcards (*fix, *in*, a*b) "
                          "from a stored k-gram side-car "
                          "(operators/kgram.write_kgram_index)")
+    ap.add_argument("--synonyms", default=None, metavar="SYN_PARQUET",
+                    help="(term, syn) parquet table: expand query terms "
+                         "into synonym groups scored with Lucene "
+                         "SynonymQuery semantics (blended tf, max df)")
     ap.add_argument("query", nargs="+")
     args = ap.parse_args()
 
@@ -228,6 +234,9 @@ def main() -> None:
             has_rx = any(len(t) > 2 and t[0] == "/" and t[-1] == "/"
                          for t in text.split())
             run = (lambda: wand_search(eng, text, args.k)) if args.wand else (
+                (lambda: eng.synonym_search(
+                    text, spark.read.parquet(args.synonyms), args.k))
+                if args.synonyms else
                 (lambda: eng.prf_search(text, args.prf, args.k)) if args.prf else
                 (lambda: eng.fuzzy_search(text, args.k)) if args.fuzzy else
                 (lambda: eng.regex_search(text, args.k)) if has_rx else

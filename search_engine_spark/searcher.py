@@ -392,6 +392,141 @@ class SearchEngine:
             "term_key", "shard", "n", "doc_ids", "tfs", "lens", "imps"
         ).mapInPandas(unpack_batch, schema=UNPACKED_SCHEMA)
 
+    def _unpack_tf(self, scan: DataFrame) -> DataFrame:
+        """Raw per-posting rows (term_key, shard, local_id, tf, dl,
+        important) — the pre-scoring form of :meth:`_unpack`, for
+        paths that must combine term frequencies ACROSS terms before
+        the BM25 saturation (synonym groups blend tf first; scoring
+        per member and summing would double-saturate)."""
+
+        def unpack_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    n = int(row.n)
+                    ids = delta_decode(bytes(row.doc_ids))
+                    tfs = varint_decode(bytes(row.tfs))
+                    lens = varint_decode(bytes(row.lens))
+                    imps = unpack_bits(bytes(row.imps), n)
+                    outs.append(pd.DataFrame({
+                        "term_key": np.repeat(row.term_key, n),
+                        "shard": np.repeat(np.int32(row.shard), n),
+                        "local_id": ids.astype(np.int64),
+                        "tf": tfs.astype(np.int64),
+                        "dl": lens.astype(np.int64),
+                        "important": imps.astype(bool),
+                    }))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return scan.select(
+            "term_key", "shard", "n", "doc_ids", "tfs", "lens", "imps"
+        ).mapInPandas(
+            unpack_batch,
+            schema="term_key string, shard int, local_id long, "
+                   "tf long, dl long, important boolean",
+        )
+
+    def synonym_search(self, query: str, synonyms: DataFrame,
+                       k: int | None = None) -> DataFrame:
+        """Query-time synonym expansion with Lucene ``SynonymQuery``
+        semantics: each query term and its synonyms form ONE group
+        scored as a single pseudo-term — term frequencies are summed
+        ACROSS members BEFORE the BM25 saturation (so a doc saying
+        "car car automobile" saturates like tf=3 of one term, not as
+        two independently-saturating terms), and the group's idf is
+        the MINIMUM member idf (= the maximum document frequency:
+        Lucene's blended docFreq, which keeps a rare synonym from
+        smuggling a huge idf into a common concept).  The importance
+        bonus is per group per doc — 1.2 if ANY member occurrence is
+        important, the same one-pseudo-term rule.
+
+        ``synonyms`` is a (term, syn) DataFrame — the Solr/ES
+        synonyms file as a table; lookups match the RAW query tokens
+        case-insensitively and each synonym runs through the ordinary
+        analyzer (stem + stop-word drop), exactly like an ES
+        synonym_graph filter.  A term with no synonym rows scores
+        precisely as in :meth:`search` (a 1-member group blends to
+        the plain formula).
+
+        Plan shape at scale: the synonym fetch is a driver-side
+        lookup of |query tokens| keys against the synonyms table
+        (bounded collect — the per-query rows, not the table); the
+        posting scan is pruned over the expanded key set; the member
+        → group mapping joins a query-sized frame (AQE broadcasts
+        it); the group blend is ONE extra map-side-combining agg on
+        (group, doc) keyed exactly like the score agg that follows.
+        Never a corpus pass."""
+        k = k or self.cfg.top_k
+        toks = sorted({t.lower() for t in query.split() if t})
+        lookup: dict[str, list[str]] = {}
+        if toks:
+            for r in (synonyms
+                      .filter(F.lower(F.col("term")).isin(toks))
+                      .select(F.lower(F.col("term")).alias("t"),
+                              F.col("syn").alias("s"))
+                      .collect()):
+                lookup.setdefault(r["t"], []).append(r["s"])
+        groups: dict[str, set[str]] = {}
+        for tok in toks:
+            keys = self.parse_query(tok)
+            if not keys:
+                continue  # stop word / empty after analysis
+            members = set(keys)
+            for syn in lookup.get(tok, []):
+                members |= set(self.parse_query(syn))
+            groups.setdefault(keys[0], set()).update(members)
+        if not groups:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int")
+        all_keys = sorted(set().union(*groups.values()))
+        resolved = self.resolve_terms(all_keys)
+        if resolved.empty:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int")
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        # group idf = min member idf (= max df) over the members that
+        # actually resolve; groups with no resolved member drop out
+        g_idf: dict[str, float] = {}
+        mem_rows: list[tuple[str, str]] = []
+        for gid in sorted(groups):
+            present = sorted(m for m in groups[gid] if m in idf_by_key)
+            if not present:
+                continue
+            g_idf[gid] = min(idf_by_key[m] for m in present)
+            mem_rows.extend((m, gid) for m in present)
+        if not mem_rows:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int")
+        mem = self.spark.createDataFrame(
+            mem_rows, "term_key string, gid string")
+        idf_map = F.create_map(
+            *[F.lit(x) for gid in sorted(g_idf) for x in (gid, g_idf[gid])])
+        k1, b = self.meta["k1"], self.meta["b"]
+        avgdl = self.meta["avgdl"]
+        per = self._drop_deleted(
+            self._unpack_tf(self._scan_index(resolved)))
+        blended = (
+            per.join(mem, "term_key")
+            .groupBy("gid", "shard", "local_id")
+            .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"),
+                 F.max("important").alias("important"))
+        )
+        tf = F.col("tf").cast("double")
+        norm = tf + F.lit(k1) * (F.lit(1.0 - b)
+                                 + F.lit(b) * (F.col("dl").cast("double")
+                                               / F.lit(avgdl)))
+        scored = blended.select(
+            "shard", "local_id",
+            # same multiply order as codec.bm25_contribution, so a
+            # 1-member group reproduces the plain path bit for bit
+            (F.lit(k1 + 1.0) * tf * idf_map[F.col("gid")] / norm)
+            .alias("contrib"),
+            F.when(F.col("important"), F.lit(1.2)).otherwise(F.lit(1.0))
+            .alias("bonus"),
+        )
+        return self._score_topk(scored, k)
+
     def _doc_map(self) -> DataFrame:
         return self._doc_stats.select("shard", "local_id", "url")
 

@@ -166,6 +166,87 @@ def twin_boosted_topk(spark: SparkSession, engine, qs: str,
     return ranked(topk, [("score", "desc"), ("url", "asc")])
 
 
+def twin_synonym_topk(spark: SparkSession, engine, query: str,
+                      synonyms: DataFrame, k: int) -> DataFrame:
+    """(url, score, rank) — the plain twin of
+    ``SearchEngine.synonym_search``.  Group resolution (raw-token
+    synonym lookup + analyzer) is shared driver-side kernel;
+    data-side everything is recomputed from postings_raw: member df
+    stats-as-packed, group df = MAX member df (idf = log2(N/df_max),
+    the engine takes min member idf from its baked dictionary —
+    monotonically identical), tf summed across members BEFORE the
+    saturation, group bonus 1.2 on any important member
+    occurrence."""
+    meta = engine.meta
+    k1, b = float(meta["k1"]), float(meta["b"])
+    avgdl, n_docs = float(meta["avgdl"]), float(meta["n_docs"])
+    blend_a, blend_b = float(meta["blend_bm25"]), float(meta["blend_bonus"])
+    toks = sorted({t.lower() for t in query.split() if t})
+    lookup: dict[str, list[str]] = {}
+    if toks:
+        for r in (synonyms.filter(F.lower(F.col("term")).isin(toks))
+                  .select(F.lower(F.col("term")).alias("t"),
+                          F.col("syn").alias("s")).collect()):
+            lookup.setdefault(r["t"], []).append(r["s"])
+    mem_rows: list[tuple[str, str]] = []
+    for tok in toks:
+        keys = engine.parse_query(tok)
+        if not keys:
+            continue
+        members = set(keys)
+        for syn in lookup.get(tok, []):
+            members |= set(engine.parse_query(syn))
+        mem_rows.extend((m, keys[0]) for m in sorted(members))
+    if not mem_rows:
+        return spark.createDataFrame(
+            [], "url string, score double, rank int")
+    mem = spark.createDataFrame(
+        sorted(set(mem_rows)), "term_key string, gid string")
+    all_keys = sorted({m for m, _ in mem_rows})
+    live = live_raw_postings(spark, engine)
+    dl = live.groupBy("url").agg(F.sum("tf").alias("dl"))
+    dfreq = (
+        raw_postings(spark, engine)
+        .filter(F.col("term_key").isin(all_keys))
+        .groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+    )
+    # group df = max member df over the members present in the corpus
+    gdf = (
+        dfreq.join(F.broadcast(mem), "term_key")
+        .groupBy("gid").agg(F.max("df").alias("df_g"))
+        .withColumn("idf_g", F.log2(F.lit(n_docs) / F.col("df_g")))
+    )
+    qt = (live.filter(F.col("term_key").isin(all_keys))
+          .select("url", "term_key", "tf", "important"))
+    blended = (
+        qt.join(F.broadcast(mem), "term_key")
+        .groupBy("gid", "url")
+        .agg(F.sum("tf").alias("tf"), F.max("important").alias("important"))
+        .join(F.broadcast(gdf.select("gid", "idf_g")), "gid")
+        .join(dl, "url")
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (F.lit(1.0 - b)
+                             + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl)))
+    per = blended.select(
+        "url",
+        (F.lit(k1 + 1.0) * tf * F.col("idf_g") / norm).alias("contrib"),
+        F.when(F.col("important"), F.lit(1.2)).otherwise(F.lit(1.0))
+        .alias("bonus"),
+    )
+    scores = (
+        per.groupBy("url")
+        .agg(F.sum("contrib").alias("bm25"), F.sum("bonus").alias("bonus"))
+        .select(
+            "url",
+            (F.lit(blend_a) * F.col("bm25")
+             + F.lit(blend_b) * F.col("bonus")).alias("score"),
+        )
+    )
+    topk = scores.orderBy(F.desc("score"), F.asc("url")).limit(k)
+    return ranked(topk, [("score", "desc"), ("url", "asc")])
+
+
 def twin_top_hits(spark: SparkSession, engine, query: str,
                   dims: DataFrame, dim_col: str, k_per_bucket: int,
                   url_col: str = "url") -> DataFrame:

@@ -242,3 +242,47 @@ def test_top_hits_per_bucket(spark, built_index):
     b = sorted((r["facet"], r["bucket_rank"], r["url"], r["n_docs"],
                 round(r["score"], 9)) for r in tw.collect())
     assert a == b
+
+
+def test_synonym_search(spark, built_index):
+    """Lucene SynonymQuery semantics: no-rows table ≡ plain search
+    bit for bit; a real synonym group blends tf BEFORE saturation and
+    takes max member df (so group-scoring differs from scoring the
+    members independently); unknown / stop-word synonyms are inert;
+    twin agrees per rank."""
+    out, cfg, _ = built_index
+    eng = SearchEngine(spark, out, cfg)
+    empty_syn = spark.createDataFrame([], "term string, syn string")
+
+    # 1-member groups reproduce the plain path exactly
+    _assert_rank_identical(
+        eng.synonym_search("trade market", empty_syn, 10),
+        eng.search("trade market", 10))
+
+    # expansion changes the result set vs plain, and the blended
+    # group score differs from independently scoring the members
+    # (the OR-query shape) — tf blending saturates once, not twice
+    syn = spark.createDataFrame(
+        [("trade", "market"), ("nation", "policy")], "term string, syn string")
+    blended = eng.synonym_search("trade nation", syn, 10)
+    plain = eng.search("trade nation", 10)
+    or_query = eng.search("trade market nation policy", 10)
+    b_rows = [(r["url"], round(r["score"], 9)) for r in blended.collect()]
+    assert b_rows != [(r["url"], round(r["score"], 9)) for r in plain.collect()]
+    assert b_rows != [(r["url"], round(r["score"], 9)) for r in or_query.collect()]
+
+    # twin equivalence (rank + score)
+    _assert_rank_identical(
+        blended, TW.twin_synonym_topk(spark, eng, "trade nation", syn, 10))
+
+    # inert rows: stop-word and out-of-vocabulary synonyms drop out
+    # of their groups, leaving plain scoring
+    inert = spark.createDataFrame(
+        [("trade", "the"), ("market", "zzzznosuchterm")],
+        "term string, syn string")
+    _assert_rank_identical(
+        eng.synonym_search("trade market", inert, 10),
+        eng.search("trade market", 10))
+
+    # all-stop-word query stays empty
+    assert eng.synonym_search("the of", syn, 10).count() == 0
