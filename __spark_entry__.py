@@ -1952,6 +1952,68 @@ def q_search_synonyms(spark, sf):
     )
 
 
+def q_search_extended_stats(spark, sf):
+    """ES extended_stats + percentiles under a query context through
+    the packed engine ≡ the raw-postings twin, per facet: per-language
+    count/min/max/sum/mean/stddev/quartiles of n_chars over the FULL
+    live matching set.  Every column compares EXACTLY — sums are
+    BIGINT, mean and stddev derive from exact BIGINT moments in one
+    double expression each, and the interpolated percentiles are
+    computed by the same aggregate over the same per-group values —
+    so the row pins the match-set resolution (packed pruned scan vs
+    raw postings)."""
+    eng = _engine_for(spark, sf)
+    docs = _tbl(spark, sf, "documents")
+    vals = docs.select(F.col("doc_id").cast("string").alias("url"),
+                       "lang", "n_chars")
+    e = eng.search_extended_stats(ENGINE_QUERY, vals, "lang", "n_chars")
+    t = TW.twin_extended_stats(spark, eng, ENGINE_QUERY, vals, "lang", "n_chars")
+    return TW.compare_topk(
+        e, t, ["facet"],
+        exact_cols=["n_docs", "v_min", "v_max", "v_sum", "v_avg",
+                    "v_sd", "p25", "p50", "p75"],
+        approx_cols=[])
+
+
+def q_ft_result_stats(spark, sf):
+    """Relational extended_stats under a query context, fully
+    SQL-checkable: docs matching >= 1 query term (simple tokenizer),
+    per-language count/min/max/sum/mean/stddev/quartiles of n_chars.
+    Exact-BIGINT moment derivations; the quartiles pin Spark's
+    ``percentile`` against DuckDB's ``quantile_cont`` (linear
+    interpolation, bit-identical — probed)."""
+    docs = _tbl(spark, sf, "documents")
+    tfm = _doc_tf(docs).filter(F.col("tok").isin(*FT_QUERY_TERMS))
+    match = tfm.select("doc_id").distinct()
+    rows = match.join(
+        docs.select("doc_id", F.col("lang").alias("facet"),
+                    F.col("n_chars").cast("long").alias("v")), "doc_id")
+    return (
+        rows.groupBy("facet")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+            F.sum("v").cast("long").alias("v_sum"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("_sx2"),
+            F.percentile(F.col("v"), 0.25).alias("p25"),
+            F.percentile(F.col("v"), 0.5).alias("p50"),
+            F.percentile(F.col("v"), 0.75).alias("p75"),
+        )
+        .withColumn(
+            "v_avg",
+            F.round(F.col("v_sum").cast("double") / F.col("n_docs"), 6))
+        .withColumn(
+            "v_sd",
+            F.round(F.sqrt(
+                (F.col("n_docs") * F.col("_sx2")
+                 - F.col("v_sum") * F.col("v_sum")).cast("double")
+                / (F.col("n_docs") * F.col("n_docs"))), 6))
+        .select("facet", "n_docs", "v_min", "v_max", "v_sum",
+                "v_avg", "v_sd", "p25", "p50", "p75")
+    )
+
+
 def q_search_facets(spark, sf):
     """Facet counts over the FULL matching doc set (the result-page
     sidebar): for every language, the number of distinct docs holding
@@ -3586,6 +3648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boosted": q_search_boosted,
         "ft_synonym_topk": q_ft_synonym_topk,
         "search_synonyms": q_search_synonyms,
+        "ft_result_stats": q_ft_result_stats,
+        "search_extended_stats": q_search_extended_stats,
         "ft_top_hits": q_ft_top_hits,
         "search_top_hits": q_search_top_hits,
         "ft_regex_expand": q_ft_regex_expand,
@@ -4698,6 +4762,26 @@ ranked AS (SELECT doc_id, score,
                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
            FROM scored)
 SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
+""",
+        "ft_result_stats": f"""
+WITH {_TF_CTE},
+match AS (SELECT DISTINCT doc_id FROM tf WHERE tok IN ('table', 'join', 'query')),
+rows_v AS (SELECT d.lang AS facet, CAST(d.n_chars AS BIGINT) AS v
+           FROM match m JOIN documents d USING (doc_id)),
+agg AS (SELECT facet, CAST(count(*) AS BIGINT) AS n_docs,
+               min(v) AS v_min, max(v) AS v_max,
+               CAST(sum(v) AS BIGINT) AS v_sum,
+               CAST(sum(v * v) AS BIGINT) AS sx2,
+               quantile_cont(v, 0.25) AS p25,
+               quantile_cont(v, 0.5) AS p50,
+               quantile_cont(v, 0.75) AS p75
+        FROM rows_v GROUP BY facet)
+SELECT facet, n_docs, v_min, v_max, v_sum,
+       round(CAST(v_sum AS DOUBLE) / n_docs, 6) AS v_avg,
+       round(sqrt(CAST(n_docs * sx2 - v_sum * v_sum AS DOUBLE)
+                  / (n_docs * n_docs)), 6) AS v_sd,
+       p25, p50, p75
+FROM agg
 """,
         "ft_boosted_topk": f"""
 WITH {_TF_CTE},
@@ -5923,6 +6007,13 @@ FROM range(1, 21)
         "search_synonyms": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
+""",
+        "search_extended_stats": """
+SELECT lang AS facet, true AS n_docs_match, true AS v_min_match,
+       true AS v_max_match, true AS v_sum_match, true AS v_avg_match,
+       true AS v_sd_match, true AS p25_match, true AS p50_match,
+       true AS p75_match
+FROM (SELECT DISTINCT lang FROM documents)
 """,
         "search_top_hits": """
 SELECT lang AS facet, CAST(r.range AS INT) AS bucket_rank,

@@ -2068,6 +2068,80 @@ class SearchEngine:
             .select("qid", "rank", "url", "score")
         )
 
+    def search_extended_stats(self, query: str, values: DataFrame,
+                              dim_col: str, value_col: str,
+                              url_col: str = "url",
+                              approx: bool = False) -> DataFrame:
+        """ES ``extended_stats`` + ``percentiles`` aggregations under
+        a query context — the numeric sidebar ("matching pages by
+        language: median length, p75, spread"): over the FULL live
+        matching doc set, per ``dim_col`` value, the count, min, max,
+        sum, mean, population stddev and quartiles of an integer
+        attribute.  Returns (facet, n_docs, v_min, v_max, v_sum,
+        v_avg, v_sd, p25, p50, p75).
+
+        Determinism: sum/min/max are exact BIGINTs; mean and stddev
+        are derived from the exact BIGINT Σx and Σx² in ONE double
+        expression each (never a float running sum, so no
+        partition-order noise) and half-up-rounded to 6dp; the
+        quartiles use linear interpolation on the sorted values —
+        Spark's ``percentile`` and DuckDB's ``quantile_cont`` agree
+        bit for bit (probed).
+
+        Scale: the candidate set is posting-union-sized (pruned
+        scan); one join to the attribute table; one hash agg per
+        facet.  Exact percentiles buffer each group's values —
+        bounded by the largest facet's match count; at corpus-scale
+        result sets pass ``approx=True`` to swap in
+        ``percentile_approx`` (ES's own t-digest answer; the oracle
+        rows keep the exact form)."""
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            return self.spark.createDataFrame(
+                [], "facet string, n_docs long, v_min long, v_max long, "
+                    "v_sum long, v_avg double, v_sd double, p25 double, "
+                    "p50 double, p75 double")
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        cand = (
+            self._drop_deleted(self._unpack(self._scan_index(resolved), idf_by_key))
+            .select("shard", "local_id").distinct()
+        )
+        rows = (
+            cand.join(self._doc_map(), ["shard", "local_id"])
+            .join(values.select(F.col(url_col).alias("url"),
+                                F.col(dim_col).cast("string").alias("facet"),
+                                F.col(value_col).cast("long").alias("v")),
+                  "url")
+        )
+        pct = F.percentile_approx if approx else F.percentile
+        n = F.count(F.lit(1)).cast("long")
+        sx = F.sum("v").cast("long")
+        sx2 = F.sum(F.col("v") * F.col("v")).cast("long")
+        return (
+            rows.groupBy("facet")
+            .agg(
+                n.alias("n_docs"),
+                F.min("v").alias("v_min"),
+                F.max("v").alias("v_max"),
+                sx.alias("v_sum"),
+                sx2.alias("_sx2"),
+                pct(F.col("v"), 0.25).alias("p25"),
+                pct(F.col("v"), 0.5).alias("p50"),
+                pct(F.col("v"), 0.75).alias("p75"),
+            )
+            .withColumn(
+                "v_avg",
+                F.round(F.col("v_sum").cast("double") / F.col("n_docs"), 6))
+            .withColumn(
+                "v_sd",
+                F.round(F.sqrt(
+                    (F.col("n_docs") * F.col("_sx2")
+                     - F.col("v_sum") * F.col("v_sum")).cast("double")
+                    / (F.col("n_docs") * F.col("n_docs"))), 6))
+            .select("facet", "n_docs", "v_min", "v_max", "v_sum",
+                    "v_avg", "v_sd", "p25", "p50", "p75")
+        )
+
     def search_facets(self, query: str, dims: DataFrame, dim_col: str,
                       url_col: str = "url") -> DataFrame:
         """Facet counts over the FULL matching doc set — the

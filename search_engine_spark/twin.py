@@ -274,6 +274,52 @@ def twin_top_hits(spark: SparkSession, engine, query: str,
     )
 
 
+def twin_extended_stats(spark: SparkSession, engine, query: str,
+                        values: DataFrame, dim_col: str, value_col: str,
+                        url_col: str = "url") -> DataFrame:
+    """The plain twin of ``SearchEngine.search_extended_stats``: the
+    matching url set recomputed from live raw postings, the same
+    exact-BIGINT stat derivations (the value-side arithmetic is
+    deterministic by construction — the equivalence pins the MATCH
+    SET resolution, packed vs raw)."""
+    keys = engine.parse_query(query)
+    urls = (
+        live_raw_postings(spark, engine)
+        .filter(F.col("term_key").isin(list(keys)))
+        .select("url").distinct()
+    )
+    rows = urls.join(
+        values.select(F.col(url_col).alias("url"),
+                      F.col(dim_col).cast("string").alias("facet"),
+                      F.col(value_col).cast("long").alias("v")),
+        "url",
+    )
+    return (
+        rows.groupBy("facet")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+            F.sum("v").cast("long").alias("v_sum"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("_sx2"),
+            F.percentile(F.col("v"), 0.25).alias("p25"),
+            F.percentile(F.col("v"), 0.5).alias("p50"),
+            F.percentile(F.col("v"), 0.75).alias("p75"),
+        )
+        .withColumn(
+            "v_avg",
+            F.round(F.col("v_sum").cast("double") / F.col("n_docs"), 6))
+        .withColumn(
+            "v_sd",
+            F.round(F.sqrt(
+                (F.col("n_docs") * F.col("_sx2")
+                 - F.col("v_sum") * F.col("v_sum")).cast("double")
+                / (F.col("n_docs") * F.col("n_docs"))), 6))
+        .select("facet", "n_docs", "v_min", "v_max", "v_sum",
+                "v_avg", "v_sd", "p25", "p50", "p75")
+    )
+
+
 def twin_explain(spark: SparkSession, engine, query: str,
                  url: str) -> DataFrame:
     """(term_key, bm25_contrib, bonus, part) — the plain twin of

@@ -286,3 +286,37 @@ def test_synonym_search(spark, built_index):
 
     # all-stop-word query stays empty
     assert eng.synonym_search("the of", syn, 10).count() == 0
+
+
+def test_extended_stats(spark, built_index):
+    """search_extended_stats: per-facet n_docs equals the facets
+    kernel, and every stat equals a driver-side numpy recompute over
+    the engine's own matching set."""
+    import numpy as np
+
+    out, cfg, _ = built_index
+    eng = SearchEngine(spark, out, cfg)
+    q = "trade market"
+    vals = (eng._doc_map().select("url")
+            .withColumn("b", ((F.xxhash64("url") % 2 + 2) % 2).cast("string"))
+            .withColumn("v", (F.length("url") + F.xxhash64("url") % 50 + 50)
+                        .cast("long")))
+    got = {r["facet"]: r for r in
+           eng.search_extended_stats(q, vals, "b", "v").collect()}
+    fac = {r["facet"]: r["n_docs"]
+           for r in eng.search_facets(q, vals, "b").collect()}
+    assert {k: r["n_docs"] for k, r in got.items()} == fac
+
+    matched = {r["url"] for r in eng.matching_urls(q).collect()}
+    rows = [(r["b"], r["v"]) for r in vals.collect() if r["url"] in matched]
+    for facet, r in got.items():
+        xs = np.array(sorted(v for b, v in rows if b == facet), dtype=np.int64)
+        assert r["v_min"] == xs.min() and r["v_max"] == xs.max()
+        assert r["v_sum"] == xs.sum()
+        assert abs(r["v_avg"] - round(xs.sum() / len(xs), 6)) < 1e-12
+        sd = float(np.sqrt((len(xs) * (xs.astype(object) ** 2).sum()
+                            - int(xs.sum()) ** 2) / (len(xs) ** 2)))
+        assert abs(r["v_sd"] - round(sd, 6)) < 1e-9
+        for q_, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            assert abs(r[col] - float(np.percentile(xs, q_ * 100,
+                                                    method="linear"))) < 1e-9
