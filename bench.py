@@ -170,6 +170,29 @@ def main() -> None:
     # levenshtein pass over the dictionary scan
     timed("did_you_mean",
           lambda: eng.did_you_mean("wrld tade market"))
+    # per-term boosts: the plain pruned-scan plan + a literal map
+    # lookup — must price at parity with bm25
+    timed("boosted_top10",
+          lambda: eng.boosted_search("world^2 trade market^0.5", 10))
+    # synonym groups: expanded pruned scan + one extra (group, doc)
+    # blend agg over the raw-tf unpack
+    _syn = spark.createDataFrame(
+        [("world", "global"), ("trade", "market")], "term string, syn string")
+    timed("synonyms_top10",
+          lambda: eng.synonym_search("world trade", _syn, 10))
+    # grouped result page: one window pass over the scored match set
+    _langs = pages.select(
+        "url", (_F.pmod(_F.xxhash64("url"), _F.lit(5))).cast("string").alias("g"))
+    timed("top_hits_3x5",
+          lambda: eng.search_top_hits("world trade market", _langs, "g", 3))
+    # numeric sidebar: count/min/max/sum/mean/sd/quartiles per facet
+    # over the full matching set (exact percentiles)
+    _vals = pages.select("url", _F.length("text").alias("v"),
+                         (_F.pmod(_F.xxhash64("url"), _F.lit(5)))
+                         .cast("string").alias("g"))
+    timed("extended_stats",
+          lambda: eng.search_extended_stats("world trade market",
+                                            _vals, "g", "v"))
 
     # -- relational / pipeline operators (driver-contract queries) -----------
     qs = entry.queries()
@@ -257,6 +280,19 @@ def main() -> None:
     s1, j1 = _cpu_sample()
     steal["incremental_update_5pct"] = round(100 * (s1 - s0) / max(1, j1 - j0), 2)
 
+    # -- delete-by-query: resolve through the index's own pruned scan -------
+    # (dictionary lookup -> the query terms' posting rows, never a corpus
+    # pass) + the O(|matches|) tombstone append.  Runs after the other
+    # mutations; perturbs nothing that follows it.
+    from search_engine_spark.incremental import delete_by_query
+
+    s0, j0 = _cpu_sample()
+    t0 = time.time()
+    n_dbq = delete_by_query(spark, "delta recrawled", ix_dir, cfg)
+    timings["delete_by_query"] = round(time.time() - t0, 3)
+    s1, j1 = _cpu_sample()
+    steal["delete_by_query"] = round(100 * (s1 - s0) / max(1, j1 - j0), 2)
+
     total = round(time.time() - t_all, 3)
     n_docs = meta.get("n_docs", 0)
     out = {
@@ -270,6 +306,7 @@ def main() -> None:
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
         "incremental_delta_docs": n_delta,
         "recrawl_update_docs": n_recrawl,
+        "delete_by_query_docs": n_dbq,
         "cpus": int(cpus),
     }
     # end of campaign: release the persisted shared frames the dedup /
