@@ -49,6 +49,7 @@ from search_engine_spark.operators import collapse as CO
 from search_engine_spark.operators import curation as CU
 from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import embed as EM
+from search_engine_spark.operators import fielded as FLD
 from search_engine_spark.operators import graph as GR
 from search_engine_spark.operators import hybrid as HY
 from search_engine_spark.operators import ireval as IR
@@ -656,6 +657,16 @@ def q_ft_top_hits(spark, sf):
         .filter(F.col("bucket_rank") <= 3)
         .select("lang", "n_docs", "bucket_rank", "doc_id", "score")
     )
+
+
+def q_ft_bm25f_topk(spark, sf):
+    """Simple BM25F (Zaragoza et al. 2004) top-20 over the fielded
+    split (title = first 8 tokens at weight 2, body the rest), fully
+    SQL-checkable: per-field length-normalized tf blended across
+    fields BEFORE one saturation, doc-level idf — the fielded scorer
+    naive per-field BM25 gets wrong (operators/fielded.py)."""
+    return FLD.bm25f_topk(_tbl(spark, sf, "documents"),
+                          list(FT_QUERY_TERMS), 20)
 
 
 FT_SYNONYMS = (("table", "table"), ("row", "table"),
@@ -3649,6 +3660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_synonym_topk": q_ft_synonym_topk,
         "search_synonyms": q_search_synonyms,
         "ft_result_stats": q_ft_result_stats,
+        "ft_bm25f_topk": q_ft_bm25f_topk,
         "search_extended_stats": q_search_extended_stats,
         "ft_top_hits": q_ft_top_hits,
         "search_top_hits": q_search_top_hits,
@@ -4782,6 +4794,44 @@ SELECT facet, n_docs, v_min, v_max, v_sum,
                   / (n_docs * n_docs)), 6) AS v_sd,
        p25, p50, p75
 FROM agg
+""",
+        "ft_bm25f_topk": f"""
+WITH {_TOK_CTE},
+fx AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks) + 1),
+                     i -> {{'f': CASE WHEN i <= 8 THEN 'title' ELSE 'body' END,
+                           'tok': toks[i]}})) AS e
+       FROM tok),
+ftok AS (SELECT doc_id, e.f AS field, e.tok AS tok FROM fx),
+flen AS (SELECT doc_id, field, CAST(count(*) AS BIGINT) AS flen
+         FROM ftok GROUP BY doc_id, field),
+allf AS (SELECT d.doc_id, f.field
+         FROM documents d CROSS JOIN (VALUES ('title'), ('body')) AS f(field)),
+flenf AS (SELECT a.doc_id, a.field, coalesce(fl.flen, 0) AS flen
+          FROM allf a LEFT JOIN flen fl ON a.doc_id = fl.doc_id AND a.field = fl.field),
+avglen AS (SELECT field, CAST(sum(flen) AS DOUBLE) / count(*) AS avglen
+           FROM flenf GROUP BY field),
+wp AS (SELECT * FROM (VALUES ('title', 2.0, 0.75), ('body', 1.0, 0.75)) AS w(field, w, b)),
+qtf AS (SELECT doc_id, field, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM ftok WHERE tok IN ('table', 'join', 'query') GROUP BY doc_id, field, tok),
+dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM ftok WHERE tok IN ('table', 'join', 'query') GROUP BY tok),
+normed AS (SELECT q.doc_id, q.tok,
+                  w.w * (CAST(q.tf AS DOUBLE)
+                         / (1 - w.b + w.b * (CAST(fl.flen AS DOUBLE) / av.avglen))) AS wtf_part
+           FROM qtf q
+           JOIN flen fl ON q.doc_id = fl.doc_id AND q.field = fl.field
+           JOIN avglen av ON q.field = av.field
+           JOIN wp w ON q.field = w.field),
+wtf AS (SELECT doc_id, tok, sum(wtf_part) AS wtf FROM normed GROUP BY doc_id, tok),
+scored AS (SELECT doc_id,
+                  round(sum(log2((SELECT CAST(count(*) AS DOUBLE) FROM documents) / d.df)
+                            * wtf / (1.2 + wtf)), 6) AS score
+           FROM wtf JOIN dfreq d ON wtf.tok = d.tok GROUP BY doc_id),
+ranked AS (SELECT doc_id, score,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM scored)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
 """,
         "ft_boosted_topk": f"""
 WITH {_TF_CTE},
