@@ -2025,6 +2025,42 @@ def q_ft_result_stats(spark, sf):
     )
 
 
+def q_search_cardinality(spark, sf):
+    """ES cardinality agg under a query context: distinct attribute
+    values among the matching docs, exact (countDistinct) AND via the
+    deterministic md5-HLL sketch (the web-scale register-merge shape;
+    approx=True).  Both engine answers must equal the same statistic
+    computed over the raw-postings twin's match set, and the HLL
+    estimate must land within 20% of exact truth (at this domain size
+    the small-range linear-counting correction applies, so it is in
+    fact exact-or-near-exact — the slack covers register collisions,
+    not engine noise, which the equality columns pin to zero)."""
+    eng = _engine_for(spark, sf)
+    docs = _tbl(spark, sf, "documents")
+    vals = docs.select(F.col("doc_id").cast("string").alias("url"), "source")
+    e_exact = int(eng.search_cardinality(
+        ENGINE_QUERY, vals, "source").first()["n_values"])
+    e_hll = int(eng.search_cardinality(
+        ENGINE_QUERY, vals, "source", approx=True).first()["n_values"])
+    twin_rows = (
+        TW.live_raw_postings(spark, eng)
+        .filter(F.col("term_key").isin(eng.parse_query(ENGINE_QUERY)))
+        .select("url").distinct()
+        .join(vals.select("url", F.col("source").cast("string").alias("v")),
+              "url")
+    )
+    t_exact = int(twin_rows.agg(
+        F.countDistinct("v").cast("long").alias("n")).first()["n"])
+    t_hll = int(SK.hll_estimate(SK.hll_registers(twin_rows, "v"))
+                .select(F.floor(F.col("est") + F.lit(0.5)).cast("long")
+                        .alias("n")).first()["n"])
+    return spark.createDataFrame(
+        [(e_exact == t_exact, e_hll == t_hll,
+          abs(e_hll - e_exact) <= 0.2 * max(e_exact, 1))],
+        "exact_match boolean, hll_match boolean, hll_close boolean",
+    )
+
+
 def q_search_facets(spark, sf):
     """Facet counts over the FULL matching doc set (the result-page
     sidebar): for every language, the number of distinct docs holding
@@ -3661,6 +3697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_synonyms": q_search_synonyms,
         "ft_result_stats": q_ft_result_stats,
         "ft_bm25f_topk": q_ft_bm25f_topk,
+        "search_cardinality": q_search_cardinality,
         "search_extended_stats": q_search_extended_stats,
         "ft_top_hits": q_ft_top_hits,
         "search_top_hits": q_search_top_hits,
@@ -6057,6 +6094,9 @@ FROM range(1, 21)
         "search_synonyms": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
+""",
+        "search_cardinality": """
+SELECT true AS exact_match, true AS hll_match, true AS hll_close
 """,
         "search_extended_stats": """
 SELECT lang AS facet, true AS n_docs_match, true AS v_min_match,

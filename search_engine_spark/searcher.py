@@ -2142,6 +2142,44 @@ class SearchEngine:
                     "v_avg", "v_sd", "p25", "p50", "p75")
         )
 
+    def search_cardinality(self, query: str, values: DataFrame,
+                           value_col: str, url_col: str = "url",
+                           approx: bool = False) -> DataFrame:
+        """ES ``cardinality`` aggregation under a query context: the
+        number of DISTINCT values of an attribute among the live
+        matching docs ("results from N different hosts").  Returns a
+        1-row (n_values) frame — exact BIGINT countDistinct by
+        default; ``approx=True`` swaps in the deterministic md5-HLL
+        sketch (operators/sketches.py, half-up-rounded estimate) —
+        ES's own answer, and the web-scale shape when the value
+        domain is too large to shuffle distinct: register state
+        max-merges inside one hash agg, exchange bounded by m
+        register rows regardless of corpus size."""
+        from .operators import sketches as SK
+
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            return self.spark.createDataFrame([(0,)], "n_values long")
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        cand = (
+            self._drop_deleted(self._unpack(self._scan_index(resolved), idf_by_key))
+            .select("shard", "local_id").distinct()
+        )
+        rows = (
+            cand.join(self._doc_map(), ["shard", "local_id"])
+            .join(values.select(F.col(url_col).alias("url"),
+                                F.col(value_col).cast("string").alias("v")),
+                  "url")
+        )
+        if approx:
+            return (
+                SK.hll_estimate(SK.hll_registers(rows, "v"))
+                .select(F.floor(F.col("est") + F.lit(0.5)).cast("long")
+                        .alias("n_values"))
+            )
+        return rows.agg(
+            F.countDistinct("v").cast("long").alias("n_values"))
+
     def search_facets(self, query: str, dims: DataFrame, dim_col: str,
                       url_col: str = "url") -> DataFrame:
         """Facet counts over the FULL matching doc set — the
