@@ -669,6 +669,35 @@ def q_ft_bm25f_topk(spark, sf):
                           list(FT_QUERY_TERMS), 20)
 
 
+def _repetition_input(spark, sf):
+    """The lined corpus with an intra-doc duplicate line appended for
+    every doc_id%3==0 doc (re-stating the nav header), so the
+    duplicate-LINE metrics are non-trivial — the banner/notice lines
+    are cross-doc boilerplate (dedup_lines' job) but unique within a
+    doc.  The zipfian token stream already repeats n-grams naturally
+    ("batch batch batch"), so the gram metrics are exercised by the
+    corpus itself."""
+    lined = CU.synthetic_lined(_tbl(spark, sf, "documents"))
+    return lined.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit("\nnav home about contact")))
+        .otherwise(F.col("text")),
+    )
+
+
+def q_text_repetition(spark, sf):
+    """Gopher repetition-removal signals (Rae et al. 2021 App. A) per
+    doc in one map-only Arrow pass, fully SQL-checkable: duplicate
+    intra-doc lines (count + characters), most-frequent n-gram
+    containment (n=2..4, occurrences x token chars, integer-max tie
+    rule), and duplicate n-gram POSITION-COVERAGE characters
+    (n=5..10, overlapping repeats counted once).  The oracle
+    recomputes all 15 integers relationally (gram explodes + per-doc
+    windows — the shuffling plan the kernel avoids)."""
+    return WQ.repetition_stats(_repetition_input(spark, sf))
+
+
 FT_SYNONYMS = (("table", "table"), ("row", "table"),
                ("join", "join"), ("query", "query"), ("scan", "query"))
 
@@ -3678,29 +3707,30 @@ def q_search_after(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the host correctness driver's 50-row check window
-    stamps every row that needs a FRESH stamp this round: round 5's
-    new rows first (never driver-stamped — at 126 total they fill the
-    whole window, with two r5 rows and all the r01-r03 rotation
-    targets just past the cut: ft_* stats/bm25/phrase, extract_text,
-    joins/set ops, distinct_langs, events_hourly — all trivially
-    SQL-oracled or long-green).  Every row past the window carries an
-    r01-r04 driver stamp or a CI oracle run AND
+    stamps every row that needs a FRESH stamp this round, flagship
+    verdict-item rows first (delete-by-query, recrawl updates, link
+    graph, digest dedup_lines, multi-facets, MSM), then the earlier
+    round-5 serving rows.  Round 5 added far more than 50 new rows,
+    so the late additions (boosts, synonyms, extended stats, BM25F,
+    cardinality, top-hits, the sketch family, anchor serving, ...)
+    sit past the cut on the CI tail oracle:
     tests/test_entry_oracle.py re-runs the ACTUAL tail
-    (list(queries())[50:]) against DuckDB every CI run."""
+    (list(queries())[50:]) against DuckDB every run, and
+    INTRODUCED_PAST_WINDOW there is kept exact."""
     return {
         # --- window, part 1: round-5 rows (never driver-stamped)
         "search_delete_by_query": q_search_delete_by_query,
         "search_delete_by_query_empty": q_search_delete_by_query_empty,
-        "ft_boosted_topk": q_ft_boosted_topk,
+        "search_updates": q_search_updates,
+        "search_updates_wand": q_search_updates_wand,
+        "link_graph": q_link_graph,
+        "link_host_graph": q_link_host_graph,
+        "pagerank_links": q_pagerank_links,
+        "dedup_lines_digest": q_dedup_lines_digest,
+        "search_facets_multi": q_search_facets_multi,
+        "ft_msm_topk": q_ft_msm_topk,
+        "search_msm": q_search_msm,
         "search_boosted": q_search_boosted,
-        "ft_synonym_topk": q_ft_synonym_topk,
-        "search_synonyms": q_search_synonyms,
-        "ft_result_stats": q_ft_result_stats,
-        "ft_bm25f_topk": q_ft_bm25f_topk,
-        "search_cardinality": q_search_cardinality,
-        "search_extended_stats": q_search_extended_stats,
-        "ft_top_hits": q_ft_top_hits,
-        "search_top_hits": q_search_top_hits,
         "ft_regex_expand": q_ft_regex_expand,
         "search_regex": q_search_regex,
         "ft_kgram_expand": q_ft_kgram_expand,
@@ -3759,20 +3789,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_anchor_indexed": q_search_anchor_indexed,
         "pagerank_hosts": q_pagerank_hosts,
         "text_related_terms": q_text_related_terms,
-        "search_updates": q_search_updates,
-        "search_updates_wand": q_search_updates_wand,
-        "link_graph": q_link_graph,
-        "link_host_graph": q_link_host_graph,
-        "pagerank_links": q_pagerank_links,
-        "dedup_lines_digest": q_dedup_lines_digest,
         # --- tail head: round-5 rows past the 50-row stamp window —
+        # (the boost/synonym/stats/BM25F/cardinality/top-hits family
+        # landed after the verdict-item rows reclaimed the window)
+        "ft_boosted_topk": q_ft_boosted_topk,
+        "ft_synonym_topk": q_ft_synonym_topk,
+        "search_synonyms": q_search_synonyms,
+        "ft_result_stats": q_ft_result_stats,
+        "search_extended_stats": q_search_extended_stats,
+        "ft_bm25f_topk": q_ft_bm25f_topk,
+        "search_cardinality": q_search_cardinality,
+        "ft_top_hits": q_ft_top_hits,
+        "search_top_hits": q_search_top_hits,
         # the window is full of this round's verdict-item rows, so
         # these late additions ride the CI tail oracle
         # (tests/test_entry_oracle.py re-runs them vs DuckDB each run)
         # until the next round's rotation stamps them
-        "search_facets_multi": q_search_facets_multi,
-        "ft_msm_topk": q_ft_msm_topk,
-        "search_msm": q_search_msm,
         "ft_search_after": q_ft_search_after,
         "search_after": q_search_after,
         "search_ts_filtered": q_search_ts_filtered,
@@ -3846,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_rollup": q_url_host_rollup,
         "text_bpe_stats": q_text_bpe_stats,
         "text_gopher_quality": q_text_gopher_quality,
+        "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
         "dedup_crossdoc_grams": q_dedup_crossdoc_grams,
         "training_mix": q_training_mix,
@@ -3886,6 +3919,75 @@ def _sql_shingles_cte(n: int = D.DEFAULT_SHINGLE) -> str:
         f"range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
         f"i -> {gram})) AS shingles FROM tok)"
     )
+
+
+def _sql_repetition() -> str:
+    """DuckDB twin of webquality.repetition_stats over the
+    _repetition_input corpus: the relational plan (line groupBys,
+    gram explodes with positions, per-doc windows, coverage unions)
+    the Arrow kernel avoids."""
+    ctes = ["""lined AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || chr(10) || 'nav home about contact'
+              ELSE text END AS text
+  FROM (""" + CU.DUCKDB_LINED_SQL + """))""",
+            """ln AS (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x <> '') AS lines FROM lined)""",
+            """lx AS (SELECT doc_id, unnest(lines) AS line FROM ln)""",
+            """lgrp AS (SELECT doc_id, line, CAST(count(*) AS BIGINT) AS c, len(line) AS l
+       FROM lx GROUP BY doc_id, line)""",
+            """lstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+              CAST(sum(c) - count(*) AS BIGINT) AS n_dup_lines,
+              CAST(sum(c * l) AS BIGINT) AS line_chars,
+              CAST(sum(CASE WHEN c > 1 THEN (c - 1) * l ELSE 0 END) AS BIGINT) AS dup_line_chars
+       FROM lgrp GROUP BY doc_id)""",
+            """tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM lined)""",
+            """tchars AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS tot_chars FROM tok)""",
+            """tokpos AS (SELECT doc_id, e.pos AS pos, CAST(e.tl AS BIGINT) AS tl FROM (
+         SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+                i -> {'pos': i, 'tl': len(toks[i])})) AS e FROM tok))"""]
+    for n in range(2, 11):
+        gram = " || ' ' || ".join(
+            f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+        ctes.append(
+            f"""gg{n} AS (SELECT doc_id, e.pos AS pos, e.g AS g FROM (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+         i -> {{'pos': i, 'g': {gram}}})) AS e FROM tok))""")
+        ctes.append(
+            f"""gc{n} AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c,
+              CAST(len(g) - {n - 1} AS BIGINT) AS glen
+       FROM gg{n} GROUP BY doc_id, g)""")
+    for n in (2, 3, 4):
+        ctes.append(
+            f"""tp{n} AS (SELECT doc_id, CAST(max(CASE WHEN c = mc THEN c * glen END) AS BIGINT) AS v
+       FROM (SELECT doc_id, c, glen, max(c) OVER (PARTITION BY doc_id) AS mc FROM gc{n})
+       GROUP BY doc_id)""")
+    for n in (5, 6, 7, 8, 9, 10):
+        ctes.append(f"""dg{n} AS (SELECT doc_id, g FROM gc{n} WHERE c > 1)""")
+        ctes.append(
+            f"""cv{n} AS (SELECT DISTINCT o.doc_id, u.p
+       FROM gg{n} o JOIN dg{n} d ON o.doc_id = d.doc_id AND o.g = d.g,
+            unnest(range(o.pos, o.pos + {n})) AS u(p))""")
+        ctes.append(
+            f"""dc{n} AS (SELECT c.doc_id, CAST(sum(t.tl) AS BIGINT) AS v
+       FROM cv{n} c JOIN tokpos t ON c.doc_id = t.doc_id AND c.p = t.pos
+       GROUP BY c.doc_id)""")
+    tops = ", ".join(f"coalesce(tp{n}.v, 0) AS top{n}_chars" for n in (2, 3, 4))
+    dups = ", ".join(
+        f"coalesce(dc{n}.v, 0) AS dup{n}_chars" for n in (5, 6, 7, 8, 9, 10))
+    joins = " ".join(
+        [f"LEFT JOIN tp{n} ON d.doc_id = tp{n}.doc_id" for n in (2, 3, 4)]
+        + [f"LEFT JOIN dc{n} ON d.doc_id = dc{n}.doc_id"
+           for n in (5, 6, 7, 8, 9, 10)])
+    return f"""
+WITH {", ".join(ctes)}
+SELECT d.doc_id, l.n_lines, l.n_dup_lines, l.line_chars, l.dup_line_chars,
+       tc.tot_chars, {tops}, {dups}
+FROM documents d
+JOIN lstat l ON d.doc_id = l.doc_id
+JOIN tchars tc ON d.doc_id = tc.doc_id
+{joins}
+"""
 
 
 def _sql_minhash_lsh() -> str:
@@ -5723,6 +5825,7 @@ SELECT doc_id,
 FROM p
 """,
         "text_gopher_quality": _sql_gopher_quality(),
+        "text_repetition": _sql_repetition(),
         "text_contamination": _CONTAM_SQL,
         "dedup_crossdoc_grams": f"""
 WITH {_sql_shingles_cte()},

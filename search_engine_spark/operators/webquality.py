@@ -122,6 +122,140 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+REP_STATS_SCHEMA = (
+    "doc_id long, n_lines long, n_dup_lines long, line_chars long, "
+    "dup_line_chars long, tot_chars long, "
+    "top2_chars long, top3_chars long, top4_chars long, "
+    "dup5_chars long, dup6_chars long, dup7_chars long, "
+    "dup8_chars long, dup9_chars long, dup10_chars long"
+)
+
+# Gopher repetition thresholds (Rae et al. 2021, Table A1), integer
+# percents so every flag is a cross-multiplied BIGINT comparison
+DUP_LINE_MAX_PCT = 30          # fraction of lines that are duplicates
+DUP_LINE_CHAR_MAX_PCT = 20     # chars inside duplicate line occurrences
+TOP_NGRAM_MAX_PCT = {2: 20, 3: 18, 4: 16}
+DUP_NGRAM_MAX_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def repetition_stats(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document Gopher REPETITION signals (Rae et al. 2021,
+    App. A "repetition removal") in one map-only Arrow pass — the
+    other half of :func:`gopher_stats`' quality rules:
+
+    * duplicate lines: ``n_dup_lines`` = line occurrences beyond the
+      first of an identical line within the SAME doc, and
+      ``dup_line_chars`` = the characters inside those occurrences
+      (Gopher bounds both fractions; cross-doc boilerplate is the
+      separate ``curation.dedup_lines`` pass)
+    * top n-gram containment, n = 2..4: ``top{n}_chars`` =
+      occurrences x token-chars of the most frequent n-gram (ties:
+      the largest such product among max-count grams — an integer
+      max, so engine-order-free)
+    * duplicate n-gram coverage, n = 5..10: ``dup{n}_chars`` = token
+      characters at positions covered by ANY n-gram occurring more
+      than once in the doc (position-coverage union, so overlapping
+      repeats are not double-counted — the datatrove/NeMo reading of
+      the Gopher metric)
+
+    All outputs are exact BIGINTs (counts and character sums, never
+    fractions); :func:`repetition_quality` turns them into the
+    published threshold flags via cross-multiplied integer
+    comparisons.  Lines split on newline; tokens are the shared
+    simple tokenizer (lower, ``[^a-z0-9]+``, drop empties) — both
+    stated identically in the DuckDB oracle.
+
+    Scale shape: ZERO shuffles — every metric is a per-doc reduction
+    inside the Arrow kernel riding the scan; the relational
+    equivalent (three gram explodes + per-doc windows) is what the
+    oracle runs."""
+    pat = re.compile(TOKEN_SPLIT_RE)
+    docs = balanced(docs)
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[col]):
+                text = text or ""
+                lines = [ln for ln in text.split("\n") if ln != ""]
+                lc = Counter(lines)
+                n_lines = len(lines)
+                n_dup_lines = n_lines - len(lc)
+                line_chars = sum(len(ln) for ln in lines)
+                dup_line_chars = sum((c - 1) * len(ln)
+                                     for ln, c in lc.items() if c > 1)
+                toks = [t for t in pat.split(text.lower()) if t]
+                lens = [len(t) for t in toks]
+                tot_chars = sum(lens)
+                tops = {}
+                for n in (2, 3, 4):
+                    grams = Counter(
+                        tuple(toks[i:i + n])
+                        for i in range(len(toks) - n + 1))
+                    if not grams:
+                        tops[n] = 0
+                        continue
+                    mx = max(grams.values())
+                    tops[n] = max(
+                        c * sum(len(t) for t in g)
+                        for g, c in grams.items() if c == mx)
+                dups = {}
+                for n in (5, 6, 7, 8, 9, 10):
+                    starts: dict[tuple, list[int]] = {}
+                    for i in range(len(toks) - n + 1):
+                        starts.setdefault(tuple(toks[i:i + n]), []).append(i)
+                    covered: set[int] = set()
+                    for g, pos in starts.items():
+                        if len(pos) > 1:
+                            for p in pos:
+                                covered.update(range(p, p + n))
+                    dups[n] = sum(lens[i] for i in covered)
+                rows.append((
+                    doc_id, n_lines, n_dup_lines, line_chars,
+                    dup_line_chars, tot_chars,
+                    tops[2], tops[3], tops[4],
+                    dups[5], dups[6], dups[7], dups[8], dups[9], dups[10],
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_lines", "n_dup_lines", "line_chars",
+                "dup_line_chars", "tot_chars",
+                "top2_chars", "top3_chars", "top4_chars",
+                "dup5_chars", "dup6_chars", "dup7_chars",
+                "dup8_chars", "dup9_chars", "dup10_chars",
+            ])
+
+    return docs.select("doc_id", col).mapInPandas(batch, schema=REP_STATS_SCHEMA)
+
+
+def repetition_quality(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Gopher repetition-removal flags over :func:`repetition_stats`:
+    one boolean per published rule plus the conjunction, every
+    comparison a cross-multiplied BIGINT (float-free).  An empty doc
+    (no tokens) fails the conjunction, mirroring gopher_quality's
+    word-count floor."""
+    s = repetition_stats(docs, col)
+    ok_dup_lines = (F.lit(100) * F.col("n_dup_lines")
+                    <= F.lit(DUP_LINE_MAX_PCT) * F.col("n_lines"))
+    ok_dup_line_chars = (F.lit(100) * F.col("dup_line_chars")
+                         <= F.lit(DUP_LINE_CHAR_MAX_PCT) * F.col("line_chars"))
+    flags = [ok_dup_lines.alias("ok_dup_lines"),
+             ok_dup_line_chars.alias("ok_dup_line_chars")]
+    conj = ok_dup_lines & ok_dup_line_chars & (F.col("tot_chars") > 0)
+    for n, pct in TOP_NGRAM_MAX_PCT.items():
+        ok = (F.lit(100) * F.col(f"top{n}_chars")
+              <= F.lit(pct) * F.col("tot_chars"))
+        flags.append(ok.alias(f"ok_top{n}"))
+        conj = conj & ok
+    for n, pct in DUP_NGRAM_MAX_PCT.items():
+        ok = (F.lit(100) * F.col(f"dup{n}_chars")
+              <= F.lit(pct) * F.col("tot_chars"))
+        flags.append(ok.alias(f"ok_dup{n}"))
+        conj = conj & ok
+    return s.select("doc_id", *flags, conj.alias("passes_repetition"))
+
+
 def sample_bucket(salt: str) -> F.Column:
     """Deterministic per-doc bucket in [0, 1e6): first 8 hex chars of
     md5(doc_id ':' salt) as an int — the md5-prefix trick DuckDB

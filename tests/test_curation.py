@@ -273,3 +273,51 @@ def test_contamination_bloom_form_identical(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition signals on a hand-built doc: duplicate
+    lines, the top-bigram product, and 5-gram position coverage that
+    must NOT double-count overlapping repeats."""
+    from search_engine_spark.operators import webquality as WQ
+
+    # doc 0: 'a b c d e' repeated twice + a duplicated line
+    text0 = "a b c d e a b c d e\nx y\nx y"
+    # doc 1: no repetition at all — 30 distinct 3-char tokens, so
+    # every top-gram fraction sits far under its Gopher threshold
+    text1 = " ".join(f"t{i:02d}" for i in range(15)) + "\n" + " ".join(
+        f"u{i:02d}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(0, text0), (1, text1)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in WQ.repetition_stats(docs).collect()}
+
+    r0 = got[0]
+    assert r0["n_lines"] == 3 and r0["n_dup_lines"] == 1
+    assert r0["line_chars"] == 19 + 3 + 3
+    assert r0["dup_line_chars"] == 3            # one extra 'x y'
+    # tokens: a b c d e a b c d e x y x y -> 14 single-char tokens
+    assert r0["tot_chars"] == 14
+    # top bigram: 'a b' (+ every other gram in the repeated block)
+    # occurs 2x; 'x y' also 2x; all are 2-char grams -> 2*2 = 4
+    assert r0["top2_chars"] == 4
+    # 5-grams: 'a b c d e' at pos 0 and 5; also 'b c d e a' etc. —
+    # the repeated block covers positions 0..9 exactly once; the
+    # trailing 'x y x y' has no 5-gram repeats.  coverage = 10 chars
+    assert r0["dup5_chars"] == 10
+    # no 7-gram repeats in a 10-token repeated block? 'a b c d e a b'
+    # appears once only -> coverage 0
+    assert r0["dup7_chars"] == 0
+
+    r1 = got[1]
+    assert r1["n_dup_lines"] == 0 and r1["dup_line_chars"] == 0
+    # every bigram occurs once (max count 1): the tie rule picks the
+    # max count*chars product = 1 * (3+3)
+    assert r1["top2_chars"] == 6
+    for n in range(5, 11):
+        assert r1[f"dup{n}_chars"] == 0
+
+    flags = {r["doc_id"]: r for r in WQ.repetition_quality(docs).collect()}
+    # doc 0: dup5 coverage 10/14 = 71% > 15% -> fails repetition
+    assert not flags[0]["passes_repetition"] and not flags[0]["ok_dup5"]
+    # doc 1 passes every rule
+    assert flags[1]["passes_repetition"]

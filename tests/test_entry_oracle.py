@@ -60,7 +60,40 @@ def duck():
 # that gains a stamp must leave it, and any other unstamped tail row
 # is a real regression.
 INTRODUCED_PAST_WINDOW = {
-    "search_msm",
+    # displaced by the late round-5 window head (delete-by-query,
+    # boosts, synonyms, extended stats, BM25F, cardinality, top-hits
+    # — 12 rows): the sketch / anchor-serving / collapse family moves
+    # to the CI tail oracle
+    "sketch_cms_estimate",
+    "sketch_bloom_bits",
+    "sketch_bloom_contains",
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    "link_host_distinct_hll",
+    "text_contamination_bloom",
+    "search_explain",
+    "ft_diversified_topk",
+    "search_collapse",
+    "text_autocomplete",
+    "search_autocomplete_indexed",
+    "ft_boosted_topk",
+    "text_repetition",
+    "ft_synonym_topk",
+    "search_synonyms",
+    "ft_result_stats",
+    "search_extended_stats",
+    "ft_bm25f_topk",
+    "search_cardinality",
+    "ft_top_hits",
+    "search_top_hits",
+    "link_anchor_terms",
+    "search_anchor_topk",
+    "search_anchor_authority",
+    "search_boolean",
+    "ft_boolean_topk",
+    "search_anchor_indexed",
+    "pagerank_hosts",
+    "text_related_terms",
     "ft_search_after",
     "search_after",
     "search_ts_filtered",
