@@ -58,6 +58,7 @@ from search_engine_spark.operators import mlt as MLT
 from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import packing as PK
 from search_engine_spark.operators import pii as PII
+from search_engine_spark.operators import qcache as QC
 from search_engine_spark.operators import similarity as SIM
 from search_engine_spark.operators import sketches as SK
 from search_engine_spark.operators import snippets as SN
@@ -2090,6 +2091,43 @@ def q_search_cardinality(spark, sf):
     )
 
 
+_QCACHE_CACHE: dict[str, str] = {}
+
+
+def _qcache_for(spark: SparkSession, sf_dir: str) -> str:
+    """Stored query-result cache (operators/qcache.py) over the entry
+    index for the head queries, built once per sf_dir (one batched
+    engine job), lineage-stamped against the index."""
+    key = os.path.abspath(sf_dir)
+    if key not in _QCACHE_CACHE:
+        eng = _engine_for(spark, key)
+        tag = hashlib.md5(f"{key}|qcache10".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_qcache_{tag}")
+        _QCACHE_CACHE[key] = _atomic_publish(
+            out, lambda tmp: QC.write_query_cache(
+                eng, [ENGINE_QUERY, "query plan join"], tmp, 10))
+    return _QCACHE_CACHE[key]
+
+
+def q_search_cached(spark, sf):
+    """Query-result cache (the ES request-cache shape): the stored
+    top-10 page — a PartitionFilters-pruned read keyed by the
+    normalized-query digest, no postings/dictionary/scoring — must
+    equal the live engine's answer per rank, AND a word-order
+    permutation of the query must hit the SAME entry (the cache keys
+    on parsed term keys, not the raw string)."""
+    eng = _engine_for(spark, sf)
+    cache = _qcache_for(spark, sf)
+    permuted = " ".join(reversed(ENGINE_QUERY.split()))
+    hit = QC.cached_search(eng, cache, permuted, 10)
+    assert hit is not None, "normalized-query cache lookup missed"
+    return _rank_eq(
+        hit.withColumn("rank", F.col("rank").cast("int")),
+        eng.search(ENGINE_QUERY, 10),
+        exact=["url"], approx=["score"],
+    )
+
+
 def q_search_facets(spark, sf):
     """Facet counts over the FULL matching doc set (the result-page
     sidebar): for every language, the number of distinct docs holding
@@ -3793,6 +3831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the boost/synonym/stats/BM25F/cardinality/top-hits family
         # landed after the verdict-item rows reclaimed the window)
         "ft_boosted_topk": q_ft_boosted_topk,
+        "search_cached": q_search_cached,
         "ft_synonym_topk": q_ft_synonym_topk,
         "search_synonyms": q_search_synonyms,
         "ft_result_stats": q_ft_result_stats,
@@ -6197,6 +6236,10 @@ FROM range(1, 21)
         "search_synonyms": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
+""",
+        "search_cached": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 11)
 """,
         "search_cardinality": """
 SELECT true AS exact_match, true AS hll_match, true AS hll_close

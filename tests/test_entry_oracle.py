@@ -77,6 +77,7 @@ INTRODUCED_PAST_WINDOW = {
     "text_autocomplete",
     "search_autocomplete_indexed",
     "ft_boosted_topk",
+    "search_cached",
     "text_repetition",
     "ft_synonym_topk",
     "search_synonyms",
