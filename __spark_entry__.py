@@ -248,14 +248,16 @@ def _dbq_engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return SearchEngine(spark, _DBQ_CACHE[key], _ENTRY_CFG)
 
 
-def _ann_layouts_for(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def _ann_layouts_for(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     """Materialize (once per sf_dir, cached on disk) the stored ANN
     layouts — embeddings partitioned by sign-LSH bucket and by IVF
     centroid — so the driver rows exercise the partition-pruned scan
     the 100 TB path uses, not a per-query recompute of every bucket."""
     key = os.path.abspath(sf_dir)
     if key not in _ANN_CACHE:
-        tag = hashlib.md5(f"{key}|planes8|cents16".encode()).hexdigest()[:10]
+        # tag covers the layout CONTENTS — adding the PQ codes table
+        # must never serve from a pre-PQ /tmp cache (the MLT-v2 rule)
+        tag = hashlib.md5(f"{key}|planes8|cents16|pq8x16".encode()).hexdigest()[:10]
         out = os.path.join(tempfile.gettempdir(), f"se_entry_ann_{tag}")
 
         def build(tmp: str) -> None:
@@ -263,10 +265,12 @@ def _ann_layouts_for(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             SIM.write_bucketed_embeddings(emb, os.path.join(tmp, "lsh"),
                                           n_planes=8, dim=64)
             SIM.write_ivf_index(emb, os.path.join(tmp, "ivf"), n_centroids=16)
+            SIM.write_pq_index(emb, os.path.join(tmp, "pq"))
 
         _ANN_CACHE[key] = _atomic_publish(out, build)
     out = _ANN_CACHE[key]
-    return os.path.join(out, "lsh"), os.path.join(out, "ivf")
+    return (os.path.join(out, "lsh"), os.path.join(out, "ivf"),
+            os.path.join(out, "pq"))
 
 
 def _mlt_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -1801,7 +1805,7 @@ def q_ann_lsh_topk(spark, sf):
     # bucket recompute over the whole corpus.
     emb = _tbl(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    lsh_path, _ = _ann_layouts_for(spark, sf)
+    lsh_path, _, _ = _ann_layouts_for(spark, sf)
     out = SIM.ann_lsh_topk_pruned(spark, lsh_path, qvec, k=10)
     return out.transform(
         lambda d: ranked(d, [("cosine", "desc"), ("vec_id", "asc")])
@@ -1817,11 +1821,25 @@ def q_ann_ivf_topk(spark, sf):
     # only for the 16 centroid seed vectors.
     emb = _tbl(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    _, ivf_path = _ann_layouts_for(spark, sf)
+    _, ivf_path, _ = _ann_layouts_for(spark, sf)
     out = SIM.ivf_topk_pruned(spark, ivf_path, emb, qvec, k=10)
     return out.transform(
         lambda d: ranked(d, [("cosine", "desc"), ("vec_id", "asc")])
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_pq_topk(spark, sf):
+    """Product-quantization ANN (Jegou et al. 2011): 8 subspaces x 16
+    seed codewords on the 1e-6 integer grid, asymmetric-distance
+    top-10 served from the STORED codes table (m bytes per vector —
+    the 32x-compressed serving layout; the float embeddings are
+    consulted only for the query vector).  Every distance is an exact
+    BIGINT, so DuckDB recomputes codes, the query distance table, and
+    the ADC ranking bit for bit."""
+    emb = _tbl(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    _, _, pq_path = _ann_layouts_for(spark, sf)
+    return SIM.pq_topk_stored(spark, pq_path, qvec, k=10)
 
 
 def q_knn_join_first5(spark, sf):
@@ -3832,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # landed after the verdict-item rows reclaimed the window)
         "ft_boosted_topk": q_ft_boosted_topk,
         "search_cached": q_search_cached,
+        "ann_pq_topk": q_ann_pq_topk,
         "ft_synonym_topk": q_ft_synonym_topk,
         "search_synonyms": q_search_synonyms,
         "ft_result_stats": q_ft_result_stats,
@@ -6236,6 +6255,35 @@ FROM range(1, 21)
         "search_synonyms": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
+""",
+        "ann_pq_topk": """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+books AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 16),
+dist AS (SELECT x.vec_id, u.s, b.code,
+                CAST(list_sum(list_transform(range(1, 9),
+                     i -> (x.v[u.s * 8 + i] - b.v[u.s * 8 + i])
+                          * (x.v[u.s * 8 + i] - b.v[u.s * 8 + i]))) AS BIGINT) AS d
+         FROM e x, unnest(range(0, 8)) AS u(s), books b),
+cmin AS (SELECT vec_id, s, min(d) AS dmin FROM dist GROUP BY vec_id, s),
+codes AS (SELECT d.vec_id, d.s, min(d.code) AS code
+          FROM dist d JOIN cmin ON d.vec_id = cmin.vec_id AND d.s = cmin.s
+          WHERE d.d = cmin.dmin GROUP BY d.vec_id, d.s),
+qd AS (SELECT u.s, b.code,
+              CAST(list_sum(list_transform(range(1, 9),
+                   i -> (q.v[u.s * 8 + i] - b.v[u.s * 8 + i])
+                        * (q.v[u.s * 8 + i] - b.v[u.s * 8 + i]))) AS BIGINT) AS d
+       FROM (SELECT v FROM e WHERE vec_id = 0) q,
+            unnest(range(0, 8)) AS u(s), books b),
+adc AS (SELECT c.vec_id, CAST(sum(qd.d) AS BIGINT) AS adc
+        FROM codes c JOIN qd ON c.s = qd.s AND c.code = qd.code
+        GROUP BY c.vec_id),
+rk AS (SELECT vec_id, adc,
+              CAST(row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS BIGINT) AS rank
+       FROM adc)
+SELECT vec_id, adc, rank FROM rk WHERE rank <= 10
 """,
         "search_cached": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match

@@ -210,6 +210,7 @@ def main() -> None:
         "ann_dup_pairs",
         "ann_lsh_topk",
         "ann_int8_topk",
+        "ann_pq_topk",
         "pack_shards",
         "chunk_windows",
         "knn_join_first5",

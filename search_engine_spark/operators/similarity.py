@@ -532,3 +532,141 @@ def ann_int8_topk_stored(spark, path: str, query_vec: list[float],
     topk = scored.orderBy(F.desc("dot_int"), F.asc("vec_id")).limit(k)
     return ranked(topk, [("dot_int", "desc"), ("vec_id", "asc")]).select(
         "vec_id", "dot_int", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou et al. 2011 "Product Quantization
+# for Nearest Neighbor Search": split the vector into M subvectors,
+# quantize each against a small per-subspace codebook, store M code
+# bytes per vector (here 8 codes over 64 dims: 32x smaller than
+# float32), and answer queries by ASYMMETRIC distance (ADC) — the
+# query stays unquantized, each subspace contributes a precomputed
+# query-to-codeword distance, a vector's score is M table lookups.
+#
+# Codebooks here are the SEED convention this module already uses for
+# IVF (the first ksub vectors' subvectors, id-ordered) so the whole
+# structure — codes, distance tables, ADC ranking — is a pure
+# function of the embeddings table that DuckDB recomputes exactly.
+# Swap in per-subspace integer-grid k-means (train_ivf_centroids'
+# update rule on each slice) for trained codebooks; the serve path is
+# unchanged.
+#
+# Everything is computed on the 1e-6 integer grid (component micro =
+# floor(x*1e6 + 0.5) as BIGINT; squared-L2 distances are exact BIGINT
+# sums), so ranks are bit-identical on any engine or partitioning.
+
+PQ_M, PQ_KSUB = 8, 16
+
+
+def _micro(a):
+    import numpy as np
+
+    return np.floor(np.asarray(a, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = PQ_M,
+                 ksub: int = PQ_KSUB, dim: int = 64):
+    """[m, ksub, dim//m] int64 micro-grid codebooks from the seed
+    vectors (vec_id < ksub, id-ordered — the IVF seed convention)."""
+    import numpy as np
+
+    rows = (embeddings.filter(F.col("vec_id") < ksub)
+            .select("vec_id", "embedding").collect())
+    seeds = np.stack([_micro(r["embedding"])
+                      for r in sorted(rows, key=lambda r: r["vec_id"])])
+    dsub = dim // m
+    return np.stack([seeds[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+
+
+def pq_encode(embeddings: DataFrame, books) -> DataFrame:
+    """(vec_id, codes array<int>) — each subvector's nearest codeword
+    by exact BIGINT squared-L2 on the micro grid, ties -> smallest
+    code id.  One map-only Arrow pass (the numpy argmin already
+    honors the smallest-index tie rule)."""
+    import numpy as np
+
+    m, ksub, dsub = books.shape
+
+    def batch(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
+                v = _micro(emb)
+                codes = []
+                for s in range(m):
+                    d = ((books[s] - v[s * dsub:(s + 1) * dsub]) ** 2).sum(axis=1)
+                    codes.append(int(np.argmin(d)))
+                out.append((int(vec_id), codes))
+            yield pd.DataFrame(out, columns=["vec_id", "codes"])
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        batch, schema="vec_id long, codes array<int>")
+
+
+def pq_adc_topk(codes: DataFrame, books, query_vec: list[float],
+                k: int = 10) -> DataFrame:
+    """(vec_id, adc, rank) — asymmetric-distance top-k over PQ codes.
+    The 128-row (subspace, code) -> distance table is a driver-side
+    numpy computation broadcast as a literal frame; the serve is
+    posexplode(codes) -> broadcast join -> one map-side-combining
+    BIGINT sum per vector -> TakeOrderedAndProject.  No UDF, no
+    corpus-sized sort; the exchange is m rows of three ints per
+    vector, and at 10^12 vectors the codes table IS the index
+    (m bytes/vector)."""
+    import numpy as np
+
+    m, ksub, dsub = books.shape
+    q = _micro(query_vec)
+    rows = [(s, c, int(((books[s][c] - q[s * dsub:(s + 1) * dsub]) ** 2).sum()))
+            for s in range(m) for c in range(ksub)]
+    spark = codes.sparkSession
+    dtab = spark.createDataFrame(rows, "s int, code int, d long")
+    adc = (
+        codes.select("vec_id", F.posexplode("codes").alias("s", "code"))
+        .join(F.broadcast(dtab), ["s", "code"])
+        .groupBy("vec_id").agg(F.sum("d").cast("long").alias("adc"))
+    )
+    topk = adc.orderBy(F.asc("adc"), F.asc("vec_id")).limit(k)
+    from ..ranking import ranked
+
+    return (
+        ranked(topk, [("adc", "asc"), ("vec_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("vec_id", "adc", "rank")
+    )
+
+
+def write_pq_index(embeddings: DataFrame, path: str, m: int = PQ_M,
+                   ksub: int = PQ_KSUB, dim: int = 64) -> None:
+    """Store the PQ layout: the codes table (m small ints per vector
+    — the 32x-compressed index) plus the codebooks in meta.  At
+    corpus scale this is what lives in serving memory; the float
+    embeddings stay in cold storage for optional exact rescoring."""
+    import json as _json
+    import os as _os
+
+    books = pq_codebooks(embeddings, m, ksub, dim)
+    pq_encode(embeddings, books).write.mode("overwrite").parquet(
+        _os.path.join(path, "codes"))
+    with open(_os.path.join(path, "_pq_meta.json"), "w") as fh:
+        _json.dump({"m": m, "ksub": ksub, "dim": dim,
+                    "books": books.tolist()}, fh)
+
+
+def pq_topk_stored(spark, path: str, query_vec: list[float],
+                   k: int = 10) -> DataFrame:
+    """ADC top-k served from the stored PQ layout (codes scan + the
+    driver-side distance table) — never touches the float
+    embeddings."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    with open(_os.path.join(path, "_pq_meta.json")) as fh:
+        meta = _json.load(fh)
+    books = np.asarray(meta["books"], dtype=np.int64)
+    codes = spark.read.parquet(_os.path.join(path, "codes"))
+    return pq_adc_topk(codes, books, query_vec, k)

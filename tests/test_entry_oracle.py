@@ -78,6 +78,7 @@ INTRODUCED_PAST_WINDOW = {
     "search_autocomplete_indexed",
     "ft_boosted_topk",
     "search_cached",
+    "ann_pq_topk",
     "text_repetition",
     "ft_synonym_topk",
     "search_synonyms",

@@ -105,3 +105,55 @@ def test_stored_layout_grid_and_pruning(spark, tmp_dir):
     plan = vecs._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_pq_codes_match_numpy_reference(spark):
+    """PQ encode == a from-scratch numpy PQ on the micro grid (seed
+    codebooks, argmin with smallest-code ties), and the stored-layout
+    ADC top-10 == the numpy ADC ranking."""
+    ids, m = _np_embeddings(spark)
+    micro = np.floor(m * 1e6 + 0.5).astype(np.int64)
+    books = np.stack([micro[:16, s * 8:(s + 1) * 8] for s in range(8)])
+
+    emb = spark.read.parquet(os.path.join(SF_001, "embeddings.parquet"))
+    got = {r["vec_id"]: list(r["codes"])
+           for r in SIM.pq_encode(emb, SIM.pq_codebooks(emb)).collect()}
+    want = {}
+    for i, vid in enumerate(ids):
+        codes = []
+        for s in range(8):
+            d = ((books[s] - micro[i, s * 8:(s + 1) * 8]) ** 2).sum(axis=1)
+            codes.append(int(np.argmin(d)))
+        want[int(vid)] = codes
+    assert got == want
+
+    # ADC ranking vs numpy
+    q = micro[ids.tolist().index(0)]
+    dtab = np.stack([((books[s] - q[s * 8:(s + 1) * 8]) ** 2).sum(axis=1)
+                     for s in range(8)])
+    adc = {int(v): int(sum(dtab[s][c] for s, c in enumerate(cs)))
+           for v, cs in want.items()}
+    order = sorted(adc, key=lambda v: (adc[v], v))[:10]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        SIM.write_pq_index(emb, td)
+        out = SIM.pq_topk_stored(spark, td, [float(x) for x in m[ids.tolist().index(0)]], 10)
+        rows = sorted(out.collect(), key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in rows] == order
+        assert [r["adc"] for r in rows] == [adc[v] for v in order]
+
+
+def test_pq_recall_vs_float_exact(spark):
+    """ADC over 8x16 seed codebooks keeps useful neighbor recall on
+    the clustered synthetic embeddings (>= 4 of the exact-cosine
+    top-10 in the ADC top-10 for the vec_id=0 query) — PQ trades
+    exactness for 32x memory, not for garbage."""
+    emb = spark.read.parquet(os.path.join(SF_001, "embeddings.parquet"))
+    qvec = [float(x) for x in
+            emb.filter(emb.vec_id == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in SIM.cosine_topk(emb, qvec, 10).collect()}
+    books = SIM.pq_codebooks(emb)
+    pq = {r["vec_id"] for r in
+          SIM.pq_adc_topk(SIM.pq_encode(emb, books), books, qvec, 10).collect()}
+    assert len(exact & pq) >= 4
