@@ -670,3 +670,54 @@ def pq_topk_stored(spark, path: str, query_vec: list[float],
     books = np.asarray(meta["books"], dtype=np.int64)
     codes = spark.read.parquet(_os.path.join(path, "codes"))
     return pq_adc_topk(codes, books, query_vec, k)
+
+
+def train_pq_codebooks(embeddings: DataFrame, m: int = PQ_M,
+                       ksub: int = PQ_KSUB, dim: int = 64,
+                       n_iters: int = 5):
+    """Deterministic per-subspace Lloyd's k-means for TRAINED PQ
+    codebooks — the same reproducibility discipline as
+    :func:`train_ivf_centroids`, applied to each of the m subspaces:
+
+    * init: the seed codebooks (:func:`pq_codebooks` — fixed,
+      id-ordered);
+    * assignment: :func:`pq_encode`'s own exact BIGINT squared-L2
+      argmin (ties -> smallest code), so training and serving share
+      one rule;
+    * update: each codeword component is the member mean SUMMED ON
+      THE 1e-6 INTEGER GRID (BIGINT addition — partitioning-
+      independent), floor-divided back to the grid; an emptied
+      codeword keeps its position;
+    * fixed ``n_iters`` — the result is a pure function of
+      (embeddings, m, ksub, n_iters).
+
+    Per iteration: one encode pass (map-only Arrow) + ONE codegen
+    posexplode agg keyed (subspace, code, component) — m*ksub*dsub
+    rows in the exchange regardless of corpus size."""
+    import numpy as np
+
+    books = pq_codebooks(embeddings, m, ksub, dim)
+    dsub = dim // m
+    for _ in range(n_iters):
+        enc = pq_encode(embeddings, books)
+        rows = (
+            embeddings.join(enc, "vec_id")
+            .select(F.col("codes"), F.posexplode("embedding").alias("pos", "v"))
+            .select(
+                (F.col("pos") / dsub).cast("int").alias("s"),
+                (F.col("pos") % dsub).alias("p"),
+                F.element_at("codes",
+                             (F.col("pos") / dsub).cast("int") + 1).alias("code"),
+                F.floor(F.col("v").cast("double") * 1e6 + 0.5)
+                .cast("long").alias("vm"),
+            )
+            .groupBy("s", "code", "p")
+            .agg(F.sum("vm").alias("sm"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        new = books.copy()
+        for r in rows:
+            if r["c"]:
+                new[r["s"], r["code"], r["p"]] = r["sm"] // r["c"]
+        books = new
+    return books

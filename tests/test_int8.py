@@ -157,3 +157,32 @@ def test_pq_recall_vs_float_exact(spark):
     pq = {r["vec_id"] for r in
           SIM.pq_adc_topk(SIM.pq_encode(emb, books), books, qvec, 10).collect()}
     assert len(exact & pq) >= 4
+
+
+def test_pq_trained_codebooks(spark):
+    """Trained per-subspace k-means: deterministic across
+    partitionings (repartition(7) trains bit-identical books), and it
+    optimizes the actual k-means objective — total BIGINT
+    quantization distortion drops monotonically from the seed books
+    through more iterations (376T -> 299T -> 281T on this corpus;
+    recall@10 for any single query is too noisy to pin)."""
+    emb = spark.read.parquet(os.path.join(SF_001, "embeddings.parquet"))
+    b1 = SIM.train_pq_codebooks(emb, n_iters=1)
+    b3 = SIM.train_pq_codebooks(emb, n_iters=3)
+    b3b = SIM.train_pq_codebooks(emb.repartition(7), n_iters=3)
+    assert (b3 == b3b).all()
+
+    ids, m = _np_embeddings(spark)
+    micro = np.floor(m * 1e6 + 0.5).astype(np.int64)
+
+    def distortion(books):
+        tot = 0
+        for i in range(micro.shape[0]):
+            for s in range(8):
+                d = ((books[s] - micro[i, s * 8:(s + 1) * 8]) ** 2).sum(axis=1)
+                tot += int(d.min())
+        return tot
+
+    d_seed = distortion(SIM.pq_codebooks(emb))
+    d1, d3 = distortion(b1), distortion(b3)
+    assert d1 < d_seed and d3 < d1
