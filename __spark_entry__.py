@@ -1543,7 +1543,7 @@ def q_events_sessionize(spark, sf):
     )
 
 
-_STREAM_SEQ = {"dedup": 0, "hourly": 0, "perc": 0}
+_STREAM_SEQ = {"dedup": 0, "hourly": 0, "perc": 0, "trending": 0}
 
 
 def q_streaming_events_hourly(spark, sf):
@@ -1573,6 +1573,38 @@ def q_streaming_events_hourly(spark, sf):
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
         "sum_value",
+    )
+
+
+def q_streaming_trending(spark, sf):
+    """Trending items over the event stream: REAL Structured
+    Streaming windowed (window, item) counts — item = the props
+    payload's k key, regex-extracted so both engines state one rule —
+    with the top-3-per-hour CUT applied at read over the sink
+    (ranking inside an append stream would need retractions; heavy
+    state in the stream, cheap rank at read — the serving split).
+    Ties break (count desc, item asc); the oracle recomputes hourly
+    top-3 relationally."""
+    from search_engine_spark.streaming.aggregates import (
+        top_items_per_window, windowed_item_counts)
+
+    path = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    _STREAM_SEQ["trending"] += 1
+    name = f"stream_trending_{_STREAM_SEQ['trending']}"
+    ckpt = tempfile.mkdtemp(prefix="se_stream_trend_ckpt_")
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf))
+    q = (windowed_item_counts(
+            stream.withColumn("ts", F.col("ts").cast("timestamp")))
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return top_items_per_window(spark.table(name), 3).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00:00").alias("hour"),
+        "rank", "item", "n",
     )
 
 
@@ -3851,6 +3883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boosted_topk": q_ft_boosted_topk,
         "search_cached": q_search_cached,
         "ann_pq_topk": q_ann_pq_topk,
+        "streaming_trending": q_streaming_trending,
         "ft_synonym_topk": q_ft_synonym_topk,
         "search_synonyms": q_search_synonyms,
         "ft_result_stats": q_ft_result_stats,
@@ -6284,6 +6317,17 @@ rk AS (SELECT vec_id, adc,
               CAST(row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS BIGINT) AS rank
        FROM adc)
 SELECT vec_id, adc, rank FROM rk WHERE rank <= 10
+""",
+        "streaming_trending": """
+WITH ev AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS item
+            FROM events
+            WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
+cnt AS (SELECT hour, item, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY hour, item),
+rk AS (SELECT hour, item, n,
+              CAST(row_number() OVER (PARTITION BY hour ORDER BY n DESC, item ASC) AS BIGINT) AS rank
+       FROM cnt)
+SELECT hour, rank, item, n FROM rk WHERE rank <= 3
 """,
         "search_cached": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match

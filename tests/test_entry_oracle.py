@@ -79,6 +79,7 @@ INTRODUCED_PAST_WINDOW = {
     "ft_boosted_topk",
     "search_cached",
     "ann_pq_topk",
+    "streaming_trending",
     "text_repetition",
     "ft_synonym_topk",
     "search_synonyms",

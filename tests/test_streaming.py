@@ -344,3 +344,51 @@ def test_streaming_percolate_equals_batch(spark, tmp_dir):
         anchors=query_anchors(queries, corpus_docs=batch_docs))
     got2 = {(r["doc_id"], r["query_id"]) for r in anchored.collect()}
     assert got2 == want
+
+
+def test_trending_items_stream_equals_batch(spark, tmp_dir):
+    """windowed_item_counts driven as a multi-micro-batch stream
+    (maxFilesPerTrigger=1 over 3 files) agrees with the batch run,
+    and the read-side top cut ranks (count desc, item asc)."""
+    from search_engine_spark.streaming.aggregates import (
+        top_items_per_window, windowed_item_counts)
+
+    events = spark.range(0, 600).select(
+        F.col("id").alias("event_id"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(mins=(F.col("id") * 7) % 240)).alias("ts"),
+        (F.col("id") % 13).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.concat(F.lit('{"k": '), ((F.col("id") * F.col("id")) % 7).cast("string"),
+                 F.lit("}")).alias("props"),
+    )
+    src = os.path.join(tmp_dir, "trend_events")
+    events.repartition(3).write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    q = (windowed_item_counts(stream)
+         .writeStream.format("memory").queryName("trend_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = spark.sql("SELECT * FROM trend_counts")
+    batch = windowed_item_counts(spark.read.parquet(src))
+    key = lambda r: (str(r["window_start"]), r["item"])  # noqa: E731
+    assert ({key(r): r["n"] for r in streamed.collect()}
+            == {key(r): r["n"] for r in batch.collect()})
+
+    top = top_items_per_window(streamed, 2).collect()
+    want = top_items_per_window(batch, 2).collect()
+    srt = lambda rows: sorted(  # noqa: E731
+        (str(r["window_start"]), r["rank"], r["item"], r["n"]) for r in rows)
+    assert srt(top) == srt(want)
+    per_window = {}
+    for r in top:
+        per_window.setdefault(str(r["window_start"]), []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_window.values())
