@@ -54,6 +54,7 @@ from search_engine_spark.operators import graph as GR
 from search_engine_spark.operators import hybrid as HY
 from search_engine_spark.operators import ireval as IR
 from search_engine_spark.operators import kgram as KG
+from search_engine_spark.operators import ltr as LTR
 from search_engine_spark.operators import mlt as MLT
 from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import packing as PK
@@ -2178,6 +2179,29 @@ def q_search_cached(spark, sf):
     )
 
 
+LTR_WEIGHTS = {"f_bm25": 1.0, "f_match": 0.25, "f_dl": -0.0005}
+
+
+def q_search_ltr(spark, sf):
+    """Two-phase LTR pipeline: BM25 top-50 candidate window -> per-
+    candidate features from the SAME pruned scan (blended first-pass
+    score, distinct matched terms, doc length) -> micro-grid linear
+    rescore (exact BIGINT products; the dl penalty and match bonus
+    reshuffle the BM25 order).  Engine features come from the packed
+    raw-tf unpack, the twin's from live raw postings — per-rank
+    equivalence with a 2-micro score tolerance (the f_bm25
+    micro-rounding sits on engine float sums; url ranks compare
+    exactly)."""
+    eng = _engine_for(spark, sf)
+    e = LTR.ltr_rescore(LTR.ltr_features(eng, ENGINE_QUERY, 50),
+                        LTR_WEIGHTS, 10)
+    t = TW.twin_ltr_topk(spark, eng, ENGINE_QUERY, LTR_WEIGHTS, 50, 10)
+    return TW.compare_topk(
+        e.withColumn("rank", F.col("rank").cast("long")),
+        t.withColumn("rank", F.col("rank").cast("long")),
+        ["rank"], exact_cols=["url"], approx_cols=["ltr_micro"], tol=2.0)
+
+
 def q_search_facets(spark, sf):
     """Facet counts over the FULL matching doc set (the result-page
     sidebar): for every language, the number of distinct docs holding
@@ -3884,6 +3908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_cached": q_search_cached,
         "ann_pq_topk": q_ann_pq_topk,
         "streaming_trending": q_streaming_trending,
+        "search_ltr": q_search_ltr,
         "ft_synonym_topk": q_ft_synonym_topk,
         "search_synonyms": q_search_synonyms,
         "ft_result_stats": q_ft_result_stats,
@@ -6317,6 +6342,10 @@ rk AS (SELECT vec_id, adc,
               CAST(row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS BIGINT) AS rank
        FROM adc)
 SELECT vec_id, adc, rank FROM rk WHERE rank <= 10
+""",
+        "search_ltr": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS ltr_micro_match
+FROM range(1, 11)
 """,
         "streaming_trending": """
 WITH ev AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,

@@ -274,6 +274,36 @@ def twin_top_hits(spark: SparkSession, engine, query: str,
     )
 
 
+def twin_ltr_topk(spark: SparkSession, engine, query: str,
+                  weights: dict[str, float], window: int,
+                  k: int) -> DataFrame:
+    """(url, ltr_micro, rank) — the plain twin of the LTR pipeline
+    (operators/ltr.py): base features recomputed from live raw
+    postings (bm25 via twin_bm25_scores; f_match as a distinct-term
+    count; f_dl as the live tf sum), the same top-``window`` cut,
+    then the SHARED micro-grid linear rescorer (ltr_rescore is a
+    driver-side codegen expression like parse_query — the
+    equivalence pins feature extraction and the window cut, which is
+    where the engines differ)."""
+    from .operators.ltr import ltr_rescore
+
+    keys = engine.parse_query(query)
+    scores = twin_bm25_scores(spark, engine, keys)
+    live = live_raw_postings(spark, engine)
+    qmatch = (
+        live.filter(F.col("term_key").isin(list(keys)))
+        .groupBy("url")
+        .agg(F.countDistinct("term_key").cast("long").alias("f_match"))
+    )
+    dl = live.groupBy("url").agg(F.sum("tf").cast("long").alias("f_dl"))
+    feats = (
+        scores.withColumnRenamed("score", "f_bm25")
+        .join(qmatch, "url").join(dl, "url")
+        .orderBy(F.desc("f_bm25"), F.asc("url")).limit(window)
+    )
+    return ltr_rescore(feats, weights, k)
+
+
 def twin_extended_stats(spark: SparkSession, engine, query: str,
                         values: DataFrame, dim_col: str, value_col: str,
                         url_col: str = "url") -> DataFrame:

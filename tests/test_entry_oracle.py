@@ -80,6 +80,7 @@ INTRODUCED_PAST_WINDOW = {
     "search_cached",
     "ann_pq_topk",
     "streaming_trending",
+    "search_ltr",
     "text_repetition",
     "ft_synonym_topk",
     "search_synonyms",
