@@ -2592,6 +2592,21 @@ def q_pagerank_links(spark, sf):
                        id_col="id")
 
 
+def q_hits_links(spark, sf):
+    """Kleinberg HITS over the crawl's extracted link graph: the
+    hub/authority dual of the PageRank prior (a directory page is a
+    hub, a cited resource an authority — PageRank conflates them).
+    Max-rescaled integer iterations (v * GRID // max(v) instead of an
+    L2 norm whose float sqrt is partition-order-dependent), so both
+    vectors are exact BIGINTs and the oracle unrolls the same
+    iterations as chained CTEs."""
+    docs = _tbl(spark, sf, "documents")
+    pages = GR.synthetic_linked_crawl(docs)
+    nodes = (UR.normalize_url(pages).select(F.col("norm_url").alias("id"))
+             .distinct())
+    return GR.hits(nodes, GR.extract_links(pages), n_iters=5, id_col="id")
+
+
 def q_text_related_terms(spark, sf):
     """Corpus-driven related terms ("related searches" / automatic
     query expansion): terms ranked by document-set Jaccard with the
@@ -3909,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "streaming_trending": q_streaming_trending,
         "search_ltr": q_search_ltr,
+        "hits_links": q_hits_links,
         "ft_synonym_topk": q_ft_synonym_topk,
         "search_synonyms": q_search_synonyms,
         "ft_result_stats": q_ft_result_stats,
@@ -6343,6 +6359,12 @@ rk AS (SELECT vec_id, adc,
        FROM adc)
 SELECT vec_id, adc, rank FROM rk WHERE rank <= 10
 """,
+        "hits_links": GR.duckdb_hits_sql(
+            n_iters=5,
+            edges_sql=GR.duckdb_linked_edges_sql(UR.DUCKDB_SYNTH_SQL,
+                                                 UR.duckdb_norm_sql),
+            nodes_sql=(f"SELECT DISTINCT {UR.duckdb_norm_sql('url')} AS id "
+                       f"FROM ({UR.DUCKDB_SYNTH_SQL})")),
         "search_ltr": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS ltr_micro_match
 FROM range(1, 11)

@@ -576,3 +576,106 @@ def blend_prior(run: DataFrame, prior: DataFrame,
     top = blended.orderBy(
         F.desc("blended_micro"), F.asc("doc_id")).limit(k)
     return ranked(top, [("blended_micro", "desc"), ("doc_id", "asc")])
+
+
+# ---------------------------------------------------------------------------
+# HITS (Kleinberg 1999) — the hub/authority dual of PageRank: an
+# authority is a page pointed at by good hubs, a hub points at good
+# authorities.  Same reproducibility discipline as pagerank():
+# everything BIGINT on a fixed grid, so results are bit-identical
+# across engines and partitionings and the DuckDB oracle unrolls the
+# same iterations as chained CTEs.
+
+HITS_GRID = 1_000_000  # micro grid: after each max-rescale values are
+# <= 1e6, so the next step's sum*GRID stays under int64 for in/out
+# degrees up to ~9e6 — beyond that (celebrity pages at full web
+# scale) drop to a 1e3 grid; the rescale rule is grid-agnostic.
+
+
+def hits(nodes: DataFrame, edges: DataFrame, n_iters: int = 5,
+         id_col: str = "id") -> DataFrame:
+    """(id, hub_micro, auth_micro) — HITS with MAX-rescaling instead
+    of the L2 norm: after each update the vector is rescaled to the
+    grid by ``v * GRID // max(v)`` (a positive scale factor preserves
+    the ordering HITS is used for, and integer floor-division keeps
+    every value BIGINT — the L2 norm would drag every component
+    through a float sqrt whose summation order is
+    partition-dependent).  Update order is the classic one —
+    authorities from the PREVIOUS hubs, hubs from the REFRESHED
+    authorities — with both vectors localCheckpoint'ed per iteration
+    (the pagerank() plan-growth lesson) and the static edge set
+    checkpointed once.  Each iteration runs two edge joins + two
+    map-side-combining aggs + two O(1) scalar maxes (the blocking
+    driver round-trips, same as pagerank's dangling mass)."""
+    e = (edges.select(F.col("src"), F.col("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct().localCheckpoint())
+    ids = nodes.select(F.col(id_col).alias("id")).distinct().localCheckpoint()
+    h = ids.select("id", F.lit(HITS_GRID).cast("long").alias("v"))
+    h = h.localCheckpoint()
+    a = None
+    for _ in range(n_iters):
+        a_raw = (
+            e.join(h, e["src"] == h["id"]).groupBy("dst")
+            .agg(F.sum("v").alias("s"))
+        )
+        amax = a_raw.agg(F.max("s")).first()[0]
+        if not amax:
+            a = a_raw.select(F.col("dst").alias("id"),
+                             F.lit(0).cast("long").alias("v"))
+            h = a
+            break
+        a = a_raw.select(
+            F.col("dst").alias("id"),
+            F.expr(f"CAST((s * {HITS_GRID}) DIV {amax} AS LONG)").alias("v"),
+        ).localCheckpoint()
+        h_raw = (
+            e.join(a, e["dst"] == a["id"]).groupBy("src")
+            .agg(F.sum("v").alias("s"))
+        )
+        hmax = h_raw.agg(F.max("s")).first()[0]
+        h = h_raw.select(
+            F.col("src").alias("id"),
+            F.expr(f"CAST((s * {HITS_GRID}) DIV {hmax} AS LONG)").alias("v"),
+        ).localCheckpoint()
+    return (
+        ids.join(h.withColumnRenamed("v", "hub_micro"), "id", "left")
+        .join(a.withColumnRenamed("v", "auth_micro"), "id", "left")
+        .fillna(0, subset=["hub_micro", "auth_micro"])
+        .select("id", F.col("hub_micro").cast("long"),
+                F.col("auth_micro").cast("long"))
+    )
+
+
+def duckdb_hits_sql(n_iters: int = 5, edges_sql: str | None = None,
+                    nodes_sql: str | None = None) -> str:
+    """The oracle twin of :func:`hits`: the same max-rescaled integer
+    iterations unrolled as chained MATERIALIZED CTEs."""
+    edges_sql = edges_sql or DUCKDB_LINKS_SQL
+    nodes_sql = nodes_sql or "SELECT doc_id AS id FROM documents"
+    g = HITS_GRID
+    blocks = [f"""
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst),
+nodes AS MATERIALIZED ({nodes_sql}),
+h0 AS MATERIALIZED (SELECT id, CAST({g} AS BIGINT) AS v FROM nodes)"""]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        blocks.append(f"""
+ar{i} AS MATERIALIZED (SELECT e.dst AS id, sum(h.v) AS s
+         FROM h{p} h JOIN edges e ON e.src = h.id GROUP BY e.dst),
+a{i} AS MATERIALIZED (SELECT id,
+         CAST((s * {g}) // (SELECT max(s) FROM ar{i}) AS BIGINT) AS v
+         FROM ar{i}),
+hr{i} AS MATERIALIZED (SELECT e.src AS id, sum(a.v) AS s
+         FROM a{i} a JOIN edges e ON e.dst = a.id GROUP BY e.src),
+h{i} AS MATERIALIZED (SELECT id,
+         CAST((s * {g}) // (SELECT max(s) FROM hr{i}) AS BIGINT) AS v
+         FROM hr{i})""")
+    return (
+        "WITH " + ",".join(blocks)
+        + f"""
+SELECT n.id, CAST(coalesce(h.v, 0) AS BIGINT) AS hub_micro,
+       CAST(coalesce(a.v, 0) AS BIGINT) AS auth_micro
+FROM nodes n
+LEFT JOIN h{n_iters} h ON n.id = h.id
+LEFT JOIN a{n_iters} a ON n.id = a.id"""
+    )

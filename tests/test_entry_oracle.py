@@ -81,6 +81,7 @@ INTRODUCED_PAST_WINDOW = {
     "ann_pq_topk",
     "streaming_trending",
     "search_ltr",
+    "hits_links",
     "text_repetition",
     "ft_synonym_topk",
     "search_synonyms",

@@ -300,3 +300,46 @@ def test_pagerank_weighted(spark):
                                   weight_col="w").collect()}
     plain_by = dict(plain)
     assert ranks[1] > plain_by[1]  # node 1 now receives 9/10 of node 0
+
+
+def test_hits_hand_computed_and_partition_independent(spark):
+    """HITS on a tiny directed graph: one pure-hub node pointing at
+    the two authorities, one pure authority; the integer-grid result
+    matches a from-scratch numpy iteration with the same max-rescale
+    rule, and repartition(5) changes nothing."""
+    import numpy as np
+
+    from search_engine_spark.operators.graph import HITS_GRID, hits
+
+    #  0 -> 2, 0 -> 3, 1 -> 2   (2 is the strongest authority,
+    #  0 the strongest hub)
+    edges = spark.createDataFrame(
+        [(0, 2), (0, 3), (1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    got = {r["id"]: (r["hub_micro"], r["auth_micro"])
+           for r in hits(nodes, edges, n_iters=4).collect()}
+
+    e = [(0, 2), (0, 3), (1, 2)]
+    h = {i: HITS_GRID for i in range(4)}
+    a = {}
+    for _ in range(4):
+        raw_a = {}
+        for s, d in e:
+            raw_a[d] = raw_a.get(d, 0) + h.get(s, 0)
+        m = max(raw_a.values())
+        a = {d: v * HITS_GRID // m for d, v in raw_a.items()}
+        raw_h = {}
+        for s, d in e:
+            raw_h[s] = raw_h.get(s, 0) + a.get(d, 0)
+        m = max(raw_h.values())
+        h = {s: v * HITS_GRID // m for s, v in raw_h.items()}
+    want = {i: (h.get(i, 0), a.get(i, 0)) for i in range(4)}
+    assert got == want
+    # 0 is the top hub, 2 the top authority; sinks/sources zero out
+    assert got[0][0] == HITS_GRID and got[2][1] == HITS_GRID
+    assert got[2][0] == 0 and got[0][1] == 0
+
+    got2 = {r["id"]: (r["hub_micro"], r["auth_micro"])
+            for r in hits(nodes.repartition(5), edges.repartition(3),
+                          n_iters=4).collect()}
+    assert got2 == got
