@@ -95,11 +95,16 @@ def cached_search(engine, cache_dir: str, query: str,
     if k != int(meta["k"]):
         return None
     digest = _query_digest(engine, query, k)
-    hit = (
-        engine.spark.read.parquet(os.path.join(cache_dir, "results"))
-        .filter(F.col("qdigest") == digest)
-        .select("url", "score", "rank")
-    )
+    try:
+        hit = (
+            engine.spark.read.parquet(os.path.join(cache_dir, "results"))
+            .filter(F.col("qdigest") == digest)
+            .select("url", "score", "rank")
+        )
+    except Exception:
+        # every cached query returned zero rows -> the partitioned
+        # write left no schema-bearing files; everything is a miss
+        return None
     return hit if hit.limit(1).count() else None
 
 

@@ -19,7 +19,14 @@ def _rows(df):
 
 
 def test_query_cache_lifecycle(spark, built_index, tmp_path):
-    out, cfg, _ = built_index
+    # the mutation phase below appends a segment, so work on a
+    # snapshot — built_index is session-scoped and later suites pin
+    # its exact stats (a contaminated fixture broke test_spark_index)
+    src, cfg, _ = built_index
+    from search_engine_spark.indexer import snapshot_index
+
+    out = str(tmp_path / "qcache_ix")
+    snapshot_index(src, out)
     eng = SearchEngine(spark, out, cfg)
     cache = str(tmp_path / "qcache")
     meta = QC.write_query_cache(eng, ["trade market", "nation policy"],
@@ -53,3 +60,16 @@ def test_query_cache_lifecycle(spark, built_index, tmp_path):
     got = _rows(QC.cached_search(eng2, cache, "trade market", 10))
     want = _rows(eng2.search("trade market", 10))
     assert got == want
+
+
+def test_query_cache_all_misses(spark, built_index, tmp_path):
+    """A cache built only from zero-hit queries leaves no
+    schema-bearing parquet files: every lookup is a clean miss and
+    the fallback serves."""
+    out, cfg, _ = built_index
+    eng = SearchEngine(spark, out, cfg)
+    cache = str(tmp_path / "qcache_empty")
+    QC.write_query_cache(eng, ["zzqqnonexistent"], cache, 10)
+    assert QC.cached_search(eng, cache, "zzqqnonexistent", 10) is None
+    got = QC.cached_or_search(eng, cache, "trade market")
+    assert got.count() == eng.search("trade market", 10).count()
