@@ -2244,6 +2244,56 @@ def q_search_facets_multi(spark, sf):
                            exact_cols=["n_docs"], approx_cols=[])
 
 
+def q_ft_composite(spark, sf):
+    """ES ``composite`` aggregation page, fully SQL-checkable: docs
+    containing 'data' (simple tokens) bucketed by the (lang, doc_id%7)
+    key tuple, the page being the first 7 buckets strictly AFTER the
+    ('en', 3) cursor in key order — the keyset-paginated bucket walk
+    (searcher.search_composite's plan shape run relationally).  The
+    oracle recomputes the match set, the bucket agg, the strict
+    lexicographic after-filter, and the ordered cut verbatim."""
+    docs = _tbl(spark, sf, "documents")
+    match = (
+        _doc_tf(docs).filter(F.col("tok") == "data")
+        .select("doc_id").distinct()
+    )
+    dims = docs.select(
+        "doc_id", "lang", (F.col("doc_id") % 7).cast("long").alias("b7"))
+    pairs = match.join(dims, "doc_id").select("doc_id", "lang", "b7").distinct()
+    buckets = pairs.groupBy("lang", "b7").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    cond = (F.col("lang") > "en") | ((F.col("lang") == "en") & (F.col("b7") > 3))
+    return buckets.filter(cond).orderBy("lang", "b7").limit(7)
+
+
+def q_search_composite(spark, sf):
+    """Composite-aggregation pagination through the PACKED index ≡ the
+    plain-postings twin's global bucket slice, per rank: page 1 (5
+    buckets) plus page 2 resumed from ONLY page 1's last key tuple
+    (the ES after_key cursor) must tile exactly the twin's first 10
+    buckets of the (lang, doc_id%7) key order — the no-skip/no-dup
+    pagination contract, checked through a different mechanism
+    (keyset filter + TakeOrderedAndProject vs row_number slice)."""
+    eng = _engine_for(spark, sf)
+    docs = _tbl(spark, sf, "documents")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("url"), "lang",
+        (F.col("doc_id") % 7).cast("long").alias("b7"),
+    )
+    specs = [("lang", base, "lang"), ("b7", base, "b7")]
+    page1 = eng.search_composite(ENGINE_QUERY, specs, size=5)
+    p1 = ranked(page1, [("lang", "asc"), ("b7", "asc")])
+    last = p1.orderBy(F.desc("rank")).limit(1).collect()[0]
+    page2 = eng.search_composite(
+        ENGINE_QUERY, specs, size=5, after=(last["lang"], last["b7"]))
+    p2 = ranked(page2, [("lang", "asc"), ("b7", "asc")]).withColumn(
+        "rank", F.col("rank") + 5)
+    engine_pages = p1.unionByName(p2)
+    twin10 = TW.twin_composite(spark, eng, ENGINE_QUERY, specs, 10)
+    return _rank_eq(engine_pages, twin10,
+                    exact=["lang", "b7", "n_docs"], approx=[])
+
+
 def q_ir_search_eval(spark, sf):
     """END-TO-END TREC loop over the PACKED index — the composition
     the reference runs as Searcher -> run file -> external trec_eval
@@ -4038,6 +4088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ft_composite": q_ft_composite,
+        "search_composite": q_search_composite,
     }
 
 
@@ -6408,5 +6460,21 @@ FROM (SELECT DISTINCT source FROM documents)
 UNION ALL
 SELECT 'bucket7', CAST(b AS VARCHAR), true
 FROM (SELECT DISTINCT doc_id % 7 AS b FROM documents)
+""",
+        "ft_composite": f"""
+WITH {_TF_CTE},
+match AS (SELECT DISTINCT doc_id FROM tf WHERE tok = 'data'),
+pairs AS (SELECT DISTINCT m.doc_id, d.lang, CAST(d.doc_id % 7 AS BIGINT) AS b7
+          FROM match m JOIN documents d ON m.doc_id = d.doc_id),
+b AS (SELECT lang, b7, CAST(count(*) AS BIGINT) AS n_docs
+      FROM pairs GROUP BY lang, b7)
+SELECT lang, b7, n_docs FROM b
+WHERE lang > 'en' OR (lang = 'en' AND b7 > 3)
+ORDER BY lang, b7 LIMIT 7
+""",
+        "search_composite": """
+SELECT CAST(range AS BIGINT) AS rank, true AS lang_match,
+       true AS b7_match, true AS n_docs_match
+FROM range(1, 11)
 """,
     }

@@ -2265,3 +2265,78 @@ class SearchEngine:
         )
         return pairs.groupBy("dim", "facet").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+    def search_composite(self, query: str, dims_list: list[tuple],
+                         size: int = 10,
+                         after: tuple | list | None = None) -> DataFrame:
+        """ES ``composite`` aggregation under a query context — the
+        bucket-PAGINATION surface: buckets are keyed by the TUPLE of
+        source values, totally ordered by that key ascending, and a
+        page is the first ``size`` buckets strictly AFTER the
+        ``after`` key tuple (the previous page's last key — ES's
+        ``after_key`` cursor).  Facet/top-hits aggregations sort
+        buckets by count and so must see every bucket at once;
+        composite's key order is what lets a client walk an
+        unbounded bucket space (every (host, lang) pair of a crawl)
+        in bounded pages.  ``dims_list`` entries are ``(dim_name,
+        dims_df, dim_col)`` or ``(..., url_col)`` as in
+        :meth:`search_facets_multi`; returns one column per
+        ``dim_name`` plus ``n_docs``.  A doc missing a source
+        contributes no bucket (inner joins — ES
+        ``missing_bucket:false``); multi-valued sources cross, the ES
+        contract.
+
+        Scale shape: the pruned scan -> distinct candidates ->
+        doc_map runs once; each source joins on url; one hash agg on
+        the key tuple.  The keyset filter applies BEFORE the sort, so
+        the only ordered operator is a TakeOrderedAndProject of
+        ``size`` rows over the bucket space — page depth never grows
+        a heap (the search_after lesson applied to buckets), and the
+        cursor is exact (BIGINT/string keys, never a float score).
+        No reference counterpart (flat top-50 UI); the aggregation
+        layer of SURVEY §2.10."""
+        if size < 1:
+            raise ValueError("size must be >= 1")
+        names = [spec[0] for spec in dims_list]
+        if not names or len(set(names)) != len(names):
+            raise ValueError("dims_list needs unique, non-empty dim names")
+        if after is not None and len(after) != len(names):
+            raise ValueError(
+                f"after key has {len(after)} values for {len(names)} sources")
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            cur = self.spark.createDataFrame([], "url string")
+        else:
+            idf_by_key = dict(
+                zip(resolved["term_key"], resolved["idf"].astype(float)))
+            cand = (
+                self._drop_deleted(
+                    self._unpack(self._scan_index(resolved), idf_by_key))
+                .select("shard", "local_id").distinct()
+            )
+            cur = cand.join(self._doc_map(), ["shard", "local_id"]) \
+                      .select("url")
+        for spec in dims_list:
+            name, dims, dim_col = spec[0], spec[1], spec[2]
+            url_col = spec[3] if len(spec) > 3 else "url"
+            # a NULL source value is a MISSING value (ES
+            # missing_bucket:false) — and it must never enter the key
+            # space, where it would break the strict after-key order
+            cur = cur.join(
+                dims.select(F.col(url_col).alias("url"),
+                            F.col(dim_col).alias(name))
+                .filter(F.col(name).isNotNull()),
+                "url",
+            )
+        pairs = cur.select("url", *names).distinct()
+        buckets = pairs.groupBy(*names).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"))
+        if after is not None:
+            # strict lexicographic key > after, built innermost-last:
+            # (k1 > a1) OR (k1 = a1 AND (k2 > a2 OR ...))
+            cond = F.lit(False)
+            for name, a in reversed(list(zip(names, after))):
+                cond = (F.col(name) > F.lit(a)) | (
+                    (F.col(name) == F.lit(a)) & cond)
+            buckets = buckets.filter(cond)
+        return buckets.orderBy(*[F.col(n).asc() for n in names]).limit(size)

@@ -417,6 +417,42 @@ def twin_facets(spark: SparkSession, engine, query: str,
     return pairs.groupBy("facet").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
 
 
+def twin_composite(spark: SparkSession, engine, query: str,
+                   dims_list: list[tuple], depth: int) -> DataFrame:
+    """The first ``depth`` buckets of the GLOBAL key-ordered bucket
+    list, ranked — the independent twin of a
+    ``SearchEngine.search_composite`` page walk: matching urls from
+    postings_raw (live rows only), the same inner source joins, one
+    agg, then a row_number slice instead of keyset filters.  A page
+    walk that skips or duplicates a bucket cannot match this slice."""
+    keys = engine.parse_query(query)
+    cur = (
+        live_raw_postings(spark, engine)
+        .filter(F.col("term_key").isin(list(keys)))
+        .select("url").distinct()
+    )
+    names = []
+    for spec in dims_list:
+        name, dims, dim_col = spec[0], spec[1], spec[2]
+        url_col = spec[3] if len(spec) > 3 else "url"
+        cur = cur.join(
+            dims.select(F.col(url_col).alias("url"),
+                        F.col(dim_col).alias(name))
+            .filter(F.col(name).isNotNull()),
+            "url",
+        )
+        names.append(name)
+    buckets = (
+        cur.select("url", *names).distinct()
+        .groupBy(*names)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return ranked(
+        buckets.orderBy(*[F.col(n).asc() for n in names]).limit(depth),
+        [(n, "asc") for n in names],
+    )
+
+
 def twin_bm25_topk(spark: SparkSession, engine, query: str, k: int) -> DataFrame:
     """(url, score, rank) — the plain twin of ``SearchEngine.search``.
     Query parsing is shared with the engine (driver-side kernel, its

@@ -114,6 +114,8 @@ INTRODUCED_PAST_WINDOW = {
     "ft_tree_topk",
     "search_tree",
     "search_querystring_tree",
+    "ft_composite",
+    "search_composite",
 }
 
 
