@@ -589,6 +589,55 @@ def q_ft_bm25_topk(spark, sf):
     )
 
 
+def q_ft_matched_topk(spark, sf):
+    """Relational BM25 top-20 carrying per-hit match evidence
+    (Lucene/ES matched_queries), fully SQL-checkable: ``matched`` is
+    the sorted, space-joined list of the query terms present in the
+    doc — one extra collect_set riding the same per-doc agg as
+    ft_bm25_topk, no new scan or shuffle."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    qtf = tf.filter(F.col("tok").isin(*FT_QUERY_TERMS))
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c"), 6).alias("score"),
+        F.array_join(F.sort_array(F.collect_set("tok")), " ").alias("matched"),
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return (
+        ranked(topk, [("score", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "score", "rank", "matched")
+    )
+
+
+def q_search_matched(spark, sf):
+    """Packed-index matched-terms search ≡ plain-postings twin, per
+    rank: the engine's matched evidence rides its single score agg
+    (searcher.search_matched); the twin recomputes the set in a
+    SEPARATE raw-postings agg joined back on url — the sorted
+    space-joined term keys must agree exactly alongside url/score."""
+    eng = _engine_for(spark, sf)
+    e = eng.search_matched(ENGINE_QUERY, 20).withColumn(
+        "matched", F.array_join("matched", " "))
+    t = TW.twin_matched_topk(spark, eng, ENGINE_QUERY, 20).withColumn(
+        "matched", F.array_join("matched", " "))
+    return _rank_eq(e, t, exact=["url", "matched"], approx=["score"])
+
+
 FT_BOOSTS = {"table": 2.0, "join": 1.0, "query": 0.5}
 
 
@@ -4090,6 +4139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ft_composite": q_ft_composite,
         "search_composite": q_search_composite,
+        "ft_matched_topk": q_ft_matched_topk,
+        "search_matched": q_search_matched,
     }
 
 
@@ -6476,5 +6527,20 @@ ORDER BY lang, b7 LIMIT 7
 SELECT CAST(range AS BIGINT) AS rank, true AS lang_match,
        true AS b7_match, true AS n_docs_match
 FROM range(1, 11)
+""",
+        "ft_matched_topk": f"""
+WITH {_FT_SCORED},
+matched AS (SELECT doc_id,
+                   array_to_string(list_sort(list(DISTINCT tok)), ' ') AS matched
+            FROM qtf GROUP BY doc_id),
+rk AS (SELECT s.doc_id, s.score, m.matched,
+              CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS BIGINT) AS rank
+       FROM scored s JOIN matched m ON s.doc_id = m.doc_id)
+SELECT doc_id, score, rank, matched FROM rk WHERE rank <= 20
+""",
+        "search_matched": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match,
+       true AS matched_match, true AS score_match
+FROM range(1, 21)
 """,
     }

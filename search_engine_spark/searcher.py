@@ -617,6 +617,44 @@ class SearchEngine:
             .select("url", "score", "rank")
         )
 
+    def search_matched(self, query: str, k: int | None = None) -> DataFrame:
+        """Top-k with Lucene/ES ``matched_queries`` evidence: each hit
+        carries ``matched`` — the sorted array of the query's parsed
+        term keys found on the doc's posting lists — so a result page
+        can show WHY a document matched ("matched: data, row") without
+        a second explain round-trip per hit (explain_score is the
+        per-doc deep form; this is the per-page shallow one).
+
+        Scale shape: identical to :meth:`search` — the matched set is
+        one extra ``collect_set`` riding the SAME per-doc score agg
+        (bounded by the query's own term count per doc, so the agg
+        state stays O(|query|)); no new scan, join, or shuffle.
+        Returns (url, score, rank, matched)."""
+        k = k or self.cfg.top_k
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            return self.spark.createDataFrame(
+                [], "url string, score double, rank int, matched array<string>")
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        per = self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key))
+        blend_a, blend_b = self.meta["blend_bm25"], self.meta["blend_bonus"]
+        scored = (
+            per.groupBy("shard", "local_id")
+            .agg(F.sum("contrib").alias("bm25"),
+                 F.sum("bonus").alias("bonus"),
+                 F.sort_array(F.collect_set("term_key")).alias("matched"))
+            .withColumn("score", F.lit(blend_a) * F.col("bm25")
+                        + F.lit(blend_b) * F.col("bonus"))
+            .join(self._doc_map(), ["shard", "local_id"])
+            .select("url", "score", "matched")
+        )
+        topk = scored.orderBy(F.desc("score"), F.asc("url")).limit(k)
+        return (
+            ranked(topk, [("score", "desc"), ("url", "asc")])
+            .select("url", "score", "rank", "matched")
+        )
+
     def count_hits(self, query: str) -> int:
         """Total number of live documents matching ≥1 query term —
         the "about N results" line on every result page (Lucene's

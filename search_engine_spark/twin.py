@@ -463,6 +463,31 @@ def twin_bm25_topk(spark: SparkSession, engine, query: str, k: int) -> DataFrame
     return ranked(topk, [("score", "desc"), ("url", "asc")])
 
 
+def twin_matched_topk(spark: SparkSession, engine, query: str,
+                      k: int) -> DataFrame:
+    """(url, score, rank, matched) — the independent twin of
+    ``SearchEngine.search_matched``: scores from twin_bm25_scores, the
+    matched term set recomputed from live postings_raw in a SEPARATE
+    agg joined back on url (the engine rides one agg; a divergence in
+    either the score or the evidence set flips a flag)."""
+    keys = engine.parse_query(query)
+    scores = twin_bm25_scores(spark, engine, keys)
+    matched = (
+        live_raw_postings(spark, engine)
+        .filter(F.col("term_key").isin(list(keys)))
+        .groupBy("url")
+        .agg(F.sort_array(F.collect_set("term_key")).alias("matched"))
+    )
+    topk = (
+        scores.join(matched, "url")
+        .orderBy(F.desc("score"), F.asc("url")).limit(k)
+    )
+    return (
+        ranked(topk, [("score", "desc"), ("url", "asc")])
+        .select("url", "score", "rank", "matched")
+    )
+
+
 def twin_filtered_topk(spark: SparkSession, engine, query: str,
                        allowed: DataFrame, k: int) -> DataFrame:
     """Plain twin of ``SearchEngine.search_filtered``: the full BM25

@@ -116,6 +116,8 @@ INTRODUCED_PAST_WINDOW = {
     "search_querystring_tree",
     "ft_composite",
     "search_composite",
+    "ft_matched_topk",
+    "search_matched",
 }
 
 
