@@ -638,6 +638,63 @@ def q_search_matched(spark, sf):
     return _rank_eq(e, t, exact=["url", "matched"], approx=["score"])
 
 
+BATCH_COUNT_QUERIES = [("q_data", "data"), ("q_table", "table"),
+                       ("q_row", "row"), ("q_none", "zzzzqqqq")]
+
+
+def q_search_count_batch(spark, sf):
+    """ES `filters` aggregation through the packed index ≡ the
+    plain-postings twin, per named query: the engine counts N saved
+    searches in ONE pruned scan (union of all terms + a broadcast
+    (qid, term_key) fan-out map — searcher.count_hits_batch); the twin
+    deliberately pays one raw-postings scan PER query.  The
+    out-of-vocabulary query must keep its ZERO bucket on both sides
+    (the ES empty-bucket contract)."""
+    eng = _engine_for(spark, sf)
+    e = eng.count_hits_batch(BATCH_COUNT_QUERIES)
+    t = TW.twin_count_batch(spark, eng, BATCH_COUNT_QUERIES)
+    return TW.compare_topk(e, t, ["qid"], exact_cols=["n_docs"],
+                           approx_cols=[])
+
+
+def q_search_adjacency(spark, sf):
+    """ES `adjacency_matrix` through the packed index ≡ the twin, per
+    (qid_a, qid_b) cell: per-query counts on the diagonal, pairwise
+    co-match counts off it (qid_a < qid_b).  Engine: one-scan match
+    sets self-joined on the co-partitioned (shard, local_id) doc key;
+    twin: per-query raw scans self-joined on url — different key,
+    different plan, identical matrix."""
+    eng = _engine_for(spark, sf)
+    qs = BATCH_COUNT_QUERIES[:3]
+    e = eng.adjacency_matrix(qs)
+    t = TW.twin_adjacency(spark, eng, qs)
+    return TW.compare_topk(e, t, ["qid_a", "qid_b"],
+                           exact_cols=["n_docs"], approx_cols=[])
+
+
+def q_ft_adjacency(spark, sf):
+    """Relational adjacency matrix over simple tokens, fully
+    SQL-checkable: three named single-term queries, (qid, doc)
+    distinct match sets, doc-keyed self-join with the sorted-pair rule
+    (a.qid <= b.qid), exact BIGINT cell counts."""
+    qmap = spark.createDataFrame(
+        [("q_data", "data"), ("q_table", "table"), ("q_row", "row")],
+        "qid string, tok string")
+    m = (
+        _doc_tf(_tbl(spark, sf, "documents"))
+        .join(F.broadcast(qmap), "tok")
+        .select("qid", "doc_id").distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.qid") <= F.col("b.qid")),
+    ).select(F.col("a.qid").alias("qid_a"), F.col("b.qid").alias("qid_b"))
+    return pairs.groupBy("qid_a", "qid_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
 FT_BOOSTS = {"table": 2.0, "join": 1.0, "query": 0.5}
 
 
@@ -4141,6 +4198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_composite": q_search_composite,
         "ft_matched_topk": q_ft_matched_topk,
         "search_matched": q_search_matched,
+        "ft_adjacency": q_ft_adjacency,
+        "search_count_batch": q_search_count_batch,
+        "search_adjacency": q_search_adjacency,
     }
 
 
@@ -6542,5 +6602,24 @@ SELECT doc_id, score, rank, matched FROM rk WHERE rank <= 20
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match,
        true AS matched_match, true AS score_match
 FROM range(1, 21)
+""",
+        "ft_adjacency": f"""
+WITH {_TF_CTE},
+qm(qid, qtok) AS (VALUES ('q_data', 'data'), ('q_table', 'table'),
+                         ('q_row', 'row')),
+m AS (SELECT DISTINCT qm.qid, ex.doc_id FROM ex JOIN qm ON ex.tok = qm.qtok)
+SELECT a.qid AS qid_a, b.qid AS qid_b, CAST(count(*) AS BIGINT) AS n_docs
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.qid <= b.qid
+GROUP BY qid_a, qid_b
+""",
+        "search_count_batch": """
+SELECT qid, true AS n_docs_match
+FROM (VALUES ('q_data'), ('q_table'), ('q_row'), ('q_none')) AS t(qid)
+""",
+        "search_adjacency": """
+SELECT a.qid AS qid_a, b.qid AS qid_b, true AS n_docs_match
+FROM (VALUES ('q_data'), ('q_row'), ('q_table')) AS a(qid)
+JOIN (VALUES ('q_data'), ('q_row'), ('q_table')) AS b(qid)
+  ON a.qid <= b.qid
 """,
     }

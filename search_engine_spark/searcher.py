@@ -617,6 +617,95 @@ class SearchEngine:
             .select("url", "score", "rank")
         )
 
+    def _match_sets(self, queries: list[tuple[str, str]]) -> DataFrame | None:
+        """(qid, shard, local_id) distinct LIVE matches per named query
+        in ONE pruned scan: the union of every query's parsed term keys
+        resolves and scans once, then a small (qid, term_key) map join
+        fans rows out to their queries.  None when no query term is in
+        the dictionary.  Shared by the multi-query counting surfaces
+        (:meth:`count_hits_batch`, :meth:`adjacency_matrix`)."""
+        pairs = sorted({(qid, key) for qid, q in queries
+                        for key in self.parse_query(q)})
+        if not pairs:
+            return None
+        resolved = self.resolve_terms(sorted({k for _, k in pairs}))
+        if resolved.empty:
+            return None
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        per = self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key))
+        qmap = self.spark.createDataFrame(
+            [(q, k) for q, k in pairs], "qid string, term_key string")
+        return (
+            per.select("term_key", "shard", "local_id")
+            # the map is |queries|·|terms| rows — broadcast by size
+            .join(F.broadcast(qmap), "term_key")
+            .select("qid", "shard", "local_id").distinct()
+        )
+
+    def count_hits_batch(self, queries: list[tuple[str, str]]) -> DataFrame:
+        """ES ``filters`` aggregation: live match counts for N named
+        queries in ONE pass — the dashboard/monitoring surface ("how
+        many docs match each of these saved searches") that would
+        otherwise pay N pruned scans via :meth:`count_hits`.  Returns
+        (qid, n_docs) with a ZERO row for queries whose terms miss the
+        dictionary (ES keeps empty buckets).
+
+        Scale shape: one pruned scan over the UNION of all queries'
+        terms; the (qid, term_key) fan-out map is queries×terms rows
+        (broadcast); the only exchange is the (qid, doc) distinct,
+        bounded by total match multiplicity, never the corpus."""
+        if not queries:
+            raise ValueError("queries must be non-empty")
+        qids = [q[0] for q in queries]
+        if len(set(qids)) != len(qids):
+            raise ValueError("qids must be unique")
+        allq = self.spark.createDataFrame([(q,) for q in qids], "qid string")
+        matches = self._match_sets(queries)
+        if matches is None:
+            return allq.withColumn("n_docs", F.lit(0).cast("long"))
+        counts = matches.groupBy("qid").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"))
+        return (
+            allq.join(counts, "qid", "left")
+            .select("qid", F.coalesce("n_docs", F.lit(0)).cast("long")
+                    .alias("n_docs"))
+        )
+
+    def adjacency_matrix(self, queries: list[tuple[str, str]]) -> DataFrame:
+        """ES ``adjacency_matrix`` aggregation: for N named queries,
+        the live match count of every query AND of every pairwise
+        intersection — the co-occurrence matrix behind topic-overlap /
+        audience-overlap dashboards.  Returns (qid_a, qid_b, n_docs):
+        diagonal rows (qid, qid) are the per-query counts, off-diagonal
+        rows (qid_a < qid_b, ES's sorted ``a&b`` bucket key) the
+        intersections; empty intersections are omitted (the ES
+        contract — buckets with zero docs don't appear).
+
+        Scale shape: the one-scan match sets self-join on the doc key
+        (co-partitioned exchange on (shard, local_id)); per doc the
+        work is |its matching queries|², bounded by N², never corpus ×
+        N.  ES caps N at 100 for exactly this reason."""
+        if not queries:
+            raise ValueError("queries must be non-empty")
+        qids = [q[0] for q in queries]
+        if len(set(qids)) != len(qids):
+            raise ValueError("qids must be unique")
+        matches = self._match_sets(queries)
+        if matches is None:
+            return self.spark.createDataFrame(
+                [], "qid_a string, qid_b string, n_docs long")
+        a = matches.alias("a")
+        b = matches.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.shard") == F.col("b.shard"))
+            & (F.col("a.local_id") == F.col("b.local_id"))
+            & (F.col("a.qid") <= F.col("b.qid")),
+        ).select(F.col("a.qid").alias("qid_a"), F.col("b.qid").alias("qid_b"))
+        return pairs.groupBy("qid_a", "qid_b").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"))
+
     def search_matched(self, query: str, k: int | None = None) -> DataFrame:
         """Top-k with Lucene/ES ``matched_queries`` evidence: each hit
         carries ``matched`` — the sorted array of the query's parsed

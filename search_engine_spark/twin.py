@@ -488,6 +488,63 @@ def twin_matched_topk(spark: SparkSession, engine, query: str,
     )
 
 
+def _twin_query_urls(spark: SparkSession, engine,
+                     queries: list[tuple[str, str]]) -> DataFrame:
+    """(qid, url) distinct live matches, one SEPARATE raw-postings
+    filter per query unioned behind a literal qid — deliberately the
+    N-scan plan the engine's one-scan fan-out map avoids."""
+    raw = live_raw_postings(spark, engine)
+    out = None
+    for qid, q in queries:
+        keys = engine.parse_query(q)
+        if not keys:
+            continue
+        part = (
+            raw.filter(F.col("term_key").isin(list(keys)))
+            .select(F.lit(qid).alias("qid"), "url").distinct()
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def twin_count_batch(spark: SparkSession, engine,
+                     queries: list[tuple[str, str]]) -> DataFrame:
+    """(qid, n_docs) — the independent twin of
+    ``SearchEngine.count_hits_batch``, zero rows kept for
+    unresolvable queries like the engine's ES-bucket contract."""
+    allq = spark.createDataFrame([(q[0],) for q in queries], "qid string")
+    urls = _twin_query_urls(spark, engine, queries)
+    if urls is None:
+        return allq.withColumn("n_docs", F.lit(0).cast("long"))
+    counts = urls.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        allq.join(counts, "qid", "left")
+        .select("qid",
+                F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"))
+    )
+
+
+def twin_adjacency(spark: SparkSession, engine,
+                   queries: list[tuple[str, str]]) -> DataFrame:
+    """(qid_a, qid_b, n_docs) — the independent twin of
+    ``SearchEngine.adjacency_matrix``: url-keyed self-join over the
+    per-query N-scan match sets (the engine self-joins ONE-scan
+    (shard, local_id) sets — different key, different plan)."""
+    urls = _twin_query_urls(spark, engine, queries)
+    if urls is None:
+        return spark.createDataFrame(
+            [], "qid_a string, qid_b string, n_docs long")
+    a, b = urls.alias("a"), urls.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.url") == F.col("b.url"))
+        & (F.col("a.qid") <= F.col("b.qid")),
+    ).select(F.col("a.qid").alias("qid_a"), F.col("b.qid").alias("qid_b"))
+    return pairs.groupBy("qid_a", "qid_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
 def twin_filtered_topk(spark: SparkSession, engine, query: str,
                        allowed: DataFrame, k: int) -> DataFrame:
     """Plain twin of ``SearchEngine.search_filtered``: the full BM25

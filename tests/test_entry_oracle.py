@@ -118,6 +118,9 @@ INTRODUCED_PAST_WINDOW = {
     "search_composite",
     "ft_matched_topk",
     "search_matched",
+    "ft_adjacency",
+    "search_count_batch",
+    "search_adjacency",
 }
 
 
