@@ -59,6 +59,7 @@ from search_engine_spark.operators import mlt as MLT
 from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import packing as PK
 from search_engine_spark.operators import pii as PII
+from search_engine_spark.operators import pipelineagg as PA
 from search_engine_spark.operators import qcache as QC
 from search_engine_spark.operators import similarity as SIM
 from search_engine_spark.operators import sketches as SK
@@ -1892,6 +1893,18 @@ def q_search_date_histogram(spark, sf):
     t = TW.twin_facets(spark, eng, ENGINE_QUERY, dims, "facet")
     return TW.compare_topk(e, t, ["facet"], exact_cols=["n_docs"],
                            approx_cols=[])
+
+
+def q_ft_date_pipeline(spark, sf):
+    """ES pipeline aggregations over the date-histogram buckets, fully
+    SQL-checkable: cumulative_sum, derivative (NULL first bucket), and
+    the trailing-3 simple moving average on the half-up 1e-6 integer
+    grid (operators/pipelineagg.py) — second-stage aggregations that
+    consume the BUCKET frame, so the global-order window runs over
+    bucket cardinality, never the corpus.  The oracle recomputes the
+    identical window frames and BIGINT grid arithmetic in DuckDB."""
+    return PA.bucket_pipeline(
+        q_ft_date_histogram(spark, sf), "t_bucket", window=3)
 
 
 CHUNK_WINDOW, CHUNK_STRIDE = 32, 24  # context-window chunking (sandbox-sized)
@@ -4201,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_adjacency": q_ft_adjacency,
         "search_count_batch": q_search_count_batch,
         "search_adjacency": q_search_adjacency,
+        "ft_date_pipeline": q_ft_date_pipeline,
     }
 
 
@@ -4819,6 +4833,14 @@ def _oracle_sql_base() -> dict[str, str]:
     blocked = ", ".join(f"'{h}'" for h in BLOCKED_HOSTS)
     # scored-set CTE chain shared by the ft_bm25_topk row, the
     # pagerank_blend re-ranker, and the diversified-collapse row
+    # date-histogram bucket CTE chain shared by the plain row and the
+    # pipeline-aggregation row built on top of it
+    _DATEHIST_BUCKETS_SQL = f"""{_TF_CTE},
+mn AS (SELECT min(doc_id) AS m FROM documents),
+match AS (SELECT DISTINCT doc_id FROM tf WHERE tok = 'data')
+SELECT CAST((doc_id - mn.m) // {HIST_BUCKET_SECS} AS BIGINT) AS t_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM match, mn GROUP BY t_bucket"""
     _FT_SCORED = f"""{_TF_CTE},
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
 stats AS (SELECT avg(dl) AS avgdl, (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n FROM dl),
@@ -6015,14 +6037,9 @@ FROM range(1, 21)
         # date histogram under a query context: distinct matching docs
         # per relative crawl-time bucket (the corpus-min subtraction
         # cancels the epoch between the two engines' ts derivations)
-        "ft_date_histogram": f"""
-WITH {_TF_CTE},
-mn AS (SELECT min(doc_id) AS m FROM documents),
-match AS (SELECT DISTINCT doc_id FROM tf WHERE tok = 'data')
-SELECT CAST((doc_id - mn.m) // {HIST_BUCKET_SECS} AS BIGINT) AS t_bucket,
-       CAST(count(*) AS BIGINT) AS n_docs
-FROM match, mn GROUP BY t_bucket
-""",
+        "ft_date_histogram": f"WITH {_DATEHIST_BUCKETS_SQL}",
+        "ft_date_pipeline": PA.duckdb_bucket_pipeline_sql(
+            f"WITH {_DATEHIST_BUCKETS_SQL}", "t_bucket", window=3),
         "search_date_histogram": """
 SELECT CAST(range AS BIGINT) AS facet, true AS n_docs_match
 FROM range(0, 9)

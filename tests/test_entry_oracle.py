@@ -121,6 +121,7 @@ INTRODUCED_PAST_WINDOW = {
     "ft_adjacency",
     "search_count_batch",
     "search_adjacency",
+    "ft_date_pipeline",
 }
 
 
