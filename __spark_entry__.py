@@ -29,6 +29,7 @@ value hash.  Integer outputs are cast to BIGINT on both sides
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import os
 import shutil
@@ -95,6 +96,7 @@ _DBQ_CACHE: dict[str, str] = {}
 _ANN_CACHE: dict[str, str] = {}
 _MLT_CACHE: dict[str, str] = {}
 _SUGGEST_CACHE: dict[str, str] = {}
+_RESHARD_CACHE: dict[str, str] = {}
 _ANCHOR_CACHE: dict[str, str] = {}
 _AC_CACHE: dict[str, str] = {}
 _DOCSTORE_CACHE: dict[str, str] = {}
@@ -290,6 +292,70 @@ def _mlt_index_for(spark: SparkSession, sf_dir: str) -> str:
         _MLT_CACHE[key] = _atomic_publish(
             out, lambda tmp: MLT.write_mlt_index(_tbl(spark, key, "documents"), tmp))
     return _MLT_CACHE[key]
+
+
+RESHARD_TO = 5  # deliberately coprime-ish with the entry layout's 8
+
+
+def _resharded_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir, cached on disk) a RESHARDED copy
+    of the entry index: snapshot + reshard_index to RESHARD_TO doc
+    shards (ES _shrink/_split — incremental.reshard_index), so the
+    driver row compares the same corpus served from two different
+    physical layouts."""
+    from search_engine_spark.incremental import reshard_index
+    from search_engine_spark.indexer import snapshot_index
+
+    key = os.path.abspath(sf_dir)
+    if key not in _RESHARD_CACHE:
+        _engine_for(spark, key)  # ensure the source index exists
+        tag = hashlib.md5(
+            f"{key}|resh{RESHARD_TO}|{_ENTRY_CFG}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_resh_{tag}")
+
+        def build(tmp: str) -> None:
+            dst = os.path.join(tmp, "ix")
+            snapshot_index(_INDEX_CACHE[key], dst)
+            reshard_index(spark, dst, RESHARD_TO, _ENTRY_CFG)
+
+        _RESHARD_CACHE[key] = _atomic_publish(out, build)
+    return os.path.join(_RESHARD_CACHE[key], "ix")
+
+
+def q_search_resharded(spark, sf):
+    """Resharding identity (ES _shrink/_split): the SAME corpus served
+    from two physical layouts — the entry index (8 doc shards) vs its
+    snapshot resharded in place to 5 (incremental.reshard_index: a
+    derived-stage rebuild; raw postings never rewrite, shard =
+    pmod(xxhash64(url), n) re-derives) — must return the identical
+    BM25 top-20, per rank.  The doc shard is the engine's explicit
+    skew control; this row pins that it is pure layout, never
+    semantics."""
+    eng = _engine_for(spark, sf)
+    new_cfg = dataclasses.replace(_ENTRY_CFG, n_doc_shards=RESHARD_TO)
+    r_eng = SearchEngine(spark, _resharded_index_for(spark, sf), new_cfg)
+    return _rank_eq(
+        r_eng.search(ENGINE_QUERY, 20),
+        eng.search(ENGINE_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
+
+
+def q_search_resharded_wand(spark, sf):
+    """Block-max WAND through the RESHARDED layout ≡ the original
+    index's exhaustive scorer, per rank: resharding re-bakes every
+    (term, shard) block-max bound for the new doc grouping, and a
+    bound baked too tight would silently drop a true top-k doc — this
+    row pins the re-baked bounds against an engine that never saw
+    them."""
+    eng = _engine_for(spark, sf)
+    new_cfg = dataclasses.replace(_ENTRY_CFG, n_doc_shards=RESHARD_TO)
+    r_eng = SearchEngine(spark, _resharded_index_for(spark, sf), new_cfg)
+    return _rank_eq(
+        wand_search(r_eng, ENGINE_QUERY, 20),
+        eng.search(ENGINE_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
 
 
 def _docstore_for(spark: SparkSession, sf_dir: str) -> str:
@@ -4215,6 +4281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_count_batch": q_search_count_batch,
         "search_adjacency": q_search_adjacency,
         "ft_date_pipeline": q_ft_date_pipeline,
+        "search_resharded": q_search_resharded,
+        "search_resharded_wand": q_search_resharded_wand,
     }
 
 
@@ -6632,6 +6700,14 @@ GROUP BY qid_a, qid_b
         "search_count_batch": """
 SELECT qid, true AS n_docs_match
 FROM (VALUES ('q_data'), ('q_table'), ('q_row'), ('q_none')) AS t(qid)
+""",
+        "search_resharded": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "search_resharded_wand": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
 """,
         "search_adjacency": """
 SELECT a.qid AS qid_a, b.qid AS qid_b, true AS n_docs_match

@@ -13,6 +13,7 @@ Local (sandbox)::
     python index_admin.py docstore --index /tmp/ix --input pages.parquet --out /tmp/store
     python index_admin.py termvectors --index /tmp/ix --out /tmp/tv
     python index_admin.py snapshot --index /tmp/ix --out /tmp/ix_backup
+    python index_admin.py reshard --index /tmp/ix --to-shards 64 --doc-shards 32
 
 Cluster::
 
@@ -49,7 +50,7 @@ def main() -> None:
     ap.add_argument("verb", choices=["add", "update", "delete",
                                      "delete-by-query", "compact",
                                      "refresh", "stats", "docstore",
-                                     "termvectors", "snapshot"])
+                                     "termvectors", "snapshot", "reshard"])
     ap.add_argument("--index", required=True)
     ap.add_argument("--input", help="pages parquet or testdata dir (add)")
     ap.add_argument("--out", help="docstore: output directory for the "
@@ -65,6 +66,10 @@ def main() -> None:
     ap.add_argument("--if-over", type=int, default=None, metavar="N",
                     help="compact: merge policy — only compact when the "
                          "live segment count exceeds N (no-op otherwise)")
+    ap.add_argument("--to-shards", type=int, default=None, metavar="N",
+                    help="reshard: new doc-shard count (ES _shrink/_split; "
+                         "the other layout flags must still describe the "
+                         "CURRENT layout)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--doc-shards", type=int, default=32)
@@ -195,6 +200,13 @@ def main() -> None:
         else:
             meta = compact_index(spark, args.index, cfg)
             out.update(n_docs=meta["n_docs"], avgdl=round(meta["avgdl"], 4))
+    elif args.verb == "reshard":
+        if args.to_shards is None:
+            ap.error("reshard requires --to-shards")
+        from search_engine_spark.incremental import reshard_index
+
+        meta = reshard_index(spark, args.index, args.to_shards, cfg)
+        out.update(n_docs=meta["n_docs"], n_doc_shards=meta["n_doc_shards"])
     elif args.verb == "docstore":
         from search_engine_spark.operators.docstore import write_docstore
 

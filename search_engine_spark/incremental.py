@@ -75,6 +75,7 @@ single-generation store.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import shutil
@@ -103,14 +104,20 @@ from .indexer import (
 TOMBSTONE_SCHEMA = "url string, gen int"
 
 
-def check_layout(meta: dict, cfg: EngineConfig) -> None:
+def check_layout(meta: dict, cfg: EngineConfig,
+                 ignore: tuple[str, ...] = ()) -> None:
     """Refuse a mutation whose cfg disagrees with the index's baked
     physical layout.  A mismatch corrupts SILENTLY, not loudly: a
     different n_term_buckets rewrites the dictionary with bucket
     values the packed index doesn't use (terms vanish from pruned
     scans); a keep_positions mismatch packs docs without the positions
-    the index serves (or strands docs with no postings at all)."""
+    the index serves (or strands docs with no postings at all).
+    ``ignore`` names fields a caller is deliberately CHANGING through
+    a full derived rebuild (:func:`reshard_index` and n_doc_shards —
+    the one layout field that is pure function of the raw store)."""
     for field in ("n_doc_shards", "n_term_buckets", "stem", "block_size"):
+        if field in ignore:
+            continue
         if meta[field] != getattr(cfg, field):
             raise ValueError(
                 f"cfg.{field}={getattr(cfg, field)} does not match the "
@@ -647,6 +654,50 @@ def maybe_compact(spark: SparkSession, index_dir: str,
         return False, live
     compact_index(spark, index_dir, cfg)
     return True, live
+
+
+def reshard_index(spark: SparkSession, index_dir: str, n_doc_shards: int,
+                  cfg: EngineConfig = DEFAULT) -> dict:
+    """ES ``_shrink`` / ``_split`` — change the index's doc-shard
+    count in place.  The doc shard is a pure function of the raw
+    store (``shard = pmod(xxhash64(url), n_doc_shards)``, local ids
+    ranked within the shard — indexer.py stage B), so resharding is
+    exactly a full derived rebuild under the new count: raw postings
+    never rewrite, tokenize never re-runs, and the packed result is
+    bit-identical to a fresh build over the same corpus at the new
+    layout.  This is the operational lever when a grown index's
+    per-(term, shard) groups get heavy (split) or a shrunken one
+    wastes per-shard overhead (shrink) — at 10^12 docs the
+    alternative, re-ingesting the corpus, is the cost this path
+    exists to avoid.
+
+    Like ES (which requires a read-only, fully-merged source index),
+    the index must be quiescent: no pending append, no tombstones —
+    run :func:`compact_index` first.  ``cfg`` must describe the
+    CURRENT layout; every other layout field keeps its value.  A
+    killed reshard leaves the derived stages dropped from lineage
+    (the index refuses to serve, the raw source of truth intact);
+    re-running resumes through the ordinary lineage path.  Returns
+    the new meta.  No reference counterpart (single-file index)."""
+    if n_doc_shards < 1:
+        raise ValueError("n_doc_shards must be >= 1")
+    paths = IndexPaths(index_dir)
+    with open(paths.meta) as fh:
+        meta = json.load(fh)
+    check_layout(meta, cfg)
+    _check_no_pending(paths)
+    if os.path.isdir(paths.tombstones):
+        raise RuntimeError(
+            "tombstones present — run compact_index first (resharding "
+            "rebuilds every derived table; stale tombstone masks would "
+            "be dropped silently)")
+    if n_doc_shards == meta["n_doc_shards"]:
+        return meta
+    new_cfg = dataclasses.replace(cfg, n_doc_shards=n_doc_shards)
+    from .streaming.ingest import refresh_index
+
+    return refresh_index(spark, index_dir, new_cfg,
+                         _layout_ignore=("n_doc_shards",))
 
 
 def compact_index(spark: SparkSession, index_dir: str,

@@ -106,7 +106,8 @@ def stream_ingest(
 
 def refresh_index(spark: SparkSession, index_dir: str,
                   cfg: EngineConfig = DEFAULT,
-                  _raw_is_purged: bool = False) -> dict:
+                  _raw_is_purged: bool = False,
+                  _layout_ignore: tuple[str, ...] = ()) -> dict:
     """FULL derived rebuild over all ingested raw postings.
 
     Marks tokenize as done (the stream already materialized raw),
@@ -139,7 +140,7 @@ def refresh_index(spark: SparkSession, index_dir: str,
         # n_term_buckets; a rebuild under a narrower layout would
         # silently drop the out-of-range buckets from the pack groups
         with open(paths.meta) as fh:
-            check_layout(json.load(fh), cfg)
+            check_layout(json.load(fh), cfg, ignore=_layout_ignore)
     all_rows = read_lineage(paths)
     rows = [r for r in all_rows if r["stage"] not in DERIVED_STAGES]
     if not any(r["stage"] == "tokenize" for r in rows):

@@ -122,6 +122,8 @@ INTRODUCED_PAST_WINDOW = {
     "search_count_batch",
     "search_adjacency",
     "ft_date_pipeline",
+    "search_resharded",
+    "search_resharded_wand",
 }
 
 
