@@ -97,6 +97,7 @@ _ANN_CACHE: dict[str, str] = {}
 _MLT_CACHE: dict[str, str] = {}
 _SUGGEST_CACHE: dict[str, str] = {}
 _RESHARD_CACHE: dict[str, str] = {}
+_DEDUPIX_CACHE: dict[str, str] = {}
 _ANCHOR_CACHE: dict[str, str] = {}
 _AC_CACHE: dict[str, str] = {}
 _DOCSTORE_CACHE: dict[str, str] = {}
@@ -339,6 +340,40 @@ def q_search_resharded(spark, sf):
         eng.search(ENGINE_QUERY, 20),
         exact=["url"], approx=["score"],
     )
+
+
+DEDUP_GATE_MIN_AGREE = 2  # gate at estimated Jaccard >= 2/8
+
+
+def _dedup_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir, cached on disk) the stored
+    MinHash side-car over the CORPUS split (doc_id % 10 != 0) —
+    signatures + band buckets (dedup.write_dedup_index) — so the
+    ingest-gate row pays only the delta's own pass at serve time."""
+    key = os.path.abspath(sf_dir)
+    if key not in _DEDUPIX_CACHE:
+        tag = hashlib.md5(f"{key}|dedupix1".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_dedupix_{tag}")
+        corpus = _tbl(spark, key, "documents").filter(F.col("doc_id") % 10 != 0)
+        _DEDUPIX_CACHE[key] = _atomic_publish(
+            out, lambda tmp: D.write_dedup_index(corpus, tmp))
+    return _DEDUPIX_CACHE[key]
+
+
+def q_dedup_ingest_gate(spark, sf):
+    """Incremental near-dup gate, fully SQL-checkable: the crawl delta
+    (doc_id % 10 == 0) dedups against the STORED corpus signatures
+    (dedup.write_dedup_index / ingest_near_dups) — LSH band-bucket
+    candidates, then the MinHash agreement count (n_agree of 8, the
+    exact-integer Jaccard estimate) gated at >= 2.  The oracle
+    recomputes the whole pipeline — shingles, md5 minhashes, band
+    buckets, candidate join, agreement sum — from the raw documents
+    table, so a stored layout that dropped or duplicated a signature
+    flips the row."""
+    docs = _tbl(spark, sf, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    return D.ingest_near_dups(delta, _dedup_index_for(spark, sf),
+                              min_agree=DEDUP_GATE_MIN_AGREE)
 
 
 def q_search_resharded_wand(spark, sf):
@@ -4283,6 +4318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_date_pipeline": q_ft_date_pipeline,
         "search_resharded": q_search_resharded,
         "search_resharded_wand": q_search_resharded_wand,
+        "dedup_ingest_gate": q_dedup_ingest_gate,
     }
 
 
@@ -4384,6 +4420,40 @@ sig AS (SELECT doc_id, {mh_cols} FROM sh),
 bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+def _sql_ingest_gate(min_agree: int) -> str:
+    """DuckDB twin of the stored-layout ingest gate: the full pipeline
+    (shingles, md5 minhashes, band buckets, delta-vs-corpus candidate
+    join, signature-agreement count) recomputed from the raw
+    documents table with the corpus/delta split inlined."""
+    nh, bs = D.DEFAULT_MINHASHES, D.DEFAULT_BAND_SIZE
+    mh_cols = ", ".join(
+        f"list_min(list_transform(shingles, x -> md5('{s}:' || x))) AS mh{s}"
+        for s in range(nh)
+    )
+    n_bands = nh // bs
+    band_exprs = ", ".join(
+        "'" + str(b) + "|' || " + " || '|' || ".join(f"mh{b * bs + j}" for j in range(bs))
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN d.mh{s} = c.mh{s} THEN 1 ELSE 0 END)" for s in range(nh)
+    )
+    return f"""
+WITH {_sql_shingles_cte()},
+sig AS (SELECT doc_id, {mh_cols} FROM sh),
+c AS (SELECT * FROM sig WHERE doc_id % 10 <> 0),
+d AS (SELECT * FROM sig WHERE doc_id % 10 = 0),
+bc AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM c),
+bd AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM d),
+cand AS (SELECT DISTINCT bd.doc_id AS did, bc.doc_id AS cid
+         FROM bd JOIN bc ON bd.band = bc.band AND bd.doc_id <> bc.doc_id),
+ag AS (SELECT cand.did AS doc_id, cand.cid AS dup_of,
+              CAST({agree} AS BIGINT) AS n_agree
+       FROM cand JOIN d ON d.doc_id = cand.did JOIN c ON c.doc_id = cand.cid)
+SELECT doc_id, dup_of, n_agree FROM ag WHERE n_agree >= {min_agree}
 """
 
 
@@ -5952,6 +6022,7 @@ SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents GROUP BY md5(text) HAVING count(*) > 1
 """,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
+        "dedup_ingest_gate": _sql_ingest_gate(DEDUP_GATE_MIN_AGREE),
         "dedup_ngram_jaccard": f"""
 WITH {_sql_shingles_cte()},
 shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),

@@ -521,3 +521,124 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataF
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (ingest-time) near-dup gate: a crawl delta dedups against
+# the ALREADY-INDEXED corpus through a stored signature side-car — the
+# O(delta) form of the batch LSH pass above.  At 10^12 docs the batch
+# pass is a corpus job you run once; every later crawl batch asks "is
+# this page a near-dup of ANYTHING indexed" and must never re-shingle
+# the corpus to answer.
+
+def write_dedup_index(docs: DataFrame, out_dir: str,
+                      n_hashes: int = DEFAULT_MINHASHES,
+                      band_size: int = DEFAULT_BAND_SIZE,
+                      shingle_n: int = DEFAULT_SHINGLE) -> dict:
+    """Materialize the corpus's MinHash state as a stored layout:
+    ``sigs/`` — one row per doc, the n_hashes signature columns
+    (docs with < shingle_n tokens have no shingles and are absent,
+    as in :func:`minhash_signatures`); ``bands/`` — (bucket, doc_id)
+    hive-partitioned by band index, bucket-sorted row groups;
+    ``meta.json`` pins (n_hashes, band_size, shingle_n) so a serve
+    under different parameters refuses instead of silently missing
+    pairs.  The corpus pays ONE shingle+minhash pass here; every
+    later delta reads two narrow columnar tables.  (On a cluster the
+    bands table would also be bucketed by (band, bucket) so the
+    delta join co-locates without a stored-side shuffle.)"""
+    import json as _json
+    import os as _os
+
+    if n_hashes % band_size:
+        raise ValueError("band_size must divide n_hashes")
+    spark = docs.sparkSession
+    sigs = minhash_signatures(docs, n_hashes, shingle_n)
+    _os.makedirs(out_dir, exist_ok=True)
+    sigs_path = _os.path.join(out_dir, "sigs")
+    sigs.write.mode("overwrite").parquet(sigs_path)
+    stored = spark.read.parquet(sigs_path)  # reuse, don't recompute
+    n_bands = n_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        part = stored.select(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh{b * band_size + j}")
+                               for j in range(band_size)]).alias("bucket"),
+            "doc_id",
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    (bands.repartition("band").sortWithinPartitions("bucket")
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(_os.path.join(out_dir, "bands")))
+    meta = {"n_hashes": n_hashes, "band_size": band_size,
+            "shingle_n": shingle_n, "n_docs": stored.count()}
+    with open(_os.path.join(out_dir, "meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+    return meta
+
+
+def ingest_near_dups(new_docs: DataFrame, dedup_dir: str,
+                     min_agree: int = DEFAULT_MINHASHES // 2) -> DataFrame:
+    """Gate a crawl delta against the stored corpus signatures:
+    returns (doc_id, dup_of, n_agree) — each NEW doc paired with every
+    indexed doc that (a) shares an LSH band bucket and (b) agrees on
+    at least ``min_agree`` of the n_hashes signature components (the
+    standard MinHash estimate: agreement fraction ≈ Jaccard, so
+    min_agree = ceil(t · n_hashes) gates at similarity t).  Every
+    value is an md5-derived string compare or an integer count, so
+    the whole gate carries an exact SQL oracle.
+
+    Scale shape: the delta pays its own shingle+minhash pass; the
+    candidate join exchanges delta-sized (band, bucket) rows against
+    the stored bands table (two narrow columns, never the corpus
+    text); the verify joins signatures for CANDIDATE pairs only, and
+    the n_agree sum is one codegen expression over the n_hashes
+    column pairs — no explode, no re-shingling of anything indexed."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(dedup_dir, "meta.json")) as fh:
+        meta = _json.load(fh)
+    n_hashes, band_size = meta["n_hashes"], meta["band_size"]
+    shingle_n = meta["shingle_n"]
+    if not 1 <= min_agree <= n_hashes:
+        raise ValueError(f"min_agree must be in [1, {n_hashes}]")
+    spark = new_docs.sparkSession
+    d_sigs = minhash_signatures(new_docs, n_hashes, shingle_n)
+    n_bands = n_hashes // band_size
+    d_bands = None
+    for b in range(n_bands):
+        part = d_sigs.select(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh{b * band_size + j}")
+                               for j in range(band_size)]).alias("bucket"),
+            F.col("doc_id").alias("new_id"),
+        )
+        d_bands = part if d_bands is None else d_bands.unionByName(part)
+    stored_bands = (
+        spark.read.parquet(_os.path.join(dedup_dir, "bands"))
+        .select("band", "bucket", F.col("doc_id").alias("old_id"))
+    )
+    cand = (
+        d_bands.join(stored_bands, ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id").distinct()
+    )
+    stored_sigs = spark.read.parquet(_os.path.join(dedup_dir, "sigs"))
+    c = stored_sigs.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(f"mh{s}").alias(f"c_mh{s}") for s in range(n_hashes)])
+    d = d_sigs.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"mh{s}").alias(f"d_mh{s}") for s in range(n_hashes)])
+    agree = None
+    for s in range(n_hashes):
+        term = F.when(F.col(f"d_mh{s}") == F.col(f"c_mh{s}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        cand.join(d, "new_id").join(c, "old_id")
+        .select(F.col("new_id").alias("doc_id"),
+                F.col("old_id").alias("dup_of"),
+                agree.cast("long").alias("n_agree"))
+        .filter(F.col("n_agree") >= min_agree)
+    )

@@ -124,6 +124,7 @@ INTRODUCED_PAST_WINDOW = {
     "ft_date_pipeline",
     "search_resharded",
     "search_resharded_wand",
+    "dedup_ingest_gate",
 }
 
 
