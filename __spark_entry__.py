@@ -2008,6 +2008,50 @@ def q_ft_date_pipeline(spark, sf):
         q_ft_date_histogram(spark, sf), "t_bucket", window=3)
 
 
+HIST_DL_INTERVAL = 32  # doc-length histogram band (tokens)
+
+
+def q_ft_histogram(spark, sf):
+    """ES numeric `histogram` aggregation, fully SQL-checkable:
+    distinct docs containing 'data' counted per fixed-width
+    doc-length band (token count div 32) — the bucket key is the
+    exact BIGINT floor multiple ``dl - pmod(dl, 32)``
+    (searcher.search_histogram's derivation run relationally)."""
+    tf = _doc_tf(_tbl(spark, sf, "documents"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    match = (
+        tf.filter(F.col("tok") == "data").select("doc_id").distinct()
+    )
+    i = F.lit(HIST_DL_INTERVAL)
+    return (
+        match.join(dl, "doc_id")
+        .select((F.col("dl") - F.pmod(F.col("dl"), i)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def q_search_histogram(spark, sf):
+    """The same histogram served through the PACKED index
+    (searcher.search_histogram -> the audited facets kernel over the
+    derived bucket dimension), compared per bucket against the
+    plain-postings twin.  The attribute is the crawl-relative
+    timestamp seconds (the sort-key table), bucketed at 90s — a
+    DIFFERENT width than the 60s date-histogram row, so the floor
+    arithmetic is exercised off the bucket grid the other row pins."""
+    eng = _engine_for(spark, sf)
+    vals = _ts_keys(spark, sf)
+    e = eng.search_histogram(ENGINE_QUERY, vals, "sort_key", 90)
+    i = F.lit(90)
+    dims = vals.select(
+        "url",
+        (F.col("sort_key") - F.pmod(F.col("sort_key"), i)).alias("facet"))
+    t = TW.twin_facets(spark, eng, ENGINE_QUERY, dims, "facet")
+    return TW.compare_topk(
+        e.withColumnRenamed("bucket", "facet"), t, ["facet"],
+        exact_cols=["n_docs"], approx_cols=[])
+
+
 CHUNK_WINDOW, CHUNK_STRIDE = 32, 24  # context-window chunking (sandbox-sized)
 
 
@@ -4319,6 +4363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_resharded": q_search_resharded,
         "search_resharded_wand": q_search_resharded_wand,
         "dedup_ingest_gate": q_dedup_ingest_gate,
+        "ft_histogram": q_ft_histogram,
+        "search_histogram": q_search_histogram,
     }
 
 
@@ -6779,6 +6825,19 @@ FROM range(1, 21)
         "search_resharded_wand": """
 SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
 FROM range(1, 21)
+""",
+        "ft_histogram": f"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+match AS (SELECT DISTINCT doc_id FROM tf WHERE tok = 'data')
+SELECT CAST(dl.dl - (dl.dl % {HIST_DL_INTERVAL}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM match JOIN dl ON match.doc_id = dl.doc_id
+GROUP BY bucket
+""",
+        "search_histogram": """
+SELECT CAST(range * 90 AS BIGINT) AS facet, true AS n_docs_match
+FROM range(0, 6)
 """,
         "search_adjacency": """
 SELECT a.qid AS qid_a, b.qid AS qid_b, true AS n_docs_match

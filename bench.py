@@ -239,6 +239,9 @@ def main() -> None:
         "dedup_lines",
         "dedup_lines_digest",
         "dedup_simhash",
+        # first rep builds the /tmp-cached corpus signature side-car;
+        # min-of-2 reports the O(delta) serving cost
+        "dedup_ingest_gate",
         "ann_dup_pairs",
         "ann_lsh_topk",
         "ann_int8_topk",

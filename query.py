@@ -109,6 +109,9 @@ def main() -> None:
     ap.add_argument("--snippets", default=None, metavar="STORE",
                     help="docstore dir (index_admin.py docstore): print the "
                          "assembled result page with KWIC excerpts")
+    ap.add_argument("--matched", action="store_true",
+                    help="append each hit's matched query terms "
+                         "(Lucene/ES matched_queries)")
     ap.add_argument("--explain", action="store_true",
                     help="print the top-1 result's per-term score "
                          "breakdown (BM25 contribution, bonus, blended part)")
@@ -157,6 +160,11 @@ def main() -> None:
         text = " ".join(args.query)
         for r in eng.phrase_search(text, args.k).collect():
             print(f"q1 {r['rank']} {r['url']} {r['phrase_tf']}")
+    elif args.matched:
+        text = " ".join(args.query)
+        for r in eng.search_matched(text, args.k).collect():
+            terms = ",".join(r["matched"])
+            print(f"q1 {r['rank']} {r['url']} {r['score']:.6f} [{terms}]")
     elif args.explain:
         text = " ".join(args.query)
         top = eng.search(text, 1).collect()

@@ -2393,6 +2393,32 @@ class SearchEngine:
         return pairs.groupBy("dim", "facet").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"))
 
+    def search_histogram(self, query: str, values: DataFrame,
+                         value_col: str, interval: int,
+                         url_col: str = "url") -> DataFrame:
+        """ES ``histogram`` aggregation under a query context: distinct
+        matching docs per fixed-width bucket of a numeric attribute
+        ("results per doc-length band", "per price band").  Returns
+        (bucket, n_docs) with ``bucket`` the floor multiple of
+        ``interval`` — computed as ``v - pmod(v, interval)``, pure
+        BIGINT arithmetic that floors toward -inf for negative values
+        exactly like ES's Math.floor bucketing (a float
+        ``floor(v/interval)`` would lose exactness past 2^53).  The
+        plan is the audited facets kernel over the derived dimension:
+        one pruned scan, one hash agg, bucket cardinality =
+        value range / interval."""
+        if interval < 1:
+            raise ValueError("interval must be >= 1")
+        v = F.col(value_col).cast("long")
+        dims = values.select(
+            F.col(url_col).alias("url"),
+            (v - F.pmod(v, F.lit(int(interval)))).alias("bucket"),
+        )
+        return (
+            self.search_facets(query, dims, "bucket")
+            .select(F.col("facet").alias("bucket"), "n_docs")
+        )
+
     def search_composite(self, query: str, dims_list: list[tuple],
                          size: int = 10,
                          after: tuple | list | None = None) -> DataFrame:

@@ -92,3 +92,19 @@ def test_admin_cli_lifecycle(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-4000:]
     assert [ln for ln in r.stdout.splitlines() if ln.startswith("q1 ")]
+
+    # reshard in place (ES _shrink/_split), then query + matched
+    # evidence through the NEW layout from fresh processes
+    out = _run(["index_admin.py", "reshard", "--index", ix,
+                "--to-shards", "3"] + LAYOUT)
+    assert out["n_doc_shards"] == 3 and out["n_docs"] == 237
+    r = subprocess.run(
+        [sys.executable, "query.py", "--index", ix, "--k", "5",
+         "--matched", "world trade"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"}, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("q1 ")]
+    assert lines and all("[" in ln and ln.rstrip().endswith("]")
+                         for ln in lines)

@@ -125,6 +125,8 @@ INTRODUCED_PAST_WINDOW = {
     "search_resharded",
     "search_resharded_wand",
     "dedup_ingest_gate",
+    "ft_histogram",
+    "search_histogram",
 }
 
 
