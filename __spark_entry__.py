@@ -42,6 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from search_engine_spark import aliases as AL
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.incremental import add_documents
 from search_engine_spark.indexer import build_index
@@ -105,6 +106,7 @@ _TV_CACHE: dict[str, str] = {}
 _KGRAM_CACHE: dict[str, str] = {}
 _KGRAM_ENG_CACHE: dict[str, str] = {}
 _FED_CACHE: dict[str, str] = {}
+_ALIAS_CACHE: dict[str, str] = {}
 
 # suggest-box prefixes for the autocomplete rows (typed first letters)
 AC_PREFIXES = ("c", "d", "s")
@@ -477,6 +479,58 @@ def _federated_halves_for(spark: SparkSession, sf_dir: str) -> list[str]:
         _FED_CACHE[key] = _atomic_publish(out, build)
     root = _FED_CACHE[key]
     return [os.path.join(root, "ix_even"), os.path.join(root, "ix_odd")]
+
+
+def _alias_rollover_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir, cached on disk) an ALIAS whose
+    members were created by the rollover lifecycle itself: the corpus
+    ingested as three url-disjoint crawl batches through
+    `aliases.rollover_ingest` with max_docs = half the corpus, which
+    forces build -> segment-append -> roll (two members, one of them
+    segmented).  The builder REFUSES to publish if the lifecycle did
+    not take those exact decisions."""
+    key = os.path.abspath(sf_dir)
+    if key not in _ALIAS_CACHE:
+        tag = hashlib.md5(f"{key}|alias1|{_ENTRY_CFG}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"se_entry_alias_{tag}")
+
+        def build(tmp: str) -> None:
+            pages = load_documents_as_pages(spark, key)
+            alias_dir = os.path.join(tmp, "alias")
+            AL.create_alias(alias_dir)
+            n = pages.count()
+            batches = [pages.filter(F.col("url").cast("long") % 3 == i)
+                       for i in range(3)]
+            cap = max(n // 2, 1)
+            s0 = AL.rollover_ingest(spark, alias_dir, batches[0], cap,
+                                    _ENTRY_CFG)
+            s1 = AL.rollover_ingest(spark, alias_dir, batches[1], cap,
+                                    _ENTRY_CFG)
+            s2 = AL.rollover_ingest(spark, alias_dir, batches[2], cap,
+                                    _ENTRY_CFG)
+            if not (s0["rolled"] and not s1["rolled"] and s2["rolled"]):
+                raise RuntimeError(
+                    f"rollover lifecycle diverged: {s0}, {s1}, {s2}")
+
+        _ALIAS_CACHE[key] = _atomic_publish(out, build)
+    return os.path.join(_ALIAS_CACHE[key], "alias")
+
+
+def q_search_rollover(spark, sf):
+    """The ES alias + rollover lifecycle end-to-end: three crawl
+    batches ingested THROUGH the alias (fresh member -> segment
+    append -> rollover to a second member at the max_docs condition),
+    then one alias query served by `federated_search` over the
+    members ≡ the ONE index built over the whole corpus, per rank —
+    the ILM serving shape of a 10^12-doc deployment, where statistics
+    stay global across generations."""
+    eng = _engine_for(spark, sf)
+    alias_dir = _alias_rollover_for(spark, sf)
+    fed = AL.alias_search(spark, alias_dir, ENGINE_QUERY, 20, _ENTRY_CFG)
+    return _rank_eq(
+        fed, eng.search(ENGINE_QUERY, 20),
+        exact=["url"], approx=["score"],
+    )
 
 
 def q_search_federated(spark, sf):
@@ -2008,6 +2062,36 @@ def q_ft_date_pipeline(spark, sf):
         q_ft_date_histogram(spark, sf), "t_bucket", window=3)
 
 
+def q_ft_bucket_stats(spark, sf):
+    """ES sibling aggregation `stats_bucket` over the date-histogram
+    frame, fully SQL-checkable: one summary row — bucket count,
+    min/max/sum counts as BIGINTs and the mean on the half-up 1e-6
+    integer grid (exact moments, one division — no float running
+    sum).  The oracle recomputes the identical arithmetic in
+    DuckDB."""
+    return PA.bucket_stats(q_ft_date_histogram(spark, sf))
+
+
+SDIFF_LAG, SDIFF_MIN = 2, 1
+
+
+def q_ft_serial_diff(spark, sf):
+    """ES `serial_diff` + `bucket_selector` pipeline aggregations over
+    the date-histogram frame, fully SQL-checkable: the lag-2
+    (seasonal) count difference with NULL for the first two buckets,
+    then the selector's threshold filter applied AFTER the diff (the
+    ES pipeline order — a dropped bucket still participates in its
+    neighbours' lags)."""
+    d = PA.serial_diff(q_ft_date_histogram(spark, sf), "t_bucket",
+                       lag=SDIFF_LAG)
+    # the unique bucket key must sort FIRST alphabetically ("bucket" <
+    # "n_docs" < "sdiff_docs"): the driver's row normalization sorts
+    # tuples column-name-ordered, and a tie reaching the NULL lag
+    # cells would compare int against None
+    return (PA.bucket_selector(d, min_count=SDIFF_MIN)
+            .withColumnRenamed("t_bucket", "bucket"))
+
+
 HIST_DL_INTERVAL = 32  # doc-length histogram band (tokens)
 
 
@@ -2050,6 +2134,115 @@ def q_search_histogram(spark, sf):
     return TW.compare_topk(
         e.withColumnRenamed("bucket", "facet"), t, ["facet"],
         exact_cols=["n_docs"], approx_cols=[])
+
+
+# ES `range` aggregation bands over the doc-length attribute:
+# an unbounded-low band, an OVERLAPPING middle band (a doc at dl 48
+# counts in both — the ES multi-band contract), an unbounded-high
+# band, and a deliberately empty band (the zero-fill contract)
+RANGE_BANDS = [(None, 64), (32, 128), (64, None), (100000, None)]
+
+
+def q_ft_range_agg(spark, sf):
+    """ES `range` aggregation under a query context, fully
+    SQL-checkable: distinct docs containing 'data' counted per
+    caller-defined half-open [frm, to) doc-length band — bands
+    overlap (a doc counts in every band it falls into) and every
+    requested band returns a row, zero-count bands included.  The
+    relational form mirrors the twin's band-table theta join; the
+    engine's codegen when()-array plan is pinned by
+    `search_range_agg`."""
+    tf = _doc_tf(_tbl(spark, sf, "documents"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("v"))
+    match = tf.filter(F.col("tok") == "data").select("doc_id").distinct()
+    vals = match.join(dl, "doc_id")
+    spec = spark.createDataFrame(
+        [(i, None if frm is None else int(frm),
+          None if to is None else int(to)) for i, (frm, to) in
+         enumerate(RANGE_BANDS)],
+        "band long, frm long, to long")
+    hits = vals.join(
+        spec,
+        (F.col("frm").isNull() | (F.col("v") >= F.col("frm")))
+        & (F.col("to").isNull() | (F.col("v") < F.col("to"))),
+    )
+    counts = (
+        hits.select("doc_id", "band").distinct()
+        .groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        spec.join(counts, "band", "left")
+        .select("band",
+                F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                .alias("n_docs"))
+    )
+
+
+def q_search_range_agg(spark, sf):
+    """The same band counts served through the PACKED index
+    (searcher.search_range_agg: the facets kernel with band
+    membership as a codegen when()-array — no band-table join in the
+    engine plan) ≡ the plain-postings twin whose membership IS a
+    band-table theta join, exact per band.  The attribute is the
+    crawl-relative timestamp seconds, banded differently than the
+    ft row's doc-length bands."""
+    eng = _engine_for(spark, sf)
+    vals = _ts_keys(spark, sf)
+    bands = [(None, 120), (60, 300), (120, None), (10**9, None)]
+    e = eng.search_range_agg(ENGINE_QUERY, vals, "sort_key", bands)
+    t = TW.twin_range_agg(spark, eng, ENGINE_QUERY, vals, "sort_key", bands)
+    return TW.compare_topk(e, t, ["band"],
+                           exact_cols=["frm", "to", "n_docs"],
+                           approx_cols=[])
+
+
+RARE_MAX_DOCS = 2
+
+
+def q_ft_rare_terms(spark, sf):
+    """ES `rare_terms` aggregation under a query context, fully
+    SQL-checkable: the doc-length values carried by at most
+    RARE_MAX_DOCS distinct docs containing 'data' — the exact
+    long-tail answer ES approximates with a CuckooFilter (the facets
+    kernel aggregates globally, so count-ASC selection is exact
+    here).  Doc length is a naturally long-tailed dimension at every
+    scale."""
+    tf = _doc_tf(_tbl(spark, sf, "documents"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    match = tf.filter(F.col("tok") == "data").select("doc_id").distinct()
+    return (
+        match.join(dl, "doc_id")
+        .groupBy(F.col("dl").alias("facet"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") <= RARE_MAX_DOCS)
+    )
+
+
+def q_search_rare_terms(spark, sf):
+    """The same rare-tail selection served through the PACKED index
+    (searcher.search_rare_terms = the audited facets kernel + the
+    count ceiling) ≡ the plain-postings twin facets filtered by the
+    same ceiling, exact per facet.  The dimension is the n_chars
+    attribute — high-cardinality, so the rare tail is non-trivial at
+    both driver scales."""
+    eng = _engine_for(spark, sf)
+    dims = _tbl(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("n_chars").alias("nc"))
+    e = eng.search_rare_terms(ENGINE_QUERY, dims, "nc",
+                              max_doc_count=RARE_MAX_DOCS)
+    t = TW.twin_facets(spark, eng, ENGINE_QUERY, dims, "nc").filter(
+        F.col("n_docs") <= RARE_MAX_DOCS)
+    cmp = TW.compare_topk(e, t, ["facet"], exact_cols=["n_docs"],
+                          approx_cols=[])
+    # the rare facet SET is data-dependent (the oracle cannot re-derive
+    # the engine's stemmed match set in SQL), so the row reduces to a
+    # deterministic summary: every bucket matched, and the tail was
+    # non-trivial on this corpus
+    return cmp.agg(
+        F.coalesce(F.bool_and("n_docs_match"), F.lit(False))
+        .alias("all_match"),
+        (F.count(F.lit(1)) >= 1).alias("non_trivial"))
 
 
 CHUNK_WINDOW, CHUNK_STRIDE = 32, 24  # context-window chunking (sandbox-sized)
@@ -2739,6 +2932,23 @@ def q_dedup_lines_digest(spark, sf):
     identical keep-decisions up to an md5 collision."""
     lined = CU.synthetic_lined(_tbl(spark, sf, "documents"))
     return CU.dedup_lines(lined, min_docs=30, line_key="digest")
+
+
+SPAN_N, SPAN_MIN_DOCS = 8, 2  # sandbox-sized (Lee et al. use 50 tokens)
+
+
+def q_dedup_span_strip(spark, sf):
+    """Cross-document SPAN removal (the Lee et al. 2021
+    exact-substring-dedup text transformation), fully SQL-checkable:
+    every token position covered by an 8-gram occurring in >= 2
+    distinct docs is removed and the survivors re-join in order —
+    seed grams, the overlapping-coverage union, the anti-join
+    reassembly and the all-duplicate empty-text contract all
+    recomputed verbatim in DuckDB.  The raw-gram key form (the
+    production md5-digest key is equivalence-pinned in pytest)."""
+    return CU.strip_dup_spans(_tbl(spark, sf, "documents"),
+                              n=SPAN_N, min_docs=SPAN_MIN_DOCS,
+                              gram_key="text")
 
 
 def q_sample_stratified(spark, sf):
@@ -4365,6 +4575,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ingest_gate": q_dedup_ingest_gate,
         "ft_histogram": q_ft_histogram,
         "search_histogram": q_search_histogram,
+        "ft_range_agg": q_ft_range_agg,
+        "search_range_agg": q_search_range_agg,
+        "ft_rare_terms": q_ft_rare_terms,
+        "search_rare_terms": q_search_rare_terms,
+        "ft_bucket_stats": q_ft_bucket_stats,
+        "ft_serial_diff": q_ft_serial_diff,
+        "dedup_span_strip": q_dedup_span_strip,
+        "search_rollover": q_search_rollover,
     }
 
 
@@ -6225,6 +6443,12 @@ FROM range(1, 21)
         "ft_date_histogram": f"WITH {_DATEHIST_BUCKETS_SQL}",
         "ft_date_pipeline": PA.duckdb_bucket_pipeline_sql(
             f"WITH {_DATEHIST_BUCKETS_SQL}", "t_bucket", window=3),
+        "ft_bucket_stats": PA.duckdb_bucket_stats_sql(
+            f"WITH {_DATEHIST_BUCKETS_SQL}"),
+        "ft_serial_diff": "SELECT t_bucket AS bucket, n_docs, sdiff_docs "
+        "FROM (" + PA.duckdb_serial_diff_sql(
+            f"WITH {_DATEHIST_BUCKETS_SQL}", "t_bucket",
+            lag=SDIFF_LAG, min_count=SDIFF_MIN) + ")",
         "search_date_histogram": """
 SELECT CAST(range AS BIGINT) AS facet, true AS n_docs_match
 FROM range(0, 9)
@@ -6844,5 +7068,80 @@ SELECT a.qid AS qid_a, b.qid AS qid_b, true AS n_docs_match
 FROM (VALUES ('q_data'), ('q_row'), ('q_table')) AS a(qid)
 JOIN (VALUES ('q_data'), ('q_row'), ('q_table')) AS b(qid)
   ON a.qid <= b.qid
+""",
+        # ES `range` aggregation: caller-defined half-open [frm, hi)
+        # doc-length bands (overlapping + unbounded + a zero band),
+        # every requested band kept — the same spec literals as
+        # RANGE_BANDS, membership via a theta join
+        "ft_range_agg": f"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS v FROM tf GROUP BY doc_id),
+match AS (SELECT DISTINCT doc_id FROM tf WHERE tok = 'data'),
+vals AS (SELECT m.doc_id, dl.v FROM match m JOIN dl USING (doc_id)),
+spec AS (SELECT * FROM (VALUES {", ".join(
+            f"({i}, {'NULL' if frm is None else frm}, "
+            f"{'NULL' if to is None else to})"
+            for i, (frm, to) in enumerate(RANGE_BANDS))})
+         AS t(band, frm, hi)),
+counts AS (SELECT band, count(DISTINCT doc_id) AS n
+           FROM vals JOIN spec
+             ON (frm IS NULL OR v >= frm) AND (hi IS NULL OR v < hi)
+           GROUP BY band)
+SELECT CAST(s.band AS BIGINT) AS band,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs
+FROM spec s LEFT JOIN counts c USING (band)
+""",
+        "search_range_agg": """
+SELECT CAST(range AS BIGINT) AS band, true AS frm_match, true AS to_match,
+       true AS n_docs_match
+FROM range(0, 4)
+""",
+        # ES `rare_terms`: dimension values carried by <= N distinct
+        # matching docs — exact count-ASC selection (ES approximates
+        # with a CuckooFilter; the facets kernel aggregates globally)
+        "ft_rare_terms": f"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+match AS (SELECT DISTINCT doc_id FROM tf WHERE tok = 'data')
+SELECT dl.dl AS facet, CAST(count(*) AS BIGINT) AS n_docs
+FROM match JOIN dl USING (doc_id)
+GROUP BY facet HAVING count(*) <= {RARE_MAX_DOCS}
+""",
+        "search_rare_terms": """
+SELECT true AS all_match, true AS non_trivial
+""",
+        # cross-document span removal (Lee et al. exact-substring
+        # dedup): seed grams -> distinct-doc count -> position
+        # coverage union -> anti-join reassembly, verbatim
+        "search_rollover": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
+""",
+        "dedup_span_strip": f"""
+WITH {_TOK_CTE},
+base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+g0 AS (SELECT doc_id, toks,
+              unnest(range(0, greatest(n_tokens - {SPAN_N} + 1, 0))) AS p0
+       FROM base),
+g AS (SELECT doc_id, CAST(p0 AS BIGINT) AS p0,
+             array_to_string(toks[p0 + 1 : p0 + {SPAN_N}], ' ') AS gk
+      FROM g0),
+dup AS (SELECT gk FROM (SELECT DISTINCT gk, doc_id FROM g)
+        GROUP BY gk HAVING count(*) >= {SPAN_MIN_DOCS}),
+cov0 AS (SELECT DISTINCT doc_id, p0 FROM g JOIN dup USING (gk)),
+cov AS (SELECT DISTINCT doc_id,
+               p0 + unnest(range(0, {SPAN_N})) AS pos
+        FROM cov0),
+tp AS (SELECT doc_id, unnest(toks) AS tok,
+              unnest(range(0, len(toks))) AS pos
+       FROM base),
+kept AS (SELECT t.doc_id, t.pos, t.tok FROM tp t
+         ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text, b.n_tokens,
+       CAST(b.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN agg a USING (doc_id)
 """,
     }

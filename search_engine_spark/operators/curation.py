@@ -402,3 +402,115 @@ def training_mix(docs: DataFrame, rates: dict[str, float], salt: str,
         .join(drop, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", F.col("bucket").cast("long").alias("bucket"))
     )
+
+
+DEFAULT_SPAN_NGRAM = 50     # Lee et al. 2021's 50-token span threshold
+
+
+def strip_dup_spans(docs: DataFrame, n: int = DEFAULT_SPAN_NGRAM,
+                    min_docs: int = 2, text_col: str = "text",
+                    gram_key: str = "digest") -> DataFrame:
+    """Cross-document SPAN removal — the text-transformation half of
+    exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", who cut exact repeats >= 50
+    tokens with a suffix array): every token position covered by an
+    ``n``-gram that occurs in >= ``min_docs`` DISTINCT documents is
+    removed, and the surviving tokens re-join in order.  Output:
+    ``(doc_id, clean_text, n_tokens, n_removed)`` — one row per input
+    doc (a fully-duplicated doc survives with an empty ``clean_text``,
+    the :func:`dedup_lines` contract).  A repeat longer than ``n``
+    tokens is a run of overlapping duplicated ``n``-grams, so its
+    WHOLE extent is covered — the seed-gram + position-coverage
+    reading of the suffix-array pass (the same union rule as
+    ``webquality.repetition_stats``' dup-gram coverage, lifted
+    cross-document).  Intra-document repeats are repetition_stats'
+    domain; here a gram needs ``min_docs`` distinct docs.
+
+    Distinct from :func:`dedup_lines` (needs line structure) and
+    :func:`crossdoc_dup_grams` (emits a per-doc SIGNAL, not the
+    cleaned text).  No reference counterpart (ReadFile.java indexes
+    pages whole).
+
+    Scale shape (100 TB): the gram pass is pure codegen (sequence →
+    transform → posexplode — no UDF); the duplicated-gram set is two
+    map-side-combining key aggs (distinct (gram, doc), then the
+    distinct-doc count — never a corpus window); the mark join
+    carries NO broadcast hint (at web scale the duplicated-gram side
+    is large; AQE decides).  Coverage is one (doc, pos) distinct;
+    reassembly anti-joins the token stream and groups per doc — one
+    token-level exchange, the linear-cost reassembly (a
+    membership-filter form would be O(n_tok × coverage) per doc).
+    ``gram_key="digest"`` (default) exchanges a 16-byte md5 instead
+    of the raw n-token gram text — n=50 grams are ~300 bytes, and
+    the key is what the shuffle MOVES (the dedup_lines rationale);
+    ``"text"`` keeps the raw gram, what the SQL oracle row pins."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (a 1-doc 'duplicate' "
+                         "would cover every position of every doc)")
+    if gram_key not in ("digest", "text"):
+        raise ValueError(f"gram_key must be 'digest' or 'text', got {gram_key!r}")
+    base = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                         "[^a-z0-9]+"),
+                 lambda x: x != F.lit("")).alias("toks"),
+    ).withColumn("n_tokens", F.size("toks").cast("long"))
+    # (doc_id, p0, gk): one row per n-gram START position; sequence()
+    # is guarded (start > stop would generate a DESCENDING range)
+    grams = (
+        base.select(
+            "doc_id", "toks",
+            F.explode(
+                F.when(F.col("n_tokens") >= n,
+                       F.sequence(F.lit(0), F.col("n_tokens") - n))
+                .otherwise(F.array().cast("array<int>"))
+            ).alias("p0"),
+        )
+        .select(
+            "doc_id", "p0",
+            F.array_join(F.slice("toks", F.col("p0") + 1, n), " ").alias("g"),
+        )
+    )
+    grams = grams.select(
+        "doc_id", "p0",
+        (F.md5("g") if gram_key == "digest" else F.col("g")).alias("gk"))
+    dup_keys = (
+        grams.select("gk", "doc_id").distinct()
+        .groupBy("gk").agg(F.count(F.lit(1)).alias("gram_docs"))
+        .filter(F.col("gram_docs") >= min_docs)
+        .select("gk")
+    )
+    covered = (
+        grams.join(dup_keys, "gk")
+        .select("doc_id",
+                F.explode(F.sequence(F.col("p0"),
+                                     F.col("p0") + n - 1)).alias("pos"))
+        .distinct()
+    )
+    tokpos = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok"))
+    kept = (
+        tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"]),
+                " ").alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )

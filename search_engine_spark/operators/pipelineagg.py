@@ -92,3 +92,92 @@ SELECT {order_col},
            AS mavg_micro
 FROM b
 """
+
+
+def bucket_stats(buckets: DataFrame,
+                 count_col: str = "n_docs") -> DataFrame:
+    """ES sibling aggregation ``stats_bucket``: ONE summary row over a
+    bucket frame — n_buckets / min / max / sum as BIGINTs and the
+    mean on the half-up 1e-6 integer grid (exact BIGINT Σ and count,
+    one division — no float running sum, so the value is
+    partition-order-independent and DuckDB reproduces it bit for
+    bit).  Like every pipeline agg this consumes bucket cardinality,
+    never the corpus."""
+    c = F.col(count_col).cast("long")
+    return buckets.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.min(c).cast("long").alias("min_docs"),
+        F.max(c).cast("long").alias("max_docs"),
+        F.sum(c).cast("long").alias("sum_docs"),
+    ).select(
+        "n_buckets", "min_docs", "max_docs", "sum_docs",
+        F.expr(f"(sum_docs * {MICRO} + n_buckets div 2) div n_buckets")
+        .cast("long").alias("avg_micro"),
+    )
+
+
+def serial_diff(buckets: DataFrame, order_col: str,
+                count_col: str = "n_docs", lag: int = 1) -> DataFrame:
+    """ES ``serial_diff`` pipeline aggregation: the lag-``n``
+    difference of the bucket counts (seasonal differencing — lag 24
+    on hourly buckets compares each hour with the same hour
+    yesterday).  NULL for the first ``lag`` buckets, the ES
+    contract; ``lag=1`` degenerates to the ``derivative``."""
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    c = F.col(count_col).cast("long")
+    w = Window.orderBy(F.col(order_col).asc())
+    return buckets.select(
+        order_col, c.alias(count_col),
+        (c - F.lag(c, lag).over(w)).cast("long").alias("sdiff_docs"),
+    )
+
+
+def bucket_selector(buckets: DataFrame, count_col: str = "n_docs",
+                    min_count: int = 1) -> DataFrame:
+    """ES ``bucket_selector`` pipeline aggregation, reduced to the
+    threshold predicate serving stacks actually use (drop
+    near-empty buckets from a dashboard): keep buckets whose count
+    is at least ``min_count``.  A post-agg filter over the bucket
+    frame — the full ES surface takes a script; arbitrary
+    predicates compose the same way (``buckets.filter(...)``)."""
+    if min_count < 0:
+        raise ValueError("min_count must be >= 0")
+    return buckets.filter(
+        F.col(count_col).cast("long") >= F.lit(int(min_count)))
+
+
+def duckdb_bucket_stats_sql(buckets_sql: str,
+                            count_col: str = "n_docs") -> str:
+    """DuckDB twin of :func:`bucket_stats` — the same BIGINT moments
+    and the same half-up micro-grid mean."""
+    return f"""
+WITH b AS ({buckets_sql}),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(min({count_col}) AS BIGINT) AS min_docs,
+             CAST(max({count_col}) AS BIGINT) AS max_docs,
+             CAST(sum({count_col}) AS BIGINT) AS sum_docs
+      FROM b)
+SELECT n_buckets, min_docs, max_docs, sum_docs,
+       CAST((sum_docs * {MICRO} + n_buckets // 2) // n_buckets AS BIGINT)
+           AS avg_micro
+FROM m
+"""
+
+
+def duckdb_serial_diff_sql(buckets_sql: str, order_col: str,
+                           count_col: str = "n_docs",
+                           lag: int = 1, min_count: int = 0) -> str:
+    """DuckDB twin of :func:`serial_diff` composed with
+    :func:`bucket_selector` (selector applied AFTER the diff, the ES
+    pipeline order — a dropped bucket still participates in its
+    neighbours' lags)."""
+    return f"""
+WITH b AS ({buckets_sql}),
+d AS (SELECT {order_col},
+             CAST({count_col} AS BIGINT) AS {count_col},
+             CAST({count_col} - lag({count_col}, {lag})
+                  OVER (ORDER BY {order_col} ASC) AS BIGINT) AS sdiff_docs
+      FROM b)
+SELECT * FROM d WHERE {count_col} >= {min_count}
+"""

@@ -2419,6 +2419,99 @@ class SearchEngine:
             .select(F.col("facet").alias("bucket"), "n_docs")
         )
 
+    def search_range_agg(self, query: str, values: DataFrame,
+                         value_col: str, ranges: list[tuple],
+                         url_col: str = "url") -> DataFrame:
+        """ES ``range`` aggregation under a query context: distinct
+        matching docs per CALLER-DEFINED numeric band — the custom
+        complement of :meth:`search_histogram`'s fixed-width grid
+        ("0-100 tokens", "100-1000", "1000+").  ``ranges`` entries are
+        ``(frm, to)`` half-open ``[frm, to)`` BIGINT bounds with
+        ``None`` for an unbounded end; bands may overlap (a doc counts
+        once in EVERY band it falls into) and EVERY requested band
+        returns a row, zero-count bands included — both ES contracts.
+        Returns (band, frm, to, n_docs) with ``band`` the 0-based
+        index of the range in the request (deterministic key; ES's
+        "from-to" string key breaks ties poorly under overlap).
+
+        Scale shape: the audited facets kernel with the band
+        membership as a pure codegen projection — the bands are
+        driver literals, so membership is a when()-array + explode
+        riding the candidate-values join (no band table join, no new
+        shuffle); the zero-fill is a |ranges|-row literal frame
+        joined AFTER the agg.  Bucket cardinality = |ranges|."""
+        if not ranges:
+            raise ValueError("ranges must be non-empty")
+        for frm, to in ranges:
+            if frm is None and to is None:
+                raise ValueError("a range needs at least one bound")
+            if frm is not None and to is not None and int(frm) >= int(to):
+                raise ValueError(f"empty range [{frm}, {to})")
+        resolved = self.resolve_terms(self.parse_query(query))
+        spec = self.spark.createDataFrame(
+            [(i, None if frm is None else int(frm),
+              None if to is None else int(to)) for i, (frm, to) in
+             enumerate(ranges)],
+            "band long, frm long, to long")
+        if resolved.empty:
+            return spec.withColumn("n_docs", F.lit(0).cast("long"))
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        cand = (
+            self._drop_deleted(self._unpack(self._scan_index(resolved), idf_by_key))
+            .select("shard", "local_id").distinct()
+        )
+        urls = cand.join(self._doc_map(), ["shard", "local_id"]).select("url")
+        v = F.col("v")
+        conds = []
+        for i, (frm, to) in enumerate(ranges):
+            c = F.lit(True)
+            if frm is not None:
+                c = c & (v >= F.lit(int(frm)))
+            if to is not None:
+                c = c & (v < F.lit(int(to)))
+            conds.append(F.when(c, F.lit(i)))
+        counts = (
+            urls.join(values.select(F.col(url_col).alias("url"),
+                                    F.col(value_col).cast("long").alias("v")),
+                      "url")
+            .select("url",
+                    F.explode(F.array_compact(F.array(*conds))).alias("band"))
+            # a doc may carry several values landing in one band —
+            # each doc counts once per band
+            .distinct()
+            .groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        return (
+            spec.join(counts, "band", "left")
+            .select("band", "frm", "to",
+                    F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                    .alias("n_docs"))
+        )
+
+    def search_rare_terms(self, query: str, dims: DataFrame,
+                          dim_col: str, max_doc_count: int = 1,
+                          url_col: str = "url") -> DataFrame:
+        """ES ``rare_terms`` aggregation under a query context: the
+        dimension values carried by AT MOST ``max_doc_count`` distinct
+        matching docs — the long-tail complement of the facets
+        sidebar's head counts (ES added it because a ``terms`` agg
+        ordered count-ASC cannot be served from per-shard top-k
+        summaries: a globally-rare term can be locally common, so ES
+        falls back to a CuckooFilter approximation; this engine
+        computes the exact answer because the facets kernel already
+        aggregates globally).  Returns (facet, n_docs), n_docs >= 1 —
+        a value carried by NO matching doc is not a bucket.
+
+        Scale shape: identical to :meth:`search_facets` plus one
+        post-agg filter; the rare tail is large at web scale but the
+        output is a frame, never a driver collect."""
+        if max_doc_count < 1:
+            raise ValueError("max_doc_count must be >= 1")
+        return (
+            self.search_facets(query, dims, dim_col, url_col)
+            .filter(F.col("n_docs") <= int(max_doc_count))
+        )
+
     def search_composite(self, query: str, dims_list: list[tuple],
                          size: int = 10,
                          after: tuple | list | None = None) -> DataFrame:

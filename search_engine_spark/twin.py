@@ -417,6 +417,49 @@ def twin_facets(spark: SparkSession, engine, query: str,
     return pairs.groupBy("facet").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
 
 
+def twin_range_agg(spark: SparkSession, engine, query: str,
+                   values: DataFrame, value_col: str,
+                   ranges: list[tuple],
+                   url_col: str = "url") -> DataFrame:
+    """(band, frm, to, n_docs) recomputed from postings_raw through a
+    DELIBERATELY different physical plan than
+    ``SearchEngine.search_range_agg``: matching urls from the raw
+    store, band membership via a theta JOIN against a band-spec frame
+    (the engine compiles the bands into a codegen when()-array — two
+    independent derivations of the same half-open [frm, to)
+    semantics), zero-count bands restored by the same left join."""
+    spec = spark.createDataFrame(
+        [(i, None if frm is None else int(frm),
+          None if to is None else int(to)) for i, (frm, to) in
+         enumerate(ranges)],
+        "band long, frm long, to long")
+    keys = engine.parse_query(query)
+    urls = (
+        live_raw_postings(spark, engine)
+        .filter(F.col("term_key").isin(list(keys)))
+        .select("url").distinct()
+    )
+    vals = urls.join(
+        values.select(F.col(url_col).alias("url"),
+                      F.col(value_col).cast("long").alias("v")),
+        "url")
+    hits = vals.join(
+        spec,
+        (F.col("frm").isNull() | (F.col("v") >= F.col("frm")))
+        & (F.col("to").isNull() | (F.col("v") < F.col("to"))),
+    )
+    counts = (
+        hits.select("url", "band").distinct()
+        .groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        spec.join(counts, "band", "left")
+        .select("band", "frm", "to",
+                F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                .alias("n_docs"))
+    )
+
+
 def twin_composite(spark: SparkSession, engine, query: str,
                    dims_list: list[tuple], depth: int) -> DataFrame:
     """The first ``depth`` buckets of the GLOBAL key-ordered bucket

@@ -321,3 +321,90 @@ def test_repetition_stats_hand_computed(spark):
     assert not flags[0]["passes_repetition"] and not flags[0]["ok_dup5"]
     # doc 1 passes every rule
     assert flags[1]["passes_repetition"]
+
+
+# ---------------------------------------------------------------------------
+# strip_dup_spans (cross-document span removal)
+
+def test_strip_dup_spans_handcrafted(spark):
+    from search_engine_spark.operators.curation import strip_dup_spans
+
+    # docs 1 and 2 share the 4-token run "a b c d"; doc 3 is clean;
+    # doc 4 IS entirely the shared run (empty clean_text contract)
+    docs = _df(spark, [
+        (1, "x a b c d y"),
+        (2, "p q a b c d"),
+        (3, "u v w z k m"),
+        (4, "a b c d"),
+    ])
+    got = {r["doc_id"]: r for r in
+           strip_dup_spans(docs, n=4, min_docs=2, gram_key="text").collect()}
+    assert got[1]["clean_text"] == "x y" and got[1]["n_removed"] == 4
+    assert got[2]["clean_text"] == "p q" and got[2]["n_removed"] == 4
+    assert got[3]["clean_text"] == "u v w z k m" and got[3]["n_removed"] == 0
+    assert got[4]["clean_text"] == "" and got[4]["n_removed"] == 4
+    assert got[1]["n_tokens"] == 6 and got[4]["n_tokens"] == 4
+
+
+def test_strip_dup_spans_long_repeat_covers_whole_extent(spark):
+    from search_engine_spark.operators.curation import strip_dup_spans
+
+    # a 6-token shared run with n=4: overlapping seed grams must
+    # union to cover all 6 positions in both docs
+    docs = _df(spark, [
+        (1, "s t a b c d e f"),
+        (2, "a b c d e f q r"),
+    ])
+    got = {r["doc_id"]: r for r in
+           strip_dup_spans(docs, n=4, min_docs=2, gram_key="text").collect()}
+    assert got[1]["clean_text"] == "s t" and got[1]["n_removed"] == 6
+    assert got[2]["clean_text"] == "q r" and got[2]["n_removed"] == 6
+
+
+def test_strip_dup_spans_intra_doc_repeat_not_removed(spark):
+    from search_engine_spark.operators.curation import strip_dup_spans
+
+    # the gram repeats INSIDE doc 1 only -> min_docs counts DISTINCT
+    # docs, so nothing is removed
+    docs = _df(spark, [
+        (1, "a b c d a b c d"),
+        (2, "u v w x y z"),
+    ])
+    got = {r["doc_id"]: r["n_removed"] for r in
+           strip_dup_spans(docs, n=4, min_docs=2, gram_key="text").collect()}
+    assert got == {1: 0, 2: 0}
+
+
+def test_strip_dup_spans_digest_equivalent_to_text(spark):
+    from search_engine_spark.operators.curation import strip_dup_spans
+
+    docs = _df(spark, [
+        (i, f"head{i} common run of tokens here tail{i} "
+            + ("shared suffix block ends pages " if i % 2 == 0 else ""))
+        for i in range(12)
+    ])
+    a = strip_dup_spans(docs, n=4, min_docs=2, gram_key="text")
+    b = strip_dup_spans(docs, n=4, min_docs=2, gram_key="digest")
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+    assert any(r[3] > 0 for r in rows_a)  # the shared block was cut
+
+
+def test_strip_dup_spans_short_docs_and_validation(spark):
+    import pytest as _pt
+
+    from search_engine_spark.operators.curation import strip_dup_spans
+
+    docs = _df(spark, [(1, "a b"), (2, "a b"), (3, None)])
+    got = {r["doc_id"]: r for r in
+           strip_dup_spans(docs, n=4, min_docs=2).collect()}
+    # shorter than n: no grams, nothing removed; NULL text -> 0 tokens
+    assert got[1]["n_removed"] == 0 and got[1]["clean_text"] == "a b"
+    assert got[3]["n_tokens"] == 0 and got[3]["clean_text"] == ""
+    with _pt.raises(ValueError):
+        strip_dup_spans(docs, n=1)
+    with _pt.raises(ValueError):
+        strip_dup_spans(docs, min_docs=1)
+    with _pt.raises(ValueError):
+        strip_dup_spans(docs, gram_key="nope")

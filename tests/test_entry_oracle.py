@@ -127,6 +127,14 @@ INTRODUCED_PAST_WINDOW = {
     "dedup_ingest_gate",
     "ft_histogram",
     "search_histogram",
+    "ft_range_agg",
+    "search_range_agg",
+    "ft_rare_terms",
+    "search_rare_terms",
+    "ft_bucket_stats",
+    "ft_serial_diff",
+    "dedup_span_strip",
+    "search_rollover",
 }
 
 

@@ -53,3 +53,51 @@ def test_duckdb_twin_is_bit_identical(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         PA.bucket_pipeline(_frame(spark), "t_bucket", window=0)
+
+
+def test_bucket_stats_hand_computed_and_twin(spark):
+    got = PA.bucket_stats(_frame(spark)).collect()[0]
+    # counts 2,5,3,4: n=4 min=2 max=5 sum=14 avg=(14e6+2)//4=3_500_000
+    assert (got["n_buckets"], got["min_docs"], got["max_docs"],
+            got["sum_docs"], got["avg_micro"]) == (4, 2, 5, 14, 3_500_000)
+    vals = ", ".join(f"({b}, {n})" for b, n in BUCKETS)
+    sql = PA.duckdb_bucket_stats_sql(
+        f"SELECT * FROM (VALUES {vals}) AS v(t_bucket, n_docs)")
+    want = duckdb.sql(sql).fetchall()[0]
+    assert tuple(got) == tuple(want)
+
+
+def test_serial_diff_lags_and_selector_order(spark):
+    rows = [(r["t_bucket"], r["n_docs"], r["sdiff_docs"]) for r in
+            PA.serial_diff(_frame(spark), "t_bucket", lag=2)
+            .orderBy("t_bucket").collect()]
+    # lag 2 over counts 2,5,3,4: NULL, NULL, 3-2=1, 4-5=-1
+    assert rows == [(0, 2, None), (1, 5, None), (2, 3, 1), (3, 4, -1)]
+    # lag=1 degenerates to the derivative column of bucket_pipeline
+    d1 = {r["t_bucket"]: r["sdiff_docs"] for r in
+          PA.serial_diff(_frame(spark), "t_bucket", lag=1).collect()}
+    der = {r["t_bucket"]: r["delta_docs"] for r in
+           PA.bucket_pipeline(_frame(spark), "t_bucket").collect()}
+    assert d1 == der
+    # selector AFTER the diff: dropping the count-2 bucket must keep
+    # bucket 2's lag built from it
+    kept = [(r["t_bucket"], r["sdiff_docs"]) for r in
+            PA.bucket_selector(
+                PA.serial_diff(_frame(spark), "t_bucket", lag=2),
+                min_count=3).orderBy("t_bucket").collect()]
+    assert kept == [(1, None), (2, 1), (3, -1)]
+    # twin bit-equality on the composed form
+    vals = ", ".join(f"({b}, {n})" for b, n in BUCKETS)
+    sql = PA.duckdb_serial_diff_sql(
+        f"SELECT * FROM (VALUES {vals}) AS v(t_bucket, n_docs)",
+        "t_bucket", lag=2, min_count=3)
+    want = [tuple(r) for r in duckdb.sql(
+        f"SELECT * FROM ({sql}) ORDER BY t_bucket").fetchall()]
+    assert [(b, BUCKETS[b][1], d) for b, d in kept] == want
+
+
+def test_sibling_validation(spark):
+    with pytest.raises(ValueError):
+        PA.serial_diff(_frame(spark), "t_bucket", lag=0)
+    with pytest.raises(ValueError):
+        PA.bucket_selector(_frame(spark), min_count=-1)
