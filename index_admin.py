@@ -14,6 +14,9 @@ Local (sandbox)::
     python index_admin.py termvectors --index /tmp/ix --out /tmp/tv
     python index_admin.py snapshot --index /tmp/ix --out /tmp/ix_backup
     python index_admin.py reshard --index /tmp/ix --to-shards 64 --doc-shards 32
+    python index_admin.py alias-create --index /tmp/alias
+    python index_admin.py alias-ingest --index /tmp/alias --input batch.parquet --max-docs 1000000
+    python index_admin.py alias-stats  --index /tmp/alias   # no Spark
 
 Cluster::
 
@@ -50,7 +53,9 @@ def main() -> None:
     ap.add_argument("verb", choices=["add", "update", "delete",
                                      "delete-by-query", "compact",
                                      "refresh", "stats", "docstore",
-                                     "termvectors", "snapshot", "reshard"])
+                                     "termvectors", "snapshot", "reshard",
+                                     "alias-create", "alias-ingest",
+                                     "alias-stats"])
     ap.add_argument("--index", required=True)
     ap.add_argument("--input", help="pages parquet or testdata dir (add)")
     ap.add_argument("--out", help="docstore: output directory for the "
@@ -66,6 +71,13 @@ def main() -> None:
     ap.add_argument("--if-over", type=int, default=None, metavar="N",
                     help="compact: merge policy — only compact when the "
                          "live segment count exceeds N (no-op otherwise)")
+    ap.add_argument("--member", action="append", default=[],
+                    help="alias-create: adopt an existing member index "
+                         "subdirectory (relative name, repeatable; the "
+                         "last becomes the write index)")
+    ap.add_argument("--max-docs", type=int, default=None, metavar="N",
+                    help="alias-ingest: rollover condition — a write "
+                         "index at/over N docs rolls before the batch")
     ap.add_argument("--to-shards", type=int, default=None, metavar="N",
                     help="reshard: new doc-shard count (ES _shrink/_split; "
                          "the other layout flags must still describe the "
@@ -130,6 +142,19 @@ def main() -> None:
             "lineage_rows": len(lineage),
         }
         print(json.dumps(out))
+        return
+
+    if args.verb in ("alias-create", "alias-stats"):
+        # driver-side JSON state only — no SparkSession
+        from search_engine_spark import aliases as AL
+
+        if args.verb == "alias-create":
+            state = AL.create_alias(args.index, members=args.member or None)
+            print(json.dumps({"verb": args.verb, "alias": args.index,
+                              **state}))
+        else:
+            print(json.dumps({"verb": args.verb,
+                              **AL.alias_stats(args.index)}))
         return
 
     if args.verb == "snapshot":
@@ -207,6 +232,20 @@ def main() -> None:
 
         meta = reshard_index(spark, args.index, args.to_shards, cfg)
         out.update(n_docs=meta["n_docs"], n_doc_shards=meta["n_doc_shards"])
+    elif args.verb == "alias-ingest":
+        from search_engine_spark import aliases as AL
+
+        if not args.input or args.max_docs is None:
+            ap.error("alias-ingest requires --input and --max-docs")
+        if os.path.isdir(args.input) and os.path.exists(
+            os.path.join(args.input, "documents.parquet")
+        ):
+            pages = load_documents_as_pages(spark, args.input)
+        else:
+            pages = load_pages(spark, args.input)
+        st = AL.rollover_ingest(spark, args.index, pages, args.max_docs, cfg)
+        out.update(rolled=st["rolled"], ingested_into=st["ingested_into"],
+                   members=st["members"], write_index=st["write_index"])
     elif args.verb == "docstore":
         from search_engine_spark.operators.docstore import write_docstore
 

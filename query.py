@@ -123,6 +123,10 @@ def main() -> None:
                     help="(term, syn) parquet table: expand query terms "
                          "into synonym groups scored with Lucene "
                          "SynonymQuery semantics (blended tf, max df)")
+    ap.add_argument("--alias", action="store_true",
+                    help="treat --index as an ALIAS directory "
+                         "(aliases.py): federated search over every "
+                         "member with global collection statistics")
     ap.add_argument("query", nargs="+")
     args = ap.parse_args()
 
@@ -131,6 +135,16 @@ def main() -> None:
     from search_engine_spark.wand import wand_search
 
     spark = get_spark(app="query", master=args.master)
+
+    if args.alias:
+        from search_engine_spark.aliases import alias_search
+
+        text = " ".join(args.query)
+        for r in alias_search(spark, args.index, text, args.k).collect():
+            print(f"q1 {r['rank']} {r['url']} {r['score']:.6f}")
+        spark.stop()
+        return
+
     eng = SearchEngine(spark, args.index)
 
     if args.complete:

@@ -108,3 +108,43 @@ def test_admin_cli_lifecycle(tmp_path):
     lines = [ln for ln in r.stdout.splitlines() if ln.startswith("q1 ")]
     assert lines and all("[" in ln and ln.rstrip().endswith("]")
                          for ln in lines)
+
+
+def test_alias_cli_lifecycle(tmp_path):
+    """alias-create -> three alias-ingest batches (build, append,
+    rollover) -> alias-stats -> query --alias, each a fresh process."""
+    pages = make_pages(180, seed=29)
+    schema = pages_schema_arrow()
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"b{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(pages[i * 60:(i + 1) * 60], schema=schema), p)
+        paths.append(p)
+    alias = str(tmp_path / "alias")
+
+    out = _run(["index_admin.py", "alias-create", "--index", alias])
+    assert out["members"] == [] and out["write_index"] is None
+
+    # cap 90: batch0 builds member-00000 (60 docs), batch1 appends
+    # (120 >= 90 only AFTER), batch2 rolls to member-00001
+    ingest = ["index_admin.py", "alias-ingest", "--index", alias,
+              "--max-docs", "90"] + LAYOUT
+    outs = [_run(ingest + ["--input", p], timeout=420) for p in paths]
+    assert [o["rolled"] for o in outs] == [True, False, True]
+    assert outs[2]["write_index"] == "member-00001"
+
+    stats = _run(["index_admin.py", "alias-stats", "--index", alias])
+    assert stats["n_docs"] == 180
+    per = {r["member"]: r["n_docs"] for r in stats["members"]}
+    assert per == {"member-00000": 120, "member-00001": 60}
+
+    r = subprocess.run(
+        [sys.executable, "query.py", "--index", alias, "--alias",
+         "--k", "5", "world trade"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"}, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("q1 ")]
+    assert len(lines) == 5
