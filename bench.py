@@ -225,6 +225,22 @@ def main() -> None:
     QC.write_query_cache(eng, ["data table row"], qc_dir, 10)
     timed("cached_top10",
           lambda: QC.cached_search(eng, qc_dir, "data table row", 10))
+    # ES `range` aggregation: caller-defined bands through the facets
+    # kernel — band membership is a codegen when()-array on the
+    # candidate-values join, no band-table join
+    timed("range_agg",
+          lambda: eng.search_range_agg(
+              "data table row", _vals, "v",
+              [(None, 200), (100, 400), (300, None)]))
+    # single-member federated search: prices the federation machinery
+    # itself (global-stat fetch + idf/avgdl-override unpack + the
+    # union/heap tail) against bm25_batch_top10's direct plan — the
+    # per-query overhead an alias pays at any member count
+    from search_engine_spark.federated import federated_search
+
+    timed("federated_top10",
+          lambda: federated_search(spark, [ix_dir], "data table row",
+                                   10, cfg, engines=[eng]))
 
     # -- relational / pipeline operators (driver-contract queries) -----------
     qs = entry.queries()
@@ -274,6 +290,14 @@ def main() -> None:
         "ft_hybrid_rrf",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir))
+
+    # span-level duplicate-text removal in its PRODUCTION setting
+    # (md5-digest exchange keys; the driver row pins the raw-text twin)
+    from search_engine_spark.operators import curation as CU
+
+    _docs_tbl = entry._tbl(spark, sf_dir, "documents")
+    timed("dedup_span_strip",
+          lambda: CU.strip_dup_spans(_docs_tbl, n=8, min_docs=2))
 
     # -- incremental ingest: delta cost, not corpus cost ---------------------
     # add a 5% delta (re-sampled docs under fresh urls) to the just-built
