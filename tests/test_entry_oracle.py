@@ -127,14 +127,16 @@ INTRODUCED_PAST_WINDOW = {
     "dedup_ingest_gate",
     "ft_histogram",
     "search_histogram",
-    "ft_range_agg",
-    "search_range_agg",
-    "ft_rare_terms",
-    "search_rare_terms",
-    "ft_bucket_stats",
-    "ft_serial_diff",
-    "dedup_span_strip",
-    "search_rollover",
+    # displaced past the window when the late-session aggregation /
+    # span-dedup / rollover rows took the head slots
+    "search_fuzzy",
+    "ft_proximity_topk",
+    "search_proximity",
+    "ft_highlight_topk",
+    "search_highlight",
+    "url_recency_prior",
+    "search_recency_blend",
+    "sketch_cms_cells",
 }
 
 
