@@ -17,6 +17,7 @@ Local (sandbox)::
     python index_admin.py alias-create --index /tmp/alias
     python index_admin.py alias-ingest --index /tmp/alias --input batch.parquet --max-docs 1000000
     python index_admin.py alias-stats  --index /tmp/alias   # no Spark
+    python index_admin.py checkindex --index /tmp/ix        # no Spark (fsck)
 
 Cluster::
 
@@ -55,7 +56,7 @@ def main() -> None:
                                      "refresh", "stats", "docstore",
                                      "termvectors", "snapshot", "reshard",
                                      "alias-create", "alias-ingest",
-                                     "alias-stats"])
+                                     "alias-stats", "checkindex"])
     ap.add_argument("--index", required=True)
     ap.add_argument("--input", help="pages parquet or testdata dir (add)")
     ap.add_argument("--out", help="docstore: output directory for the "
@@ -143,6 +144,16 @@ def main() -> None:
         }
         print(json.dumps(out))
         return
+
+    if args.verb == "checkindex":
+        # Lucene CheckIndex: offline integrity fsck, DuckDB over the
+        # parquet layout — no SparkSession
+        from search_engine_spark.checkindex import check_index
+
+        out = {"verb": "checkindex", "index": args.index,
+               **check_index(args.index)}
+        print(json.dumps(out))
+        sys.exit(0 if out["ok"] else 2)
 
     if args.verb in ("alias-create", "alias-stats"):
         # driver-side JSON state only — no SparkSession
