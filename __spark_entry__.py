@@ -2897,6 +2897,24 @@ def q_text_contamination_bloom(spark, sf):
     )
 
 
+def q_text_decontam_strip(spark, sf):
+    """Decontamination by EXCISION (curation.strip_contaminated_spans),
+    fully SQL-checkable: every token span matching an eval-set 3-gram
+    is cut from the training docs and the survivors re-join in order —
+    the GPT-3 App. C "remove the overlapping portions" treatment,
+    sharing the span-coverage/reassembly kernel with dedup_span_strip;
+    the mark join is the contamination_hits broadcast eval semi-join.
+    The oracle re-derives the eval-gram set and the whole excision in
+    DuckDB verbatim."""
+    docs = _tbl(spark, sf, "documents")
+    ev = CU.eval_grams_from_docs(
+        docs.filter(F.col("doc_id") < CONTAM_EVAL_DOCS), n=CONTAM_NGRAM
+    )
+    return CU.strip_contaminated_spans(
+        docs.filter(F.col("doc_id") >= CONTAM_EVAL_DOCS), ev, n=CONTAM_NGRAM
+    )
+
+
 def q_dedup_crossdoc_grams(spark, sf):
     """Cross-document duplicated-gram fraction per doc — the
     corpus-level paragraph-dedup signal (two gram-keyed shuffles,
@@ -4374,6 +4392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gets a driver stamp (the displaced tail is CI-oracled)
         "search_rollover": q_search_rollover,
         "dedup_span_strip": q_dedup_span_strip,
+        "text_decontam_strip": q_text_decontam_strip,
         "ft_range_agg": q_ft_range_agg,
         "search_range_agg": q_search_range_agg,
         "ft_rare_terms": q_ft_rare_terms,
@@ -7133,6 +7152,41 @@ dup AS (SELECT gk FROM (SELECT DISTINCT gk, doc_id FROM g)
 cov0 AS (SELECT DISTINCT doc_id, p0 FROM g JOIN dup USING (gk)),
 cov AS (SELECT DISTINCT doc_id,
                p0 + unnest(range(0, {SPAN_N})) AS pos
+        FROM cov0),
+tp AS (SELECT doc_id, unnest(toks) AS tok,
+              unnest(range(0, len(toks))) AS pos
+       FROM base),
+kept AS (SELECT t.doc_id, t.pos, t.tok FROM tp t
+         ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text, b.n_tokens,
+       CAST(b.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN agg a USING (doc_id)
+""",
+        # decontamination by excision: eval 3-gram set -> span
+        # coverage union -> anti-join reassembly, verbatim
+        "text_decontam_strip": f"""
+WITH {_TOK_CTE},
+allb AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+evg AS (SELECT DISTINCT
+               array_to_string(toks[p0 + 1 : p0 + {CONTAM_NGRAM}], ' ') AS gk
+        FROM (SELECT toks,
+                     unnest(range(0, greatest(len(toks) - {CONTAM_NGRAM - 1},
+                                              0))) AS p0
+              FROM tok WHERE doc_id < {CONTAM_EVAL_DOCS})),
+base AS (SELECT * FROM allb WHERE doc_id >= {CONTAM_EVAL_DOCS}),
+g0 AS (SELECT doc_id, toks,
+              unnest(range(0, greatest(n_tokens - {CONTAM_NGRAM - 1}, 0)))
+              AS p0
+       FROM base),
+g AS (SELECT doc_id, CAST(p0 AS BIGINT) AS p0,
+             array_to_string(toks[p0 + 1 : p0 + {CONTAM_NGRAM}], ' ') AS gk
+      FROM g0),
+cov0 AS (SELECT DISTINCT doc_id, p0 FROM g SEMI JOIN evg USING (gk)),
+cov AS (SELECT DISTINCT doc_id,
+               p0 + unnest(range(0, {CONTAM_NGRAM})) AS pos
         FROM cov0),
 tp AS (SELECT doc_id, unnest(toks) AS tok,
               unnest(range(0, len(toks))) AS pos

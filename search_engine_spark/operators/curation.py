@@ -451,15 +451,37 @@ def strip_dup_spans(docs: DataFrame, n: int = DEFAULT_SPAN_NGRAM,
                          "would cover every position of every doc)")
     if gram_key not in ("digest", "text"):
         raise ValueError(f"gram_key must be 'digest' or 'text', got {gram_key!r}")
-    base = docs.select(
+    base = _span_token_base(docs, text_col)
+    grams = _span_grams(base, n).select(
+        "doc_id", "p0",
+        (F.md5("g") if gram_key == "digest" else F.col("g")).alias("gk"))
+    dup_keys = (
+        grams.select("gk", "doc_id").distinct()
+        .groupBy("gk").agg(F.count(F.lit(1)).alias("gram_docs"))
+        .filter(F.col("gram_docs") >= min_docs)
+        .select("gk")
+    )
+    covered = _span_coverage(grams.join(dup_keys, "gk"), n)
+    return _strip_covered(base, covered)
+
+
+def _span_token_base(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, toks, n_tokens) under the shared simple tokenization
+    (lower, split on /[^a-z0-9]+/, drop empties) — the span operators'
+    token universe, matching ``textstats.simple_tokens``."""
+    return docs.select(
         "doc_id",
         F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                          "[^a-z0-9]+"),
                  lambda x: x != F.lit("")).alias("toks"),
     ).withColumn("n_tokens", F.size("toks").cast("long"))
-    # (doc_id, p0, gk): one row per n-gram START position; sequence()
-    # is guarded (start > stop would generate a DESCENDING range)
-    grams = (
+
+
+def _span_grams(base: DataFrame, n: int) -> DataFrame:
+    """(doc_id, p0, g): one row per n-gram START position, pure
+    codegen (sequence -> explode -> slice/array_join); sequence() is
+    guarded — start > stop would generate a DESCENDING range."""
+    return (
         base.select(
             "doc_id", "toks",
             F.explode(
@@ -473,22 +495,26 @@ def strip_dup_spans(docs: DataFrame, n: int = DEFAULT_SPAN_NGRAM,
             F.array_join(F.slice("toks", F.col("p0") + 1, n), " ").alias("g"),
         )
     )
-    grams = grams.select(
-        "doc_id", "p0",
-        (F.md5("g") if gram_key == "digest" else F.col("g")).alias("gk"))
-    dup_keys = (
-        grams.select("gk", "doc_id").distinct()
-        .groupBy("gk").agg(F.count(F.lit(1)).alias("gram_docs"))
-        .filter(F.col("gram_docs") >= min_docs)
-        .select("gk")
-    )
-    covered = (
-        grams.join(dup_keys, "gk")
+
+
+def _span_coverage(marked_grams: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos) distinct: the union of the n positions under
+    every marked gram start — overlapping marks coalesce."""
+    return (
+        marked_grams
         .select("doc_id",
                 F.explode(F.sequence(F.col("p0"),
                                      F.col("p0") + n - 1)).alias("pos"))
         .distinct()
     )
+
+
+def _strip_covered(base: DataFrame, covered: DataFrame) -> DataFrame:
+    """Remove the covered positions and re-join survivors in order:
+    anti-join the token stream + one per-doc collect_list — the
+    linear reassembly (a membership-filter form would be
+    O(n_tok × coverage) per doc).  Docs losing every token keep an
+    empty ``clean_text`` row."""
     tokpos = base.select(
         "doc_id", F.posexplode("toks").alias("pos", "tok"))
     kept = (
@@ -514,3 +540,34 @@ def strip_dup_spans(docs: DataFrame, n: int = DEFAULT_SPAN_NGRAM,
             .cast("long").alias("n_removed"),
         )
     )
+
+
+def strip_contaminated_spans(docs: DataFrame, eval_grams: DataFrame,
+                             n: int = DEFAULT_CONTAM_NGRAM,
+                             text_col: str = "text",
+                             gram_col: str = "gram",
+                             broadcast_eval: bool = True) -> DataFrame:
+    """Decontamination by EXCISION: cut every token span matching an
+    eval-set n-gram and keep the rest of the document — the surgical
+    alternative to :func:`contamination_hits`-then-drop when whole
+    documents are too valuable to discard over one leaked benchmark
+    sentence (the GPT-3 App. C "conservatively remove the overlapping
+    portions" treatment).  Output is the :func:`strip_dup_spans`
+    contract: ``(doc_id, clean_text, n_tokens, n_removed)``, one row
+    per input doc.  Overlapping eval grams coalesce their coverage,
+    so a leaked passage longer than ``n`` is cut in full.
+
+    Scale shape: the same pure-codegen gram pass and linear
+    reassembly as :func:`strip_dup_spans`; the mark join is a
+    broadcast semi-join against the (tiny) eval-gram set — exactly
+    :func:`contamination_hits`' join shape, with the same
+    ``broadcast_eval=False`` escape hatch for oversized eval sets."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    base = _span_token_base(docs, text_col)
+    grams = _span_grams(base, n)
+    ev = eval_grams.select(F.col(gram_col).alias("g")).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    covered = _span_coverage(grams.join(ev, "g", "left_semi"), n)
+    return _strip_covered(base, covered)

@@ -408,3 +408,39 @@ def test_strip_dup_spans_short_docs_and_validation(spark):
         strip_dup_spans(docs, min_docs=1)
     with _pt.raises(ValueError):
         strip_dup_spans(docs, gram_key="nope")
+
+
+def test_strip_contaminated_spans_handcrafted(spark):
+    from search_engine_spark.operators.curation import (
+        strip_contaminated_spans)
+
+    docs = _df(spark, [
+        (1, "x a b c y"),        # one eval 3-gram inside
+        (2, "a b c d"),          # overlapping eval grams coalesce: all cut
+        (3, "u v w z"),          # clean
+        (4, "a b c"),            # doc IS the leaked passage
+    ])
+    ev = spark.createDataFrame([("a b c",), ("b c d",)], "gram string")
+    got = {r["doc_id"]: r for r in
+           strip_contaminated_spans(docs, ev, n=3).collect()}
+    assert got[1]["clean_text"] == "x y" and got[1]["n_removed"] == 3
+    assert got[2]["clean_text"] == "" and got[2]["n_removed"] == 4
+    assert got[3]["clean_text"] == "u v w z" and got[3]["n_removed"] == 0
+    assert got[4]["clean_text"] == "" and got[4]["n_removed"] == 3
+
+
+def test_strip_contaminated_no_broadcast_identical(spark):
+    import pytest as _pt
+
+    from search_engine_spark.operators.curation import (
+        strip_contaminated_spans)
+
+    docs = _df(spark, [(i, f"p{i} common leaked phrase q{i}")
+                       for i in range(8)])
+    ev = spark.createDataFrame([("common leaked phrase",)], "gram string")
+    a = sorted(map(tuple, strip_contaminated_spans(docs, ev, n=3).collect()))
+    b = sorted(map(tuple, strip_contaminated_spans(
+        docs, ev, n=3, broadcast_eval=False).collect()))
+    assert a == b and all(r[3] == 3 for r in a)
+    with _pt.raises(ValueError):
+        strip_contaminated_spans(docs, ev, n=1)
