@@ -96,6 +96,14 @@ def main() -> None:
         CU.eval_grams_from_docs(docs.filter(F.col("doc_id") < 50), n=3), n=3))
     run("training_mix", lambda: CU.training_mix(
         docs, rates={"en": 0.5, "de": 0.25}, salt="pb", default_rate=0.1))
+    # span-level duplicate-text removal, production digest keys: gram
+    # pass + two gram-key aggs + coverage distinct + linear reassembly
+    run("span_strip_full", lambda: CU.strip_dup_spans(docs, n=8, min_docs=2))
+    # decontamination by excision: same kernel, broadcast eval
+    # semi-join as the mark stage
+    run("decontam_strip_full", lambda: CU.strip_contaminated_spans(
+        docs.filter(F.col("doc_id") >= 50),
+        CU.eval_grams_from_docs(docs.filter(F.col("doc_id") < 50), n=3), n=3))
     from search_engine_spark.operators import embed as EM
 
     run("hash_embed", lambda: EM.embed_summary(docs))
@@ -270,7 +278,8 @@ def main() -> None:
            "prf_top10", "span_near_top10", "span_unordered_top10",
            "rescore_top10", "tree_top10", "kgram_build",
            "wildcard_infix_top10", "sort_by_time_top10",
-           "phrase_prefix_top10"}
+           "phrase_prefix_top10", "federated_top10_240k",
+           "range_agg_240k", "checkindex_240k"}
     if args.only is None or _QP & set(args.only):
         # packed POSITIONAL index over the same corpus, built once
         # OUTSIDE the timers (a per-corpus artifact, like the anchor
@@ -312,6 +321,32 @@ def main() -> None:
         # window-sized no matter how common the terms are)
         run("rescore_top10", lambda: eng.rescore_search(
             "world trade market", k=10, window=50))
+        # single-member federation over the 240k index: the alias
+        # read path's overhead (global-stat fetch + override unpack +
+        # union/heap tail) vs the direct plan at corpus scale
+        from search_engine_spark.federated import federated_search
+
+        run("federated_top10_240k", lambda: federated_search(
+            spark, [qp_ix], "world trade market", 10, qp_cfg,
+            engines=[eng]))
+        # ES range aggregation under a query context: three overlapping
+        # text-length bands over every matching doc
+        _rv = spark.read.parquet(corpus).select(
+            "url", F.length("text").cast("long").alias("v"))
+        run("range_agg_240k", lambda: eng.search_range_agg(
+            "world trade market", _rv, "v",
+            [(None, 400), (200, 800), (600, None)]))
+        # CheckIndex fsck of the 240k packed index (Spark-free DuckDB
+        # aggregations over the parquet layout)
+        if args.only is None or "checkindex_240k" in args.only:
+            from search_engine_spark.checkindex import check_index
+
+            t0 = time.time()
+            rep = check_index(qp_ix)
+            timings["checkindex_240k"] = round(time.time() - t0, 2)
+            counts["checkindex_240k"] = int(rep["ok"])
+            print(f"checkindex_240k: {timings['checkindex_240k']}s, "
+                  f"ok={rep['ok']}", file=sys.stderr, flush=True)
         # nested boolean tree on the non-positional paths
         run("tree_top10", lambda: eng.tree_search(
             {"op": "andnot", "kids": [
