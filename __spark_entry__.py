@@ -3134,6 +3134,24 @@ def q_pagerank_links(spark, sf):
                        id_col="id")
 
 
+def q_trustrank_links(spark, sf):
+    """Personalized PageRank / TrustRank over the crawl's extracted
+    link graph: teleport mass lands only on a deterministic trusted
+    seed set (md5-selected ~1/16 of the normalized resources), rank
+    flows outward through links, and nodes unreachable from the seeds
+    stay at exactly 0 — the web-spam demotion prior of Gyongyi et
+    al. (VLDB 2004).  Integer-grid iterations, exact-oracled by the
+    same seed-restricted rules unrolled as MATERIALIZED CTEs."""
+    docs = _tbl(spark, sf, "documents")
+    pages = GR.synthetic_linked_crawl(docs)
+    nodes = (UR.normalize_url(pages).select(F.col("norm_url").alias("id"))
+             .distinct())
+    seeds = nodes.filter(F.substring(F.md5("id"), 1, 1) == "0")
+    return GR.personalized_pagerank(nodes, GR.extract_links(pages), seeds,
+                                    n_iters=6, id_col="id")
+
+
+
 def q_hits_links(spark, sf):
     """Kleinberg HITS over the crawl's extracted link graph: the
     hub/authority dual of the PageRank prior (a directory page is a
@@ -4393,6 +4411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rollover": q_search_rollover,
         "dedup_span_strip": q_dedup_span_strip,
         "text_decontam_strip": q_text_decontam_strip,
+        "trustrank_links": q_trustrank_links,
         "ft_range_agg": q_ft_range_agg,
         "search_range_agg": q_search_range_agg,
         "ft_rare_terms": q_ft_rare_terms,
@@ -5546,6 +5565,17 @@ FROM he WHERE src <> dst GROUP BY src, dst
                 UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql),
             nodes_sql=(f"SELECT DISTINCT {UR.duckdb_norm_sql('url')} AS id "
                        f"FROM ({UR.DUCKDB_SYNTH_SQL})"),
+        ),
+        "trustrank_links": GR.duckdb_personalized_pagerank_sql(
+            n_iters=6,
+            edges_sql=GR.duckdb_linked_edges_sql(
+                UR.DUCKDB_SYNTH_SQL, UR.duckdb_norm_sql),
+            nodes_sql=(f"SELECT DISTINCT {UR.duckdb_norm_sql('url')} AS id "
+                       f"FROM ({UR.DUCKDB_SYNTH_SQL})"),
+            seeds_sql=(f"SELECT id FROM (SELECT DISTINCT "
+                       f"{UR.duckdb_norm_sql('url')} AS id "
+                       f"FROM ({UR.DUCKDB_SYNTH_SQL})) "
+                       "WHERE substr(md5(id), 1, 1) = '0'"),
         ),
         "nb_classify": f"""
 WITH {_TF_CTE},

@@ -679,3 +679,144 @@ FROM nodes n
 LEFT JOIN h{n_iters} h ON n.id = h.id
 LEFT JOIN a{n_iters} a ON n.id = a.id"""
     )
+
+
+def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
+                          seeds: DataFrame, n_iters: int = 8,
+                          id_col: str = "id", seed_col: str = "id",
+                          weight_col: str | None = None) -> DataFrame:
+    """Personalized PageRank / TrustRank (Gyongyi, Garcia-Molina &
+    Pedersen, VLDB 2004): the teleport mass lands ONLY on the
+    ``seeds`` — rank flows outward from a trusted set instead of
+    being sprinkled uniformly, which is the standard web-spam
+    demotion prior (trust a curated seed list, let it propagate
+    through links) and the "related pages" walk when seeded with one
+    page.  Same integer-grid discipline as :func:`pagerank`: every
+    term BIGINT, shares in SQL integer division, per-iteration
+    localCheckpoint — bit-identical on any engine and partitioning.
+
+    Differences from the uniform form, all three the TrustRank
+    contract: r0 is the seed distribution (NANO // |S| on seeds, 0
+    elsewhere), the (1-d) teleport adds only onto seeds, and the
+    dangling mass redistributes over the seed set.  A node unreachable
+    from the seeds keeps rank exactly 0.  Seeds outside the node set
+    are ignored; an empty effective seed set is refused (the mass
+    would vanish)."""
+    n_seeds_frame = (
+        seeds.select(F.col(seed_col).alias("id")).distinct()
+        .join(nodes.select(F.col(id_col).alias("id")).distinct(), "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ns = n_seeds_frame.count()
+    if ns == 0:
+        raise ValueError("personalized_pagerank needs >= 1 seed inside "
+                         "the node set")
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    ew = edges.select("src", "dst", w.alias("w"))
+    edged = (
+        ew.join(ew.groupBy("src").agg(F.sum("w").alias("deg")), "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edged.count()
+    sinks = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(edged.select(F.col("src").alias("id")), "id", "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sinks.count()
+    seedf = n_seeds_frame.withColumn("is_seed", F.lit(1))
+    base_s = ((DAMP_DEN - DAMP_NUM) * (NANO // ns)) // DAMP_DEN
+    ranks = (
+        nodes.select(F.col(id_col).alias("id")).distinct()
+        .join(seedf, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("is_seed").isNotNull(),
+                   F.lit(NANO // ns)).otherwise(F.lit(0))
+            .cast("long").alias("r"),
+        )
+    ).localCheckpoint()
+    for _ in range(n_iters):
+        dangling = (
+            ranks.join(sinks, "id", "leftsemi").agg(F.sum("r")).first()[0]
+        ) or 0
+        contrib = (
+            ranks.join(edged, ranks["id"] == edged["src"])
+            .select("dst", F.expr("CAST((r * w) DIV deg AS LONG)")
+                    .alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        nxt = (
+            ranks.select("id")
+            .join(contrib, ranks["id"] == contrib["dst"], "left")
+            .join(seedf, "id", "left")
+            .select(
+                "id",
+                (
+                    F.when(F.col("is_seed").isNotNull(),
+                           F.lit(base_s)).otherwise(F.lit(0))
+                    + F.floor(
+                        F.lit(DAMP_NUM)
+                        * (F.coalesce(F.col("c"), F.lit(0))
+                           + F.when(F.col("is_seed").isNotNull(),
+                                    F.lit(dangling // ns))
+                           .otherwise(F.lit(0)))
+                        / F.lit(DAMP_DEN)
+                    ).cast("long")
+                ).alias("r"),
+            )
+        ).localCheckpoint()
+        ranks = nxt
+    edged.unpersist()
+    sinks.unpersist()
+    n_seeds_frame.unpersist()
+    return ranks.select("id", F.col("r").alias("rank_nano"))
+
+
+def duckdb_personalized_pagerank_sql(n_iters: int, edges_sql: str,
+                                     nodes_sql: str,
+                                     seeds_sql: str) -> str:
+    """Oracle twin of :func:`personalized_pagerank` — the same
+    seed-restricted teleport/init/dangling rules unrolled as chained
+    MATERIALIZED CTEs.  ``seeds_sql`` must yield an ``id`` column
+    (it is intersected with the node set, like the Spark form)."""
+    head = f"""
+edges AS MATERIALIZED ({edges_sql}),
+deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                     FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT DISTINCT id FROM ({nodes_sql})),
+seedset AS MATERIALIZED (SELECT DISTINCT s.id FROM ({seeds_sql}) s
+                         JOIN nodes USING (id)),
+nsd AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ns FROM seedset),
+r0 AS MATERIALIZED (SELECT n.id,
+              CAST(CASE WHEN s.id IS NOT NULL
+                   THEN {NANO} // (SELECT ns FROM nsd) ELSE 0 END
+                   AS BIGINT) AS r
+       FROM nodes n LEFT JOIN seedset s ON s.id = n.id)"""
+    base_s = (f"({DAMP_DEN - DAMP_NUM} * ({NANO} // (SELECT ns FROM nsd)))"
+              f" // {DAMP_DEN}")
+    blocks = [head]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        blocks.append(f"""
+d{i} AS MATERIALIZED (SELECT coalesce(sum(r), 0) AS dang FROM r{p}
+         WHERE id NOT IN (SELECT src FROM deg)),
+c{i} AS MATERIALIZED (SELECT e.dst AS id, sum(r.r // g.deg) AS c
+         FROM r{p} r JOIN edges e ON e.src = r.id
+         JOIN deg g ON g.src = e.src
+         GROUP BY e.dst),
+r{i} AS MATERIALIZED (SELECT r.id,
+           CAST(CASE WHEN s.id IS NOT NULL THEN {base_s} ELSE 0 END
+              + ({DAMP_NUM} * (coalesce(c.c, 0)
+                 + CASE WHEN s.id IS NOT NULL
+                   THEN (SELECT dang FROM d{i}) // (SELECT ns FROM nsd)
+                   ELSE 0 END))
+                // {DAMP_DEN} AS BIGINT) AS r
+         FROM r{p} r LEFT JOIN c{i} c ON c.id = r.id
+         LEFT JOIN seedset s ON s.id = r.id)""")
+    return (
+        "WITH " + ",".join(blocks)
+        + f"\nSELECT id, r AS rank_nano FROM r{n_iters}"
+    )

@@ -129,6 +129,7 @@ INTRODUCED_PAST_WINDOW = {
     "search_histogram",
     # displaced past the window when the late-session aggregation /
     # span-dedup / rollover rows took the head slots
+    "search_page2",
     "ft_fuzzy_topk",
     "search_fuzzy",
     "ft_proximity_topk",

@@ -343,3 +343,61 @@ def test_hits_hand_computed_and_partition_independent(spark):
             for r in hits(nodes.repartition(5), edges.repartition(3),
                           n_iters=4).collect()}
     assert got2 == got
+
+
+def test_personalized_pagerank_seed_restriction(spark):
+    """TrustRank contract: teleport + init + dangling all land on the
+    seeds only, and a node unreachable from the seed set stays at
+    EXACTLY 0 (here node 3 points INTO the graph but nothing points
+    at it, so with seed {0} it never receives mass)."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["rank_nano"] for r in
+           GR.personalized_pagerank(nodes, edges, seeds,
+                                    n_iters=6).collect()}
+    assert got[3] == 0
+    assert got[0] > got[1] > 0 and got[2] > 0
+    # uniform-seed degeneracy: seeding EVERY node reproduces the
+    # classic form bit-for-bit (same init, teleport and dangling)
+    full = {r["id"]: r["rank_nano"] for r in
+            GR.personalized_pagerank(nodes, edges, nodes,
+                                     n_iters=6).collect()}
+    plain = {r["id"]: r["rank_nano"] for r in
+             GR.pagerank(nodes, edges, n_iters=6).collect()}
+    assert full == plain
+
+
+def test_personalized_pagerank_edges_and_refusals(spark):
+    import pytest as _pt
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    # seeds outside the node set are ignored; all-outside refuses
+    got = {r["id"]: r["rank_nano"] for r in
+           GR.personalized_pagerank(
+               nodes, edges,
+               spark.createDataFrame([(0,), (99,)], "id long"),
+               n_iters=3).collect()}
+    assert got[0] > 0 and got[1] > 0
+    with _pt.raises(ValueError):
+        GR.personalized_pagerank(
+            nodes, edges,
+            spark.createDataFrame([(99,)], "id long"), n_iters=3)
+
+
+def test_personalized_pagerank_partitioning_independent(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 23) for i in range(23)] +
+        [(i, (i * 3 + 2) % 23) for i in range(23)],
+        "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(23)], "id long")
+    seeds = spark.createDataFrame([(0,), (5,), (11,)], "id long")
+    a = {(r["id"], r["rank_nano"]) for r in
+         GR.personalized_pagerank(nodes, edges, seeds, n_iters=5).collect()}
+    b = {(r["id"], r["rank_nano"]) for r in
+         GR.personalized_pagerank(nodes.repartition(7),
+                                  edges.repartition(5), seeds,
+                                  n_iters=5).collect()}
+    assert a == b
