@@ -283,6 +283,7 @@ def main() -> None:
         "pagerank",
         "link_graph",
         "pagerank_links",
+        "trustrank_links",
         "link_anchor_terms",
         "search_anchor_topk",
         "search_autocomplete_indexed",

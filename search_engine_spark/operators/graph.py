@@ -702,13 +702,25 @@ def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
     from the seeds keeps rank exactly 0.  Seeds outside the node set
     are ignored; an empty effective seed set is refused (the mass
     would vanish)."""
+    # materialize the node-id set FIRST: nodes is typically a derived
+    # frame (url-normalize + distinct over the crawl), and without
+    # this every consumer below — the seed intersection's join sides,
+    # the sink anti-join, the rank init — re-runs that derivation
+    # (measured 58s in the seed join alone at sf0.1 vs ~1s from the
+    # materialized set)
+    node_ids = (
+        nodes.select(F.col(id_col).alias("id")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    node_ids.count()
     n_seeds_frame = (
         seeds.select(F.col(seed_col).alias("id")).distinct()
-        .join(nodes.select(F.col(id_col).alias("id")).distinct(), "id")
+        .join(node_ids, "id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ns = n_seeds_frame.count()
     if ns == 0:
+        node_ids.unpersist()
         raise ValueError("personalized_pagerank needs >= 1 seed inside "
                          "the node set")
     w = (F.col(weight_col).cast("long") if weight_col
@@ -720,21 +732,27 @@ def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
     )
     edged.count()
     sinks = (
-        nodes.select(F.col(id_col).alias("id"))
+        node_ids
         .join(edged.select(F.col("src").alias("id")), "id", "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sinks.count()
     seedf = n_seeds_frame.withColumn("is_seed", F.lit(1))
     base_s = ((DAMP_DEN - DAMP_NUM) * (NANO // ns)) // DAMP_DEN
+    # the seed FLAG rides inside the checkpointed ranks frame (id, r,
+    # s): the flag is static, so joining it once at init keeps every
+    # iteration at exactly ONE join + one agg — the classic form's
+    # plan shape (a per-iteration seed join measured 5x the wall at
+    # 32 cores: six extra exchanges of the node frame)
     ranks = (
-        nodes.select(F.col(id_col).alias("id")).distinct()
+        node_ids
         .join(seedf, "id", "left")
         .select(
             "id",
             F.when(F.col("is_seed").isNotNull(),
                    F.lit(NANO // ns)).otherwise(F.lit(0))
             .cast("long").alias("r"),
+            F.coalesce(F.col("is_seed"), F.lit(0)).cast("int").alias("s"),
         )
     ).localCheckpoint()
     for _ in range(n_iters):
@@ -749,29 +767,30 @@ def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
             .agg(F.sum("share").alias("c"))
         )
         nxt = (
-            ranks.select("id")
+            ranks.select("id", "s")
             .join(contrib, ranks["id"] == contrib["dst"], "left")
-            .join(seedf, "id", "left")
             .select(
                 "id",
                 (
-                    F.when(F.col("is_seed").isNotNull(),
+                    F.when(F.col("s") == 1,
                            F.lit(base_s)).otherwise(F.lit(0))
                     + F.floor(
                         F.lit(DAMP_NUM)
                         * (F.coalesce(F.col("c"), F.lit(0))
-                           + F.when(F.col("is_seed").isNotNull(),
+                           + F.when(F.col("s") == 1,
                                     F.lit(dangling // ns))
                            .otherwise(F.lit(0)))
                         / F.lit(DAMP_DEN)
                     ).cast("long")
                 ).alias("r"),
+                "s",
             )
         ).localCheckpoint()
         ranks = nxt
     edged.unpersist()
     sinks.unpersist()
     n_seeds_frame.unpersist()
+    node_ids.unpersist()
     return ranks.select("id", F.col("r").alias("rank_nano"))
 
 
