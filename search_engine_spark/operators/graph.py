@@ -63,14 +63,22 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = 8,
     is bit-identical on any engine and partitioning; magnitudes stay
     < 1e15 (rank < 2e10, weights realistically < 1e5 per edge), far
     inside int64 on both engines."""
-    n = nodes.count()
+    # the graph is STATIC across iterations: materialize the node-id
+    # set, the (src, dst, w, deg) frame and the sink-node set once,
+    # or every consumer re-runs the upstream derivation (nodes is
+    # typically url-normalize + distinct over the crawl; without the
+    # node persist it evaluated three times — count, sink anti-join,
+    # rank init — the cost the TrustRank variant measured at 58s in
+    # one join alone)
+    node_ids = (
+        nodes.select(F.col(id_col).alias("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = node_ids.count()
     if n == 0:
+        node_ids.unpersist()
         return nodes.select(F.col(id_col).alias("id"),
                             F.lit(0).cast("long").alias("rank_nano"))
-    # the graph is STATIC across iterations: materialize the
-    # (src, dst, w, deg) frame and the sink-node set once, or every
-    # iteration re-runs the upstream edge derivation (distinct /
-    # union / scan) three times over
     w = (F.col(weight_col).cast("long") if weight_col
          else F.lit(1).cast("long"))
     ew = edges.select("src", "dst", w.alias("w"))
@@ -80,7 +88,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = 8,
     )
     edged.count()
     sinks = (
-        nodes.select(F.col(id_col).alias("id"))
+        node_ids
         .join(edged.select(F.col("src").alias("id")), "id", "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -90,8 +98,8 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = 8,
     # pattern): persist alone caches BLOCKS but leaves the logical
     # plan growing one join+agg deeper per round, and re-analyzing
     # that tree dominates wall time after a few iterations
-    ranks = nodes.select(
-        F.col(id_col).alias("id"),
+    ranks = node_ids.select(
+        "id",
         F.lit(NANO // n).cast("long").alias("r"),
     ).localCheckpoint()
     for _ in range(n_iters):
@@ -134,6 +142,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = 8,
         ranks = nxt
     edged.unpersist()
     sinks.unpersist()
+    node_ids.unpersist()
     # the returned frame reads the final generation's checkpoint;
     # earlier generations free via ContextCleaner as noted above
     return ranks.select("id", F.col("r").alias("rank_nano"))
