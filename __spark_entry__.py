@@ -2245,6 +2245,86 @@ def q_search_rare_terms(spark, sf):
         (F.count(F.lit(1)) >= 1).alias("non_trivial"))
 
 
+MISSING_MOD = 7   # docs with doc_id % 7 == 0 carry no attribute row
+
+
+def q_ft_missing(spark, sf):
+    """ES `missing` aggregation, fully SQL-checkable: docs containing
+    'data' with NO row in the attribute table (here every doc whose
+    id is not a multiple of 7 carries a value, so missing = the
+    multiples of 7 among the matches)."""
+    tf = _doc_tf(_tbl(spark, sf, "documents"))
+    match = tf.filter(F.col("tok") == "data").select("doc_id").distinct()
+    has_val = (_tbl(spark, sf, "documents")
+               .filter(F.col("doc_id") % MISSING_MOD != 0)
+               .select("doc_id"))
+    return (
+        match.join(has_val, "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def q_search_missing(spark, sf):
+    """The same missing count served through the PACKED index
+    (searcher.search_missing: the facets kernel's candidate set
+    anti-joined against the dimension table, no forced broadcast) ≡
+    the plain-postings twin, exact — and non-trivial on this
+    corpus."""
+    eng = _engine_for(spark, sf)
+    dims = (_tbl(spark, sf, "documents")
+            .filter(F.col("doc_id") % MISSING_MOD != 0)
+            .select(F.col("doc_id").cast("string").alias("url")))
+    e = eng.search_missing(ENGINE_QUERY, dims).first()["n_docs"]
+    t = TW.twin_missing(spark, eng, ENGINE_QUERY, dims).first()["n_docs"]
+    return spark.createDataFrame(
+        [(bool(e == t), bool(e > 0))], "n_docs_match boolean, non_trivial boolean")
+
+
+SAMPLER_PPM, SAMPLER_SALT = 400_000, ":smp"
+
+
+def q_ft_sampler(spark, sf):
+    """ES `sampler` aggregation, fully SQL-checkable: per-language
+    counts over a DETERMINISTIC 40% md5-bucket sample of the docs
+    containing 'data' — the hash rule (first 8 md5 hex chars of
+    doc_id||salt, mod 1e6) is the sample_bucket convention both
+    engines evaluate identically, so the sampled aggregation is
+    exactly reproducible."""
+    docs = _tbl(spark, sf, "documents")
+    tf = _doc_tf(docs)
+    match = tf.filter(F.col("tok") == "data").select("doc_id").distinct()
+    sampled = match.filter(
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(SAMPLER_SALT))), 1, 8),
+            16, 10).cast("long") % 1_000_000 < SAMPLER_PPM)
+    return (
+        sampled.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("facet"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def q_search_sampler(spark, sf):
+    """The sampler served through the PACKED index
+    (searcher.search_facets_sampled: the facets kernel + one codegen
+    md5-ppm filter on the candidate urls) ≡ the plain-postings twin
+    applying the same deterministic rule — reduced to the
+    summary-row form (the sampled facet set is data-dependent)."""
+    eng = _engine_for(spark, sf)
+    dims = load_documents_as_pages(spark, sf).select("url", "lang")
+    e = eng.search_facets_sampled(ENGINE_QUERY, dims, "lang",
+                                  SAMPLER_PPM, SAMPLER_SALT)
+    t = TW.twin_facets_sampled(spark, eng, ENGINE_QUERY, dims, "lang",
+                               SAMPLER_PPM, SAMPLER_SALT)
+    cmp = TW.compare_topk(e, t, ["facet"], exact_cols=["n_docs"],
+                          approx_cols=[])
+    return cmp.agg(
+        F.coalesce(F.bool_and("n_docs_match"), F.lit(False))
+        .alias("all_match"),
+        (F.count(F.lit(1)) >= 1).alias("non_trivial"))
+
+
 CHUNK_WINDOW, CHUNK_STRIDE = 32, 24  # context-window chunking (sandbox-sized)
 
 
@@ -4412,6 +4492,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_strip": q_dedup_span_strip,
         "text_decontam_strip": q_text_decontam_strip,
         "trustrank_links": q_trustrank_links,
+        "ft_missing": q_ft_missing,
+        "search_missing": q_search_missing,
+        "ft_sampler": q_ft_sampler,
+        "search_sampler": q_search_sampler,
         "ft_range_agg": q_ft_range_agg,
         "search_range_agg": q_search_range_agg,
         "ft_rare_terms": q_ft_rare_terms,
@@ -7159,6 +7243,31 @@ FROM match JOIN dl USING (doc_id)
 GROUP BY facet HAVING count(*) <= {RARE_MAX_DOCS}
 """,
         "search_rare_terms": """
+SELECT true AS all_match, true AS non_trivial
+""",
+        "ft_missing": f"""
+WITH {_TF_CTE},
+match AS (SELECT DISTINCT doc_id FROM tf WHERE tok = 'data')
+SELECT CAST(count(*) AS BIGINT) AS n_docs
+FROM match WHERE doc_id % {MISSING_MOD} = 0
+""",
+        "search_missing": """
+SELECT true AS n_docs_match, true AS non_trivial
+""",
+        # deterministic 40% md5-bucket sampler: the sample_bucket hash
+        # convention evaluated in DuckDB via ('0x'||substr)::BIGINT
+        "ft_sampler": f"""
+WITH {_TF_CTE},
+match AS (SELECT DISTINCT doc_id FROM tf WHERE tok = 'data'),
+sampled AS (SELECT doc_id FROM match
+            WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                       || '{SAMPLER_SALT}'), 1, 8))::BIGINT
+                   % 1000000) < {SAMPLER_PPM})
+SELECT d.lang AS facet, CAST(count(*) AS BIGINT) AS n_docs
+FROM sampled s JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""",
+        "search_sampler": """
 SELECT true AS all_match, true AS non_trivial
 """,
         # cross-document span removal (Lee et al. exact-substring

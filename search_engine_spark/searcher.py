@@ -2512,6 +2512,87 @@ class SearchEngine:
             .filter(F.col("n_docs") <= int(max_doc_count))
         )
 
+    def search_missing(self, query: str, dims: DataFrame,
+                       url_col: str = "url") -> DataFrame:
+        """ES ``missing`` aggregation under a query context: how many
+        matching docs carry NO value for a field — the data-quality
+        sidebar row ("12,431 results without a language tag") and the
+        complement of every facet count.  ``dims`` is the url-keyed
+        attribute table; a doc is missing iff it has no row there.
+        Returns one row (n_docs).
+
+        Scale shape: the facets kernel's candidate set anti-joined
+        against the dimension table (no forced broadcast — at web
+        scale the attribute table is corpus-sized; AQE decides), then
+        one count."""
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            return self.spark.createDataFrame([(0,)], "n_docs long")
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        cand = (
+            self._drop_deleted(self._unpack(self._scan_index(resolved), idf_by_key))
+            .select("shard", "local_id").distinct()
+        )
+        urls = cand.join(self._doc_map(), ["shard", "local_id"]).select("url")
+        missing = urls.join(
+            dims.select(F.col(url_col).alias("url")).distinct(),
+            "url", "left_anti")
+        return missing.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+    def search_facets_sampled(self, query: str, dims: DataFrame,
+                              dim_col: str, rate_ppm: int,
+                              salt: str = "",
+                              url_col: str = "url") -> DataFrame:
+        """ES ``sampler`` aggregation under a query context: run the
+        facet counts over a SAMPLE of the matching docs instead of
+        all of them — the cost lever for expensive sub-aggregations
+        over huge match sets.  ES samples the top-scoring shard-local
+        docs; this engine samples DETERMINISTICALLY by md5 hash
+        bucket (the ``sample_stratified`` discipline: a doc is in or
+        out as a pure function of (url, salt), so the sample — and
+        therefore the aggregation — is identical on any engine,
+        partitioning, and run).  ``rate_ppm`` is the keep rate in
+        parts per million.  Returns (facet, n_docs) over the sampled
+        match set.
+
+        Scale shape: the facets kernel with ONE extra codegen hash
+        filter on the candidate urls — the sample costs nothing and
+        everything downstream shrinks by the rate."""
+        if not (0 < rate_ppm <= 1_000_000):
+            raise ValueError("rate_ppm must be in (0, 1000000]")
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            return (
+                dims.select(F.col(dim_col).alias("facet")).limit(0)
+                .withColumn("n_docs", F.lit(0).cast("long"))
+            )
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        cand = (
+            self._drop_deleted(self._unpack(self._scan_index(resolved), idf_by_key))
+            .select("shard", "local_id").distinct()
+        )
+        urls = (
+            cand.join(self._doc_map(), ["shard", "local_id"]).select("url")
+            # deterministic ppm bucket from the md5's first 8 hex
+            # chars (the sample_bucket convention DuckDB evaluates
+            # identically via ('0x'||substr)::BIGINT)
+            .filter(
+                F.conv(F.substring(F.md5(F.concat(F.col("url"),
+                                                  F.lit(salt))), 1, 8),
+                       16, 10).cast("long") % 1_000_000
+                < F.lit(int(rate_ppm)))
+        )
+        pairs = (
+            urls.join(
+                dims.select(F.col(url_col).alias("url"),
+                            F.col(dim_col).alias("facet")),
+                "url",
+            )
+            .select("url", "facet").distinct()
+        )
+        return pairs.groupBy("facet").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"))
+
     def search_composite(self, query: str, dims_list: list[tuple],
                          size: int = 10,
                          after: tuple | list | None = None) -> DataFrame:

@@ -417,6 +417,51 @@ def twin_facets(spark: SparkSession, engine, query: str,
     return pairs.groupBy("facet").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
 
 
+def twin_missing(spark: SparkSession, engine, query: str,
+                 dims: DataFrame, url_col: str = "url") -> DataFrame:
+    """One-row (n_docs): matching live urls with NO dimension row —
+    the independent twin of ``SearchEngine.search_missing``."""
+    keys = engine.parse_query(query)
+    urls = (
+        live_raw_postings(spark, engine)
+        .filter(F.col("term_key").isin(list(keys)))
+        .select("url").distinct()
+    )
+    missing = urls.join(
+        dims.select(F.col(url_col).alias("url")).distinct(),
+        "url", "left_anti")
+    return missing.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+def twin_facets_sampled(spark: SparkSession, engine, query: str,
+                        dims: DataFrame, dim_col: str,
+                        rate_ppm: int, salt: str = "",
+                        url_col: str = "url") -> DataFrame:
+    """Facet counts over the deterministically-sampled match set —
+    the independent twin of ``SearchEngine.search_facets_sampled``
+    (same md5-ppm rule stated over the raw-postings match set)."""
+    keys = engine.parse_query(query)
+    urls = (
+        live_raw_postings(spark, engine)
+        .filter(F.col("term_key").isin(list(keys)))
+        .select("url").distinct()
+        .filter(
+            F.conv(F.substring(F.md5(F.concat(F.col("url"), F.lit(salt))),
+                               1, 8), 16, 10).cast("long") % 1_000_000
+            < F.lit(int(rate_ppm)))
+    )
+    pairs = (
+        urls.join(
+            dims.select(F.col(url_col).alias("url"),
+                        F.col(dim_col).alias("facet")),
+            "url",
+        )
+        .select("url", "facet").distinct()
+    )
+    return pairs.groupBy("facet").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
 def twin_range_agg(spark: SparkSession, engine, query: str,
                    values: DataFrame, value_col: str,
                    ranges: list[tuple],

@@ -129,6 +129,10 @@ INTRODUCED_PAST_WINDOW = {
     "search_histogram",
     # displaced past the window when the late-session aggregation /
     # span-dedup / rollover rows took the head slots
+    "search_querystring",
+    "ft_significant_terms",
+    "ft_count_hits",
+    "search_count",
     "search_page2",
     "ft_fuzzy_topk",
     "search_fuzzy",

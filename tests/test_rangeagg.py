@@ -92,3 +92,50 @@ def test_rare_terms_validation(spark, built_index):
     dims = spark.createDataFrame([("u", "a")], "url string, d string")
     with pytest.raises(ValueError):
         eng.search_rare_terms(QUERY, dims, "d", 0)
+
+
+def test_missing_counts_docs_without_attribute(spark, built_index):
+    eng = _engine(spark, built_index)
+    match = eng.matching_urls(QUERY)
+    n_match = match.count()
+    # every other matching doc gets an attribute row
+    half = match.orderBy("url").limit(n_match // 2)
+    got = eng.search_missing(QUERY, half).first()["n_docs"]
+    assert got == n_match - n_match // 2
+    # empty dims: every matching doc is missing; full dims: none
+    empty = spark.createDataFrame([], "url string")
+    assert eng.search_missing(QUERY, empty).first()["n_docs"] == n_match
+    assert eng.search_missing(QUERY, match).first()["n_docs"] == 0
+    t = TW.twin_missing(spark, eng, QUERY, half).first()["n_docs"]
+    assert t == got
+
+
+def test_sampler_full_rate_and_determinism(spark, built_index):
+    eng = _engine(spark, built_index)
+    dims = eng.matching_urls(QUERY).select(
+        "url", F.substring("url", 1, 12).alias("d"))
+    full = sorted(map(tuple,
+                      eng.search_facets(QUERY, dims, "d").collect()))
+    # rate 1e6 keeps everything: identical to the plain facets
+    s_all = sorted(map(tuple, eng.search_facets_sampled(
+        QUERY, dims, "d", 1_000_000, "x").collect()))
+    assert s_all == full
+    # a partial rate is a strict subset with identical counts per
+    # kept facet... counts can shrink; assert subset of facet keys
+    # and determinism across calls and vs the twin
+    a = sorted(map(tuple, eng.search_facets_sampled(
+        QUERY, dims, "d", 300_000, "x").collect()))
+    b = sorted(map(tuple, eng.search_facets_sampled(
+        QUERY, dims, "d", 300_000, "x").collect()))
+    assert a == b and 0 < len(a) <= len(full)
+    t = sorted(map(tuple, TW.twin_facets_sampled(
+        spark, eng, QUERY, dims, "d", 300_000, "x").collect()))
+    assert a == t
+    # a different salt picks a different sample (overwhelmingly)
+    c = sorted(map(tuple, eng.search_facets_sampled(
+        QUERY, dims, "d", 300_000, "y").collect()))
+    assert c != a or len(full) <= 1
+    with pytest.raises(ValueError):
+        eng.search_facets_sampled(QUERY, dims, "d", 0)
+    with pytest.raises(ValueError):
+        eng.search_facets_sampled(QUERY, dims, "d", 2_000_000)
