@@ -745,6 +745,60 @@ def q_ft_bm25_topk(spark, sf):
     )
 
 
+DISMAX_TIE = 0.3
+
+
+def q_ft_dismax_topk(spark, sf):
+    """Lucene DisjunctionMax scoring, fully SQL-checkable: per-doc
+    score = best single term contribution + 0.3 x the others (the
+    best-fields rule that stops several weak matches outranking one
+    strong match), over the same relational BM25 chain as
+    ft_bm25_topk — max and sum ride ONE hash agg."""
+    docs = _tbl(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = _doc_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    qtf = tf.filter(F.col("tok").isin(*FT_QUERY_TERMS))
+    dfreq = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "c",
+            F.col("idf") * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = (
+        contrib.groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("sm"))
+        .select("doc_id",
+                F.round(F.col("mx") + F.lit(DISMAX_TIE)
+                        * (F.col("sm") - F.col("mx")), 6).alias("score"))
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return (
+        ranked(topk, [("score", "desc"), ("doc_id", "asc")])
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("doc_id", "score", "rank")
+    )
+
+
+def q_search_dismax(spark, sf):
+    """DisMax served through the PACKED index
+    (searcher.dismax_search: the ordinary pruned scan, max+sum in the
+    same per-doc hash agg) ≡ the raw-postings twin recomputing the
+    per-term blended parts independently, per rank."""
+    eng = _engine_for(spark, sf)
+    return _rank_eq(
+        eng.dismax_search(ENGINE_QUERY, 20, tie=DISMAX_TIE),
+        TW.twin_dismax_topk(spark, eng, ENGINE_QUERY, DISMAX_TIE, 20),
+        exact=["url"], approx=["score"],
+    )
+
+
 def q_ft_matched_topk(spark, sf):
     """Relational BM25 top-20 carrying per-hit match evidence
     (Lucene/ES matched_queries), fully SQL-checkable: ``matched`` is
@@ -4492,6 +4546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_strip": q_dedup_span_strip,
         "text_decontam_strip": q_text_decontam_strip,
         "trustrank_links": q_trustrank_links,
+        "ft_dismax_topk": q_ft_dismax_topk,
+        "search_dismax": q_search_dismax,
         "ft_missing": q_ft_missing,
         "search_missing": q_search_missing,
         "ft_sampler": q_ft_sampler,
@@ -7269,6 +7325,37 @@ GROUP BY d.lang
 """,
         "search_sampler": """
 SELECT true AS all_match, true AS non_trivial
+""",
+        # DisjunctionMax: best clause + tie x the others, same BM25
+        # contribution chain as ft_bm25_topk
+        "ft_dismax_topk": f"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl,
+                 (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n
+          FROM dl),
+qtf AS (SELECT * FROM tf WHERE tok IN ('table', 'join', 'query')),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY tok),
+contrib AS (
+  SELECT qtf.doc_id, log2((SELECT n FROM stats) / dfreq.df) AS idf,
+         qtf.tf, dl.dl
+  FROM qtf JOIN dfreq ON qtf.tok = dfreq.tok
+  JOIN dl ON qtf.doc_id = dl.doc_id
+),
+parts AS (SELECT doc_id, {_BM25_EXPR} AS c FROM contrib),
+scored AS (SELECT doc_id,
+                  round(max(c) + {DISMAX_TIE} * (sum(c) - max(c)), 6)
+                  AS score
+           FROM parts GROUP BY doc_id),
+rk AS (SELECT doc_id, score,
+              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS BIGINT) AS rank
+       FROM scored)
+SELECT doc_id, score, rank FROM rk WHERE rank <= 20
+""",
+        "search_dismax": """
+SELECT CAST(range AS BIGINT) AS rank, true AS url_match, true AS score_match
+FROM range(1, 21)
 """,
         # cross-document span removal (Lee et al. exact-substring
         # dedup): seed grams -> distinct-doc count -> position

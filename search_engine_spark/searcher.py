@@ -601,6 +601,52 @@ class SearchEngine:
             .select("url", "score")
         )
 
+    def dismax_search(self, query: str, k: int | None = None,
+                      tie: float = 0.1) -> DataFrame:
+        """Lucene ``DisjunctionMaxQuery``: a doc's score is its BEST
+        single clause score plus ``tie`` times the others — the
+        multi-field/multi-synonym scoring rule that stops a doc
+        matching three weak clauses from outranking a doc with one
+        strong match (the plain OR-sum's failure mode; ES `dis_max`
+        and `multi_match type:best_fields` are this query).  Each
+        query term is one clause scored with the engine's per-term
+        blended contribution (the `explain_score` "part"):
+        ``score = max(part) + tie * (sum(part) - max(part))``; tie=0
+        is pure best-clause, tie=1 degenerates to the ordinary
+        OR-sum (pytest pins both edges).
+
+        Scale shape: identical to :meth:`search` — the same pruned
+        scan and ONE per-doc agg (max and sum ride the same hash-agg
+        state); the deterministic (score desc, url asc) top-k stays
+        TakeOrderedAndProject."""
+        if not (0.0 <= tie <= 1.0):
+            raise ValueError("tie must be in [0, 1]")
+        k = k or self.cfg.top_k
+        resolved = self.resolve_terms(self.parse_query(query))
+        if resolved.empty:
+            return self.spark.createDataFrame([], "url string, score double, rank int")
+        idf_by_key = dict(zip(resolved["term_key"], resolved["idf"].astype(float)))
+        per_posting = self._drop_deleted(
+            self._unpack(self._scan_index(resolved), idf_by_key))
+        blend_a, blend_b = self.meta["blend_bm25"], self.meta["blend_bonus"]
+        part = (F.lit(blend_a) * F.col("contrib")
+                + F.lit(blend_b) * F.col("bonus"))
+        scored = (
+            per_posting.withColumn("part", part)
+            .groupBy("shard", "local_id")
+            .agg(F.max("part").alias("mx"), F.sum("part").alias("sm"))
+            .withColumn("score",
+                        F.col("mx") + F.lit(float(tie))
+                        * (F.col("sm") - F.col("mx")))
+            .join(self._doc_map(), ["shard", "local_id"])
+            .select("url", "score")
+        )
+        topk = scored.orderBy(F.desc("score"), F.asc("url")).limit(k)
+        return (
+            ranked(topk, [("score", "desc"), ("url", "asc")])
+            .select("url", "score", "rank")
+        )
+
     def _score_topk(self, per_posting: DataFrame, k: int) -> DataFrame:
         """Shared scoring tail: per-doc BM25 + importance-bonus blend,
         deterministic (score desc, url asc) top-k with window-free

@@ -551,6 +551,52 @@ def twin_bm25_topk(spark: SparkSession, engine, query: str, k: int) -> DataFrame
     return ranked(topk, [("score", "desc"), ("url", "asc")])
 
 
+def twin_dismax_topk(spark: SparkSession, engine, query: str,
+                     tie: float, k: int) -> DataFrame:
+    """(url, score, rank) under DisjunctionMax scoring — the
+    independent twin of ``SearchEngine.dismax_search``: per-(url,
+    term) blended parts recomputed from postings_raw (stats-as-packed
+    df, live tf/dl — the twin_bm25_scores arithmetic), then
+    ``max(part) + tie * (sum(part) - max(part))`` per url."""
+    meta = engine.meta
+    k1, b = float(meta["k1"]), float(meta["b"])
+    avgdl, n_docs = float(meta["avgdl"]), float(meta["n_docs"])
+    blend_a, blend_b = float(meta["blend_bm25"]), float(meta["blend_bonus"])
+    keys = engine.parse_query(query)
+    live = live_raw_postings(spark, engine)
+    dl = live.groupBy("url").agg(F.sum("tf").alias("dl"))
+    qt = live.filter(F.col("term_key").isin(list(keys))).select(
+        "url", "term_key", "tf", "important")
+    dfreq = (
+        raw_postings(spark, engine)
+        .filter(F.col("term_key").isin(list(keys)))
+        .groupBy("term_key").agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (F.lit(1.0 - b)
+                             + F.lit(b) * (F.col("dl").cast("double")
+                                           / F.lit(avgdl)))
+    contrib = F.lit(k1 + 1.0) * tf * F.col("idf") / norm
+    per = (
+        qt.join(F.broadcast(dfreq), "term_key")
+        .join(dl, "url")
+        .withColumn("idf", F.log2(F.lit(n_docs) / F.col("df")))
+        .withColumn("part",
+                    F.lit(blend_a) * contrib
+                    + F.lit(blend_b) * F.when(F.col("important"),
+                                              F.lit(1.2)).otherwise(F.lit(1.0)))
+    )
+    scored = (
+        per.groupBy("url")
+        .agg(F.max("part").alias("mx"), F.sum("part").alias("sm"))
+        .select("url",
+                (F.col("mx") + F.lit(float(tie))
+                 * (F.col("sm") - F.col("mx"))).alias("score"))
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("url")).limit(k)
+    return ranked(topk, [("score", "desc"), ("url", "asc")])
+
+
 def twin_matched_topk(spark: SparkSession, engine, query: str,
                       k: int) -> DataFrame:
     """(url, score, rank, matched) — the independent twin of

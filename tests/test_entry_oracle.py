@@ -129,6 +129,8 @@ INTRODUCED_PAST_WINDOW = {
     "search_histogram",
     # displaced past the window when the late-session aggregation /
     # span-dedup / rollover rows took the head slots
+    "ft_percolate",
+    "streaming_percolate",
     "search_querystring",
     "ft_significant_terms",
     "ft_count_hits",
