@@ -123,6 +123,9 @@ def main() -> None:
                     help="(term, syn) parquet table: expand query terms "
                          "into synonym groups scored with Lucene "
                          "SynonymQuery semantics (blended tf, max df)")
+    ap.add_argument("--dismax", type=float, default=None, metavar="TIE",
+                    help="DisjunctionMax scoring: best clause + TIE x "
+                         "the others (Lucene dis_max / best_fields)")
     ap.add_argument("--alias", action="store_true",
                     help="treat --index as an ALIAS directory "
                          "(aliases.py): federated search over every "
@@ -154,6 +157,13 @@ def main() -> None:
                            term_col="term_key", cf_col="cf")
         for r in out.collect():
             print(f"{r['prefix']} {r['rank']} {r['completion']} {r['cf']}")
+        spark.stop()
+        return
+
+    if args.dismax is not None:
+        text = " ".join(args.query)
+        for r in eng.dismax_search(text, args.k, tie=args.dismax).collect():
+            print(f"q1 {r['rank']} {r['url']} {r['score']:.6f}")
         spark.stop()
         return
 
